@@ -1,0 +1,107 @@
+"""Geo-tagging spatial join: pages × admin boundaries (J11 / north rule).
+
+Pipeline (SURVEY.md §3.1 recast, stages map 1:1 to the reference's
+measure_quality flow):
+
+  pages(html) ─ extract_text (Arrow UDF, G20)
+             ─ extract_geo   (Arrow UDF)
+             ─ cell encode   (built-in expr, G21 — JVM-side, codegen)
+  boundaries ─ cover cells   (Arrow UDF over WKT, one call per boundary)
+             ─ explode(cells)
+  join on cell (broadcast when boundary side small — the analogue of the
+  reference's local Overpass index; salted shuffle otherwise)
+  ─ point-in-polygon confirm (Arrow UDF, vectorized per distinct WKT)
+  ─ cardinality verdict (O12/J6: 0 → NO_MATCH, 1 → MATCHED, >1 → MULTIPLE)
+
+Scale notes (100 TB):
+- The pages side is never shuffled in the broadcast path: scan →
+  project → UDF → join is one stage, no wide dependency.
+- In the shuffle path both sides are repartitioned on a SALTED cell key:
+  ``salt = pmod(xxhash64(url), n_salt)`` on pages, boundary rows
+  replicated n_salt ways via explode(sequence()). Dense city-center
+  cells (30% of this corpus sits in one ~1 km cell) would otherwise pin
+  a single reducer; salting spreads each hot cell over n_salt reducers.
+  AQE skew-join remains enabled as backstop (session.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.udfs import (
+    cell_expr,
+    cover_wkt_udf,
+    extract_geo_udf,
+    extract_text_udf,
+    point_in_wkt_udf,
+)
+
+VERDICT_MATCHED = "MATCHED"
+VERDICT_NO_MATCH = "NO_MATCH"
+VERDICT_MULTIPLE = "MULTIPLE_MATCH"
+
+
+def extract_pages_geo(pages: DataFrame, res: int) -> DataFrame:
+    """pages(url, html, ...) → + text, lat, lon, cell_id."""
+    d = pages.withColumn("text", extract_text_udf("html"))
+    d = d.withColumn("_geo", extract_geo_udf("text"))
+    d = d.withColumn("lat", F.col("_geo.lat")).withColumn("lon", F.col("_geo.lon")).drop("_geo")
+    return d.withColumn("cell_id", cell_expr(F.col("lon"), F.col("lat"), res))
+
+
+def boundary_cells(boundaries: DataFrame, res: int) -> DataFrame:
+    """boundaries(level9_id, wkt) → one row per (boundary, covering cell)."""
+    return boundaries.withColumn("cell_id", F.explode(cover_wkt_udf("wkt")))
+
+
+def geotag_pages(
+    pages: DataFrame,
+    boundaries: DataFrame,
+    res: int = 6,
+    broadcast_boundaries: bool = True,
+    n_salt: int = 0,
+) -> DataFrame:
+    """Full geo-tag join → (url, lat, lon, cell_id, level9_id, verdict).
+
+    Exactly-one-match semantics mirror conflate.py:516-556: zero
+    candidates → NO_MATCH, one → MATCHED, several → MULTIPLE_MATCH with
+    error_context = comma-joined sorted boundary ids
+    (conflate.py:528 formatting).
+    """
+    pg = extract_pages_geo(pages, res).select("url", "lat", "lon", "cell_id")
+    bc = boundary_cells(boundaries.select("level9_id", "wkt"), res)
+
+    if broadcast_boundaries:
+        joined = pg.join(F.broadcast(bc), "cell_id", "left")
+    elif n_salt and n_salt > 1:
+        pg_s = pg.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
+        bc_s = bc.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))).withColumn(
+            "_salt", F.col("_salt").cast("long")
+        )
+        joined = pg_s.join(bc_s, ["cell_id", "_salt"], "left").drop("_salt")
+    else:
+        joined = pg.join(bc, "cell_id", "left")
+
+    confirmed = joined.withColumn(
+        "inside",
+        F.when(F.col("wkt").isNull(), F.lit(False)).otherwise(
+            point_in_wkt_udf(F.col("lon"), F.col("lat"), F.col("wkt"))
+        ),
+    )
+    # keep the page row even when no candidate confirmed (left semantics)
+    per_page = confirmed.groupBy("url", "lat", "lon", "cell_id").agg(
+        F.sort_array(F.collect_list(F.when(F.col("inside"), F.col("level9_id")))).alias("matches")
+    )
+    return per_page.select(
+        "url",
+        "lat",
+        "lon",
+        "cell_id",
+        F.when(F.size("matches") == 1, F.col("matches")[0]).alias("level9_id"),
+        F.when(F.size("matches") == 0, F.lit(VERDICT_NO_MATCH))
+        .when(F.size("matches") == 1, F.lit(VERDICT_MATCHED))
+        .otherwise(F.lit(VERDICT_MULTIPLE))
+        .alias("verdict"),
+        F.when(F.size("matches") > 1, F.array_join("matches", ",")).alias("error_context"),
+    )

@@ -1,0 +1,670 @@
+"""Query registry: every implemented operator as (Spark fn, oracle SQL).
+
+Each entry is a capability from SURVEY.md §2 (reference file:line in the
+docstring) or a training-data pipeline operator. The Spark side runs the
+engine; the oracle SQL recomputes the same result in DuckDB over the raw
+testdata views — the driver compares row count, schema and value hashes.
+
+Portability rules used throughout (so hashes match):
+- derived doubles are rounded (G18, measure_quality.py:107-108);
+- md5 is the only cross-engine hash (Spark murmur3 != DuckDB hash);
+- floats are cast to double BEFORE arithmetic on both sides;
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from . import datagen
+from .functions import udfs as U
+from .operators import spatial_join as SJ
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# cell id in SQL (mirror of functions/udfs.py cell_expr at res 6, size=0.0625)
+_CELL_SQL = (
+    "'r6:' || CAST(CAST(floor((lat + 90.0) / 0.0625) AS BIGINT) AS VARCHAR)"
+    " || ':' || CAST(CAST(floor((lon + 180.0) / 0.0625) AS BIGINT) AS VARCHAR)"
+)
+
+
+# ===========================================================================
+# Geo engine flagship (SURVEY §3.1 / J11 / G20 / G21 / O12)
+# ===========================================================================
+
+
+@q(
+    "geotag",
+    oracle=f"""
+WITH {datagen.PAGES_CTE}, {datagen.BOUNDARIES_CTE}
+SELECT g.url AS url,
+       b.level9_id AS level9_id,
+       {_CELL_SQL} AS cell_id,
+       'MATCHED' AS verdict
+FROM pages_geo g JOIN boundaries b
+  ON g.lon >= b.min_lon AND g.lon < b.max_lon
+ AND g.lat >= b.min_lat AND g.lat < b.max_lat
+""",
+)
+def q_geotag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: extract text+coords from html bytes, cell hash-join to
+    boundary polygons, point-in-polygon confirm, cardinality verdict."""
+    pages = datagen.build_pages(spark, sf_dir)
+    boundaries = datagen.build_boundaries(spark, sf_dir)
+    return SJ.geotag_pages(pages, boundaries).select("url", "level9_id", "cell_id", "verdict")
+
+
+@q(
+    "geotag_verdicts",
+    oracle=f"""
+WITH {datagen.PAGES_CTE}, {datagen.BOUNDARIES_CTE},
+b2 AS (
+  SELECT * FROM boundaries WHERE level9_id <> '24'
+  UNION ALL
+  SELECT '99' AS level9_id, level9_name, min_lon, min_lat, max_lon, max_lat
+  FROM boundaries WHERE level9_id = '21'
+),
+m AS (
+  SELECT g.url, count(b2.level9_id) AS n
+  FROM pages_geo g LEFT JOIN b2
+    ON g.lon >= b2.min_lon AND g.lon < b2.max_lon
+   AND g.lat >= b2.min_lat AND g.lat < b2.max_lat
+  GROUP BY g.url
+)
+SELECT CASE WHEN n = 0 THEN 'NO_MATCH' WHEN n = 1 THEN 'MATCHED'
+            ELSE 'MULTIPLE_MATCH' END AS verdict,
+       count(*) AS n_pages
+FROM m GROUP BY 1
+""",
+)
+def q_geotag_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality verdicts (conflate.py:516-556 0/1/>1 rule): a missing
+    boundary (NO_MATCH) and a duplicated boundary (MULTIPLE_MATCH)."""
+    pages = datagen.build_pages(spark, sf_dir)
+    b = datagen.build_boundaries(spark, sf_dir)
+    dup = b.filter(F.col("level9_id") == "21").withColumn("level9_id", F.lit("99"))
+    b2 = b.filter(F.col("level9_id") != "24").unionByName(dup)
+    tagged = SJ.geotag_pages(pages, b2)
+    return tagged.groupBy("verdict").agg(F.count("*").alias("n_pages"))
+
+
+@q(
+    "cell_encode",
+    oracle=f"""
+WITH {datagen.PAGES_CTE}
+SELECT url, lat, lon, {_CELL_SQL} AS cell_id FROM pages_geo
+""",
+)
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G21: batched cell encoding of extracted coordinates, JVM-side."""
+    pages = datagen.build_pages(spark, sf_dir)
+    return SJ.extract_pages_geo(pages, res=datagen.CELL_RES).select("url", "lat", "lon", "cell_id")
+
+
+@q(
+    "extract_text_md5",
+    oracle=f"""
+WITH {datagen.PAGES_CTE}
+SELECT url, md5({datagen.EXTRACTED_TEXT_SQL}) AS text_md5 FROM pages_geo
+""",
+)
+def q_extract_text_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20 byte-identity invariant: md5 of the engine-extracted text must
+    equal md5 of the oracle's independently reconstructed text."""
+    pages = datagen.build_pages(spark, sf_dir)
+    d = pages.withColumn("text", U.extract_text_udf("html"))
+    return d.select("url", F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+
+
+@q(
+    "measure_quality",
+    oracle=f"""
+WITH {datagen.BOUNDARIES_CTE},
+osm AS (
+  SELECT level9_id,
+         min_lon + 0.1 * (CAST(level9_id AS BIGINT) % 4) AS o_min_lon,
+         min_lat + 0.1 * (CAST(level9_id AS BIGINT) % 3) AS o_min_lat,
+         max_lon + 0.1 * (CAST(level9_id AS BIGINT) % 4) AS o_max_lon,
+         max_lat + 0.1 * (CAST(level9_id AS BIGINT) % 3) AS o_max_lat
+  FROM boundaries
+),
+j AS (
+  SELECT b.level9_id,
+         greatest(0.0, least(b.max_lon, o.o_max_lon) - greatest(b.min_lon, o.o_min_lon))
+       * greatest(0.0, least(b.max_lat, o.o_max_lat) - greatest(b.min_lat, o.o_min_lat)) AS inter,
+         (b.max_lon - b.min_lon) * (b.max_lat - b.min_lat) AS area_c,
+         (o.o_max_lon - o.o_min_lon) * (o.o_max_lat - o.o_min_lat) AS area_o
+  FROM boundaries b JOIN osm o USING (level9_id)
+)
+SELECT level9_id,
+       20000000 + CAST(level9_id AS BIGINT) AS relation_id,
+       round(inter / (area_c + area_o - inter), 5) AS i_o_u,
+       round(inter / area_c, 5) AS area_diff,
+       CAST(level9_id AS BIGINT) = 2 AS national_border
+FROM j
+""",
+)
+def q_measure_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 measure_quality: IoU + area-diff per boundary pair via the
+    general polygon kernel (A8/G5, measure_quality.py:100-108), round 5
+    (G18). The oracle recomputes rectangle overlap in closed form."""
+    b = datagen.build_boundaries(spark, sf_dir)
+    key = F.col("level9_id").cast("long")
+    osm = b.select(
+        "level9_id",
+        (F.col("min_lon") + 0.1 * (key % 4)).alias("o_min_lon"),
+        (F.col("min_lat") + 0.1 * (key % 3)).alias("o_min_lat"),
+        (F.col("max_lon") + 0.1 * (key % 4)).alias("o_max_lon"),
+        (F.col("max_lat") + 0.1 * (key % 3)).alias("o_max_lat"),
+    )
+    fmt = lambda c: F.format_string("%.6f", c)  # noqa: E731
+    osm_wkt = F.concat(
+        F.lit("POLYGON (("),
+        fmt(F.col("o_min_lon")), F.lit(" "), fmt(F.col("o_min_lat")), F.lit(", "),
+        fmt(F.col("o_max_lon")), F.lit(" "), fmt(F.col("o_min_lat")), F.lit(", "),
+        fmt(F.col("o_max_lon")), F.lit(" "), fmt(F.col("o_max_lat")), F.lit(", "),
+        fmt(F.col("o_min_lon")), F.lit(" "), fmt(F.col("o_max_lat")), F.lit(", "),
+        fmt(F.col("o_min_lon")), F.lit(" "), fmt(F.col("o_min_lat")),
+        F.lit("))"),
+    )
+    osm = osm.select("level9_id", osm_wkt.alias("osm_wkt"))
+    joined = b.select("level9_id", "wkt").join(osm, "level9_id")
+    scored = joined.withColumn("_m", U.iou_udf(F.col("wkt"), F.col("osm_wkt")))
+    return scored.select(
+        "level9_id",
+        (F.lit(20000000) + F.col("level9_id").cast("long")).alias("relation_id"),
+        F.round(F.col("_m.i_o_u"), 5).alias("i_o_u"),
+        F.round(F.col("_m.area_diff"), 5).alias("area_diff"),
+        (F.col("level9_id").cast("long") == 2).alias("national_border"),
+    )
+
+
+# ===========================================================================
+# Relational operator parity (SURVEY §2.2-2.5 over TPC-H-ish tables)
+# ===========================================================================
+
+
+@q(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/G18/O2: grouped aggregation with rounding contract."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "enrich_customer",
+    oracle="""
+SELECT c_custkey, c_name, n_name, r_name, c_mktsegment
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def q_enrich_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3: dimension-enrichment broadcast hash joins
+    (serbia2input.py:122-165 lookup-map semantics)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name", "c_mktsegment")
+    )
+
+
+@q(
+    "snapshot_diff",
+    oracle="""
+WITH baseline AS (
+  SELECT o_custkey, count(*) AS b_cnt FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY o_custkey
+),
+newer AS (
+  SELECT o_custkey, count(*) AS n_cnt FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' GROUP BY o_custkey
+)
+SELECT coalesce(b.o_custkey, n.o_custkey) AS custkey,
+       CASE WHEN b.o_custkey IS NULL THEN 'appeared'
+            WHEN n.o_custkey IS NULL THEN 'disappeared'
+            ELSE 'both' END AS status,
+       coalesce(b.b_cnt, 0) AS b_cnt,
+       coalesce(n.n_cnt, 0) AS n_cnt
+FROM baseline b FULL OUTER JOIN newer n ON b.o_custkey = n.o_custkey
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/O10 (send_notification.py:41-73, daily-measurement.sh diff):
+    snapshot full-outer diff with appeared/disappeared/both flags."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    split = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    baseline = (
+        o.filter(F.col("o_orderdate") < split).groupBy("o_custkey").agg(F.count("*").alias("b_cnt"))
+    )
+    newer = (
+        o.filter(F.col("o_orderdate") >= split).groupBy("o_custkey").agg(F.count("*").alias("n_cnt"))
+    )
+    bj = baseline.alias("b").join(newer.alias("n"), F.col("b.o_custkey") == F.col("n.o_custkey"), "full_outer")
+    return bj.select(
+        F.coalesce(F.col("b.o_custkey"), F.col("n.o_custkey")).alias("custkey"),
+        F.when(F.col("b.o_custkey").isNull(), F.lit("appeared"))
+        .when(F.col("n.o_custkey").isNull(), F.lit("disappeared"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+        F.coalesce(F.col("b.b_cnt"), F.lit(0)).alias("b_cnt"),
+        F.coalesce(F.col("n.n_cnt"), F.lit(0)).alias("n_cnt"),
+    )
+
+
+@q(
+    "resume_antijoin",
+    oracle="""
+SELECT count(*) AS n_remaining, round(sum(l_quantity), 2) AS qty_remaining
+FROM lineitem WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+""",
+)
+def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/P3 resume semantics (measure_quality.py:126-130): left-anti
+    join of the work list against the checkpoint table."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    done = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderstatus") == "F")
+    remaining = li.join(done, li.l_orderkey == done.o_orderkey, "left_anti")
+    return remaining.agg(
+        F.count("*").alias("n_remaining"), F.round(F.sum("l_quantity"), 2).alias("qty_remaining")
+    )
+
+
+@q(
+    "topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn = 1
+""",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 argmax-per-group (exactly-one-match rule / kNN top-1)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "shared_semi",
+    oracle="""
+SELECT l_partkey AS partkey, count(DISTINCT l_suppkey) AS n_supp
+FROM lineitem GROUP BY l_partkey
+HAVING bool_or(l_suppkey % 2 = 0) AND bool_or(l_suppkey % 2 = 1)
+""",
+)
+def q_shared_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 shared-ways semantics (conflate.py:65-80): entities belonging
+    to BOTH groups — groupBy + bool_or membership flags."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.max(F.col("l_suppkey") % 2 == 0).alias("_even"),
+            F.max(F.col("l_suppkey") % 2 == 1).alias("_odd"),
+        )
+        .filter(F.col("_even") & F.col("_odd"))
+        .drop("_even", "_odd")
+    )
+
+
+@q(
+    "exclusive_anti",
+    oracle="""
+SELECT l_orderkey AS orderkey, min(l_suppkey) AS only_supp
+FROM lineitem GROUP BY l_orderkey
+HAVING count(DISTINCT l_suppkey) = 1
+""",
+)
+def q_exclusive_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 exclusive-way semantics (conflate.py:83-97): entities in
+    exactly one group."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.count_distinct("l_suppkey").alias("_n"), F.min("l_suppkey").alias("only_supp"))
+        .filter(F.col("_n") == 1)
+        .select("orderkey", "only_supp")
+    )
+
+
+@q(
+    "coalesce_fallback",
+    oracle="""
+SELECT c_custkey,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), c_name) AS display_name,
+       CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL THEN '9' END AS admin_level
+FROM customer
+""",
+)
+def q_coalesce_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 name-fallback projection (translation.py:27-41): first
+    non-empty wins; admin_level set only when the primary is present."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    primary = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(primary, F.col("c_name")).alias("display_name"),
+        F.when(primary.isNotNull(), F.lit("9")).alias("admin_level"),
+    )
+
+
+@q(
+    "setops",
+    oracle="""
+WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+     b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM a UNION SELECT * FROM b)
+""",
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7/O8/O9 set algebra (Overpass set difference conflate.py:73-91)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rows = [
+        a.exceptAll(b).distinct().agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n"),
+        a.intersect(b).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n"),
+        a.union(b).distinct().agg(F.count("*").alias("n")).select(F.lit("union").alias("op"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@q(
+    "limit_regressions",
+    oracle="""
+WITH baseline AS (
+  SELECT o_custkey, count(*) AS b_cnt FROM orders
+  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY o_custkey
+),
+newer AS (
+  SELECT o_custkey, count(*) AS n_cnt FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' GROUP BY o_custkey
+)
+SELECT b.o_custkey AS custkey, n.n_cnt - b.b_cnt AS delta
+FROM baseline b JOIN newer n ON b.o_custkey = n.o_custkey
+WHERE n.n_cnt - b.b_cnt > 0
+ORDER BY delta DESC, custkey
+LIMIT 10
+""",
+)
+def q_limit_regressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/P14 (send_notification.py:42-67): regression rows, capped at
+    10, deterministic order."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    split = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    baseline = (
+        o.filter(F.col("o_orderdate") < split).groupBy("o_custkey").agg(F.count("*").alias("b_cnt"))
+    )
+    newer = (
+        o.filter(F.col("o_orderdate") >= split).groupBy("o_custkey").agg(F.count("*").alias("n_cnt"))
+    )
+    return (
+        baseline.join(newer, "o_custkey")
+        .select(F.col("o_custkey").alias("custkey"), (F.col("n_cnt") - F.col("b_cnt")).alias("delta"))
+        .filter(F.col("delta") > 0)
+        .orderBy(F.col("delta").desc(), F.col("custkey"))
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# Training-data pipeline: text analysis / dedup / similarity
+# ===========================================================================
+
+_LANG_SCORE_SQL = """
+scored AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+),
+counted AS (
+  SELECT doc_id,
+    (length(p) - length(replace(p, ' the ', ''))) // 5
+  + (length(p) - length(replace(p, ' and ', ''))) // 5
+  + (length(p) - length(replace(p, ' of ', ''))) // 4
+  + (length(p) - length(replace(p, ' a ', ''))) // 3 AS s_en,
+    (length(p) - length(replace(p, ' i ', ''))) // 3
+  + (length(p) - length(replace(p, ' je ', ''))) // 4
+  + (length(p) - length(replace(p, ' u ', ''))) // 3
+  + (length(p) - length(replace(p, ' na ', ''))) // 4 AS s_sr,
+    (length(p) - length(replace(p, ' der ', ''))) // 5
+  + (length(p) - length(replace(p, ' und ', ''))) // 5
+  + (length(p) - length(replace(p, ' die ', ''))) // 5
+  + (length(p) - length(replace(p, ' das ', ''))) // 5 AS s_de
+  FROM scored
+)
+"""
+
+
+@q(
+    "lang_id_counts",
+    oracle=f"""
+WITH {_LANG_SCORE_SQL}
+SELECT CASE WHEN s_en = 0 AND s_sr = 0 AND s_de = 0 THEN 'und'
+            WHEN s_en >= s_sr AND s_en >= s_de THEN 'en'
+            WHEN s_sr >= s_de THEN 'sr'
+            ELSE 'de' END AS lang_pred,
+       count(*) AS n_docs
+FROM counted GROUP BY 1
+""",
+)
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (training-data op) via Arrow UDF; oracle
+    replicates the marker-count decision rule in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("lang_pred", U.lang_id_udf("text"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@q(
+    "token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+(?:''[a-z]+)?|[^\sA-Za-z0-9]')) AS bpe_tokens
+FROM documents
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens (built-in, JVM) + BPE-ish regex
+    tokens (Arrow UDF)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("long").alias("ws_tokens"),
+        U.token_count_udf("text").alias("bpe_tokens"),
+    )
+
+
+@q(
+    "quality_score",
+    oracle="""
+SELECT doc_id,
+       round(0.4 * least(1.0, n_chars / 500.0)
+           + 0.3 * (1.0 - (length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', ''))) / greatest(length(text), 1))
+           + 0.3 * least(1.0, ((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) // 5) / 10.0), 5) AS score
+FROM documents
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length / punctuation ratio / stopword ratio) —
+    all built-in expressions, whole-stage-codegen'd."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!]", ""))
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    the_cnt = F.floor((F.length(padded) - F.length(F.regexp_replace(padded, " the ", ""))) / 5)
+    score = (
+        0.4 * F.least(F.lit(1.0), F.col("n_chars") / 500.0)
+        + 0.3 * (1.0 - punct / F.greatest(F.length(t), F.lit(1)))
+        + 0.3 * F.least(F.lit(1.0), the_cnt / 10.0)
+    )
+    return docs.select("doc_id", F.round(score, 5).alias("score"))
+
+
+@q(
+    "dedup_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keeper, max(doc_id) AS dup
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, keep-min policy."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn("doc_id", F.col("doc_id") + 1000000)
+    corpus = docs.unionByName(dups)
+    return (
+        corpus.groupBy(F.md5(F.encode("text", "UTF-8")).alias("fp"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keeper"), F.max("doc_id").alias("dup"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@q(
+    "ann_cosine_topk",
+    oracle="""
+WITH qv AS (
+  SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id = 0
+),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+dots AS (
+  SELECT e.vec_id,
+         sum(e.v * q.v) AS dot,
+         sqrt(sum(e.v * e.v)) AS nrm
+  FROM ev e JOIN qv q USING (i) GROUP BY e.vec_id
+),
+qn AS (SELECT sqrt(sum(v * v)) AS qnrm FROM qv)
+SELECT vec_id, score FROM (
+  SELECT vec_id, round(dot / (nrm * qnrm), 6) AS score,
+         row_number() OVER (ORDER BY round(dot / (nrm * qnrm), 6) DESC, vec_id) AS rn
+  FROM dots, qn WHERE vec_id <> 0)
+WHERE rn <= 10
+""",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search over the embedding
+    column (baseline ANN path): zip_with dot product JVM-side."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    e = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda x, y: dbl(x) * dbl(y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.sqrt(F.aggregate(F.transform("embedding", lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda a, v: a + v))
+    qnrm = F.sqrt(F.aggregate(F.transform("q_emb", lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda a, v: a + v))
+    scored = e.select("vec_id", F.round(dot / (nrm * qnrm), 6).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select("vec_id", "score")
+
+
+@q(
+    "ann_lsh_bucketed",
+    oracle="""
+WITH b AS (
+  SELECT vec_id, label,
+         CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+       + 4 * CAST(embedding[3] > 0 AS INT) + 8 * CAST(embedding[4] > 0 AS INT) AS bucket
+  FROM embeddings
+)
+SELECT bucket, count(*) AS n_vecs, count(DISTINCT label) AS n_labels
+FROM b GROUP BY bucket
+""",
+)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN scale path: sign-bit bucketing on leading
+    dimensions → candidate buckets (search only touches one bucket)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = F.col("embedding")
+    bucket = (
+        (e[0] > 0).cast("int")
+        + 2 * (e[1] > 0).cast("int")
+        + 4 * (e[2] > 0).cast("int")
+        + 8 * (e[3] > 0).cast("int")
+    )
+    return (
+        emb.select("vec_id", "label", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.count_distinct("label").alias("n_labels"))
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

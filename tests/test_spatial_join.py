@@ -1,0 +1,75 @@
+"""End-to-end geo-tag pipeline tests: engine vs closed-form expectation,
+plus parallelism/salting invariance (SURVEY.md §5 items 2/4/6)."""
+
+import duckdb
+import pytest
+
+from osm_admin_boundary_conflation_spark import datagen
+from osm_admin_boundary_conflation_spark.operators import spatial_join as SJ
+
+
+def expected_geotag(sf_dir: str):
+    """Single-node oracle: recompute page→boundary assignment in DuckDB
+    from the same closed forms (rectangles → point-in-rect is exact)."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM read_parquet('{sf_dir}/nation.parquet')")
+    q = f"""
+    WITH {datagen.PAGES_CTE}, {datagen.BOUNDARIES_CTE}
+    SELECT g.url AS url, b.level9_id AS level9_id
+    FROM pages_geo g LEFT JOIN boundaries b
+      ON g.lon >= b.min_lon AND g.lon < b.max_lon
+     AND g.lat >= b.min_lat AND g.lat < b.max_lat
+    ORDER BY url
+    """
+    rows = con.execute(q).fetchall()
+    con.close()
+    return {u: b for u, b in rows}
+
+
+@pytest.fixture(scope="module")
+def geotag(spark, sf_dir):
+    pages = datagen.build_pages(spark, sf_dir)
+    boundaries = datagen.build_boundaries(spark, sf_dir)
+    return SJ.geotag_pages(pages, boundaries).cache()
+
+
+def test_geotag_matches_oracle(geotag, sf_dir):
+    exp = expected_geotag(sf_dir)
+    got = {r["url"]: r["level9_id"] for r in geotag.collect()}
+    assert len(got) == len(exp)
+    mismatches = {u: (got[u], exp[u]) for u in exp if got[u] != exp[u]}
+    assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_geotag_all_matched_exactly_once(geotag):
+    # the 5x5 grid tiles the full coordinate space -> every page matches once
+    verdicts = {r["verdict"] for r in geotag.select("verdict").distinct().collect()}
+    assert verdicts == {SJ.VERDICT_MATCHED}
+
+
+def test_hotspot_exists(geotag):
+    # >=30% of pages share one boundary (skew driver for salting tests)
+    counts = geotag.groupBy("level9_id").count().collect()
+    total = sum(r["count"] for r in counts)
+    assert max(r["count"] for r in counts) >= 0.3 * total
+
+
+def test_salted_path_identical(spark, sf_dir, geotag):
+    pages = datagen.build_pages(spark, sf_dir)
+    boundaries = datagen.build_boundaries(spark, sf_dir)
+    salted = SJ.geotag_pages(pages, boundaries, broadcast_boundaries=False, n_salt=8)
+    base = {(r["url"], r["level9_id"], r["verdict"]) for r in geotag.collect()}
+    alt = {(r["url"], r["level9_id"], r["verdict"]) for r in salted.collect()}
+    assert base == alt
+
+
+def test_extracted_text_byte_identical_across_runs(spark, sf_dir):
+    pages = datagen.build_pages(spark, sf_dir)
+    a = SJ.extract_pages_geo(pages, res=6).select("url", "text")
+    b = SJ.extract_pages_geo(pages.repartition(7), res=6).select("url", "text")
+    ra = {r["url"]: r["text"].encode() for r in a.collect()}
+    rb = {r["url"]: r["text"].encode() for r in b.collect()}
+    assert ra == rb

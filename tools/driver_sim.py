@@ -1,0 +1,103 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every queries() entry on Spark at sf0.01 AND its oracle_sql() on
+DuckDB over the same parquet views, compares row count, column names,
+and order-insensitive value content (sorted columns, sorted rows,
+doubles rounded to 9 significant-ish decimals before compare).
+
+Usage: python tools/driver_sim.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+def main():
+    import __spark_entry__ as E
+    from osm_admin_boundary_conflation_spark.session import build_session
+
+    only = set(sys.argv[1:])
+    spark = build_session(app_name="driver-sim")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failures.append((name, f"SPARK ERROR: {ex}"))
+            print(f"[FAIL] {name}: spark error: {str(ex)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            failures.append((name, f"ORACLE ERROR: {ex}"))
+            print(f"[FAIL] {name}: oracle error: {str(ex)[:300]}")
+            continue
+        sc, sr = norm_rows(scols, srows)
+        dc, dr = norm_rows(dcols, drows)
+        if sc != dc:
+            failures.append((name, f"columns differ: spark={sc} duck={dc}"))
+            print(f"[FAIL] {name}: columns spark={sc} duck={dc}")
+        elif len(sr) != len(dr):
+            failures.append((name, f"row count: spark={len(sr)} duck={len(dr)}"))
+            print(f"[FAIL] {name}: rows spark={len(sr)} duck={len(dr)}")
+        elif sr != dr:
+            diff = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            failures.append((name, f"values differ, e.g. {diff}"))
+            print(f"[FAIL] {name}: values differ e.g. {diff}")
+        else:
+            print(f"[OK]   {name}: {len(sr)} rows, {time.time()-t0:.1f}s")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")
+        sys.exit(1)
+    print("all queries match their oracles")
+
+
+if __name__ == "__main__":
+    main()
