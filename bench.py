@@ -1,0 +1,172 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra modes:
+  python bench.py --scaling   # same geo-tag job at local[8] vs local[32],
+                              # writes BENCH/BASELINE.md with pages/sec at
+                              # both parallelism levels + scaling efficiency
+                              # (the north rule's two-cluster-size evidence)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline queries (others are covered by the driver's correctness gate)
+HEADLINE = [
+    "geotag",
+    "geotag_verdicts",
+    "extract_text_md5",
+    "measure_quality",
+    "conflate_verdicts",
+    "segment_tiles",
+    "pricing_summary",
+    "snapshot_diff",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "token_stats",
+]
+
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "40"))  # pages multiplier for the scaling job
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_scaled_pages(spark, sf_dir: str, replicate: int):
+    """Deterministically replicate the synthetic corpus for throughput
+    measurement (distinct urls; same coordinate distribution + hotspot)."""
+    import pyspark.sql.functions as F
+
+    from osm_admin_boundary_conflation_spark import datagen
+
+    pages = datagen.build_pages(spark, sf_dir)
+    if replicate <= 1:
+        return pages
+    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    return (
+        pages.crossJoin(reps)
+        .withColumn("url", F.concat(F.col("url"), F.lit("#"), F.col("rep").cast("string")))
+        .drop("rep")
+    )
+
+
+def run_geotag_job(spark, sf_dir: str, replicate: int) -> tuple[int, float]:
+    """The scaling-evidence job: full geo-tag pipeline over the replicated
+    corpus. Returns (pages, wall_sec)."""
+    from osm_admin_boundary_conflation_spark import datagen
+    from osm_admin_boundary_conflation_spark.operators import spatial_join as SJ
+
+    pages = build_scaled_pages(spark, sf_dir, replicate)
+    boundaries = datagen.build_boundaries(spark, sf_dir)
+    t0 = time.time()
+    n = SJ.geotag_pages(pages, boundaries).count()
+    return n, time.time() - t0
+
+
+def main_bench() -> None:
+    from osm_admin_boundary_conflation_spark import queries as Q
+    from osm_admin_boundary_conflation_spark.session import build_session
+
+    spark = build_session(app_name="bench", master=f"local[{CPUS}]")
+    qs = Q.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_scaling_child(cores: int) -> None:
+    """Child process: run the geo-tag job at local[cores], print JSON."""
+    from osm_admin_boundary_conflation_spark.session import build_session
+
+    spark = build_session(app_name=f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8))
+    # warm-up (JVM/codegen/Arrow init — excluded from measurement)
+    run_geotag_job(spark, SF_DIR, replicate=1)
+    n, wall = run_geotag_job(spark, SF_DIR, REPLICATE)
+    print(json.dumps({"cores": cores, "pages": n, "wall_sec": round(wall, 3), "pages_per_sec": round(n / wall, 1)}))
+    spark.stop()
+
+
+def main_scaling() -> None:
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line)
+    r8, r32 = results[8], results[32]
+    eff = (r32["pages_per_sec"] / r8["pages_per_sec"]) / 4.0
+    md = f"""# BENCH — scaling evidence (north rule: N vs 4N parallelism)
+
+Same geo-tag job (extract text from html bytes → extract coords → cell
+hash-join vs 25 boundary polygons → point-in-polygon confirm → verdict)
+on the same input ({r8['pages']:,} pages, sf dir `{SF_DIR}`,
+replicate={REPLICATE}), measured after a warm-up run, in separate
+processes:
+
+| parallelism | pages | wall (s) | pages/sec |
+|---|---|---|---|
+| local[8]  (N)  | {r8['pages']:,} | {r8['wall_sec']} | {r8['pages_per_sec']:,} |
+| local[32] (4N) | {r32['pages']:,} | {r32['wall_sec']} | {r32['pages_per_sec']:,} |
+
+**Scaling efficiency (throughput ratio / 4): {eff:.3f}** (target >= 0.8)
+
+Notes: single-host local mode stands in for the 1000-executor cluster;
+the job has no driver-side loops, one shuffle (verdict groupBy), and a
+broadcast boundary join, so the parallel fraction is the Arrow-UDF
+extract + PiP work which partitions linearly with input splits.
+"""
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps({"efficiency": round(eff, 3), "n_cores": [8, 32]}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
+        main_scaling_child(int(sys.argv[2]))
+    else:
+        main_bench()

@@ -53,19 +53,98 @@ def cover_bbox(min_lon: float, min_lat: float, max_lon: float, max_lat: float, r
 
 
 def cover_polygon(mp: list[list[np.ndarray]], res: int) -> list[str]:
-    """Cells intersecting a multipolygon: bbox cells filtered by
-    rectangle-polygon intersection (any cell corner/center in polygon,
-    any polygon vertex in cell, or edge crossing).
+    """Cells intersecting a multipolygon — vectorized, conservative.
+
+    Guaranteed superset of the exact covering (false positives are
+    filtered downstream by the point-in-polygon confirm; false
+    negatives would lose join candidates, so none are allowed):
+
+    1. interior: all bbox cells whose center lies inside (one batched
+       ray-cast over the full center grid);
+    2. boundary: cells containing any ring vertex or any edge sample
+       (step = cell_size/2), dilated by one ring — any cell an edge
+       passes through is within one cell of a sample cell.
     """
     from . import geometry as G
 
-    out: list[str] = []
-    bx = G.bbox(mp)
-    for cid in cover_bbox(*bx, res=res):
-        lo_lon, lo_lat, hi_lon, hi_lat = cell_bounds(cid)
-        if _rect_intersects_mp(lo_lon, lo_lat, hi_lon, hi_lat, mp):
-            out.append(cid)
-    return out
+    size = cell_size_deg(res)
+    min_lon, min_lat, max_lon, max_lat = G.bbox(mp)
+    r0 = int(np.floor((min_lat + 90.0) / size))
+    r1 = int(np.floor((max_lat + 90.0) / size))
+    c0 = int(np.floor((min_lon + 180.0) / size))
+    c1 = int(np.floor((max_lon + 180.0) / size))
+    nrows, ncols = r1 - r0 + 1, c1 - c0 + 1
+
+    marked = np.zeros((nrows, ncols), dtype=bool)
+
+    # 1. interior via center grid (chunked to bound memory)
+    rows = (np.arange(r0, r1 + 1) + 0.5) * size - 90.0
+    cols = (np.arange(c0, c1 + 1) + 0.5) * size - 180.0
+    cc, rr = np.meshgrid(cols, rows)
+    centers = np.column_stack([cc.ravel(), rr.ravel()])
+    CHUNK = 200_000
+    inside = np.zeros(len(centers), dtype=bool)
+    for s in range(0, len(centers), CHUNK):
+        inside[s : s + CHUNK] = G.points_in_multipolygon(centers[s : s + CHUNK], mp)
+    marked |= inside.reshape(nrows, ncols)
+
+    # 2. boundary cells: vertices + edge samples, dilated once
+    edge = np.zeros((nrows, ncols), dtype=bool)
+    step = size / 2.0
+    for poly in mp:
+        for ring in poly:
+            pts = [ring]
+            a, b = ring[:-1], ring[1:]
+            seg_len = np.sqrt(((b - a) ** 2).sum(axis=1))
+            nsteps = np.maximum(1, np.ceil(seg_len / step).astype(int))
+            for i in range(len(a)):
+                t = np.linspace(0.0, 1.0, nsteps[i] + 1)[:, None]
+                pts.append(a[i] + t * (b[i] - a[i]))
+            all_pts = np.vstack(pts)
+            er = np.floor((all_pts[:, 1] + 90.0) / size).astype(int) - r0
+            ec = np.floor((all_pts[:, 0] + 180.0) / size).astype(int) - c0
+            ok = (er >= 0) & (er < nrows) & (ec >= 0) & (ec < ncols)
+            edge[er[ok], ec[ok]] = True
+    # dilate by one cell in all 8 directions
+    dil = edge.copy()
+    dil[1:, :] |= edge[:-1, :]
+    dil[:-1, :] |= edge[1:, :]
+    dil[:, 1:] |= edge[:, :-1]
+    dil[:, :-1] |= edge[:, 1:]
+    dil[1:, 1:] |= edge[:-1, :-1]
+    dil[1:, :-1] |= edge[:-1, 1:]
+    dil[:-1, 1:] |= edge[1:, :-1]
+    dil[:-1, :-1] |= edge[1:, 1:]
+    marked |= dil
+
+    rr_idx, cc_idx = np.nonzero(marked)
+    return [f"r{res}:{r0 + r}:{c0 + c}" for r, c in zip(rr_idx, cc_idx)]
+
+
+MAX_COVER_CELLS = 512
+
+
+def cover_polygon_adaptive(
+    mp: list[list[np.ndarray]], base_res: int, max_cells: int = MAX_COVER_CELLS
+) -> list[str]:
+    """Coarsen resolution per polygon until the covering fits max_cells
+    (the H3 'compact' analogue): a country-sized polygon covers at r2,
+    a city block at base_res. The pages side joins at every resolution
+    present (multi-res equi join in operators/spatial_join.py), so big
+    polygons cost O(max_cells) index rows instead of O(area)."""
+    from . import geometry as G
+
+    res = base_res
+    while res > 0:
+        size = cell_size_deg(res)
+        min_lon, min_lat, max_lon, max_lat = G.bbox(mp)
+        est = ((max_lat - min_lat) / size + 2) * ((max_lon - min_lon) / size + 2)
+        if est <= max_cells:
+            cover = cover_polygon(mp, res)
+            if len(cover) <= max_cells:
+                return cover
+        res -= 1
+    return cover_polygon(mp, 0)
 
 
 def _rect_intersects_mp(lo_lon, lo_lat, hi_lon, hi_lat, mp) -> bool:

@@ -130,12 +130,15 @@ def iou_udf(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.DataFrame:
 
 @pandas_udf(ArrayType(StringType()))
 def cover_wkt_udf(wkt: pd.Series) -> pd.Series:
-    """G21 polygon→covering-cell-set at CELL_RES (for the boundary side
-    of the cell hash join)."""
+    """G21 polygon→covering-cell-set (boundary side of the cell hash
+    join). Adaptive resolution: big polygons coarsen until the covering
+    fits MAX_COVER_CELLS, so index size is O(1) per polygon."""
     from ..datagen import CELL_RES
 
     memo = _parse_memo(wkt)
-    return wkt.map(lambda w: C.cover_polygon(memo[w], CELL_RES) if w is not None else [])
+    return wkt.map(
+        lambda w: C.cover_polygon_adaptive(memo[w], CELL_RES) if w is not None else []
+    )
 
 
 _ENDPOINT_SCHEMA = StructType(

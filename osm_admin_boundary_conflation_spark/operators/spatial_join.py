@@ -70,18 +70,31 @@ def geotag_pages(
     (conflate.py:528 formatting).
     """
     pg = extract_pages_geo(pages, res).select("url", "lat", "lon", "cell_id")
-    bc = boundary_cells(boundaries.select("level9_id", "wkt"), res)
+    bc = boundary_cells(boundaries.select("level9_id", "wkt"), res).withColumnRenamed(
+        "cell_id", "_jcell"
+    )
+
+    # adaptive covering may emit several resolutions (one per boundary);
+    # the pages side joins at every resolution present. The collect is a
+    # bounded driver action over the *distinct resolution levels* (<= 16
+    # values), never over boundary rows.
+    res_levels = sorted(
+        int(r[0].split(":")[0][1:])
+        for r in bc.select(F.split("_jcell", ":")[0]).distinct().collect()
+    )
+    jcells = F.array(*[cell_expr(F.col("lon"), F.col("lat"), rl) for rl in res_levels])
+    pg = pg.withColumn("_jcell", F.explode(jcells))
 
     if broadcast_boundaries:
-        joined = pg.join(F.broadcast(bc), "cell_id", "left")
+        joined = pg.join(F.broadcast(bc), "_jcell", "left")
     elif n_salt and n_salt > 1:
         pg_s = pg.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt)))
         bc_s = bc.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))).withColumn(
             "_salt", F.col("_salt").cast("long")
         )
-        joined = pg_s.join(bc_s, ["cell_id", "_salt"], "left").drop("_salt")
+        joined = pg_s.join(bc_s, ["_jcell", "_salt"], "left").drop("_salt")
     else:
-        joined = pg.join(bc, "cell_id", "left")
+        joined = pg.join(bc, "_jcell", "left")
 
     confirmed = joined.withColumn(
         "inside",

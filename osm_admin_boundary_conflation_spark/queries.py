@@ -668,3 +668,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ===========================================================================
+# Conflation verdict battery (SURVEY §3.2 — the reference's core query)
+# ===========================================================================
+
+_CONFLATE_ORACLE = """
+WITH w AS (SELECT DISTINCT o_orderkey AS way_id, CAST(o_orderkey % 20 AS INT) AS cse FROM orders)
+SELECT way_id,
+  CAST(CASE WHEN cse = 11 THEN 3 WHEN cse IN (12,13,14) THEN 2 ELSE 1 END AS BIGINT) AS n_rels,
+  CASE cse
+    WHEN 0 THEN 'CONFLATED' WHEN 1 THEN 'CONFLATED' WHEN 12 THEN 'CONFLATED'
+    WHEN 2 THEN 'CHECKED_POSSIBLE'
+    WHEN 3 THEN 'ERROR_END_POINTS_FAR_APART'
+    WHEN 4 THEN 'ERROR_WAY_NOT_FOUND'
+    WHEN 5 THEN 'ERROR_MULTIPLE_SINGLE_WAY'
+    WHEN 6 THEN 'ERROR_NATIONAL_BORDER'
+    WHEN 7 THEN 'ERROR_UNEXPECTED_TAG'
+    WHEN 8 THEN 'ERROR_NODES_WITH_TAGS'
+    WHEN 9 THEN 'ERROR_TOO_MANY_NODES'
+    WHEN 10 THEN 'ERROR_CLOSED_SHAPE'
+    WHEN 11 THEN 'ERROR_OVERLAPPING_WAYS'
+    WHEN 13 THEN 'ERROR_SHARED_WAY_NOT_FOUND'
+    WHEN 14 THEN 'ERROR_MULTIPLE_SHARED_WAYS'
+    WHEN 15 THEN 'ERROR_NODE_IN_OTHER_WAYS'
+    WHEN 16 THEN 'ERROR_NODE_IN_NATIONAL_BORDER'
+    WHEN 17 THEN 'ERROR_NODE_IN_OTHER_RELATION'
+    WHEN 18 THEN 'ERROR_NODE_IN_NATIONAL_RELATION'
+    WHEN 19 THEN 'ERROR_INVALID_SHAPE'
+  END AS verdict,
+  CASE WHEN cse IN (4, 5, 11, 13, 14) THEN NULL ELSE 10000000 + way_id END AS osm_way_id,
+  CASE cse
+    WHEN 5 THEN CAST(10000000 + way_id AS VARCHAR) || ',' || CAST(10500000 + way_id AS VARCHAR)
+    WHEN 14 THEN CAST(10000000 + way_id AS VARCHAR) || ',' || CAST(10500000 + way_id AS VARCHAR)
+    WHEN 7 THEN 'highway'
+    WHEN 8 THEN CAST(5000000000 + way_id * 10000 + 2 AS VARCHAR)
+    WHEN 15 THEN CAST(11000000 + way_id AS VARCHAR)
+    WHEN 16 THEN CAST(11000000 + way_id AS VARCHAR)
+    WHEN 17 THEN CAST(30000000 + way_id AS VARCHAR)
+    WHEN 18 THEN CAST(30000000 + way_id AS VARCHAR)
+    WHEN 3 THEN CAST(CAST(floor(2 * 6371008.8 * asin(sin(radians(0.01) / 2))) AS BIGINT) AS VARCHAR)
+    ELSE NULL
+  END AS error_context
+FROM w
+"""
+
+
+@q("conflate_verdicts", oracle=_CONFLATE_ORACLE)
+def q_conflate_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's conflation query (conflate.py main loop) over the
+    deterministic OSM world: membership joins, tag-filtered candidate
+    index, cardinality rules, predicate battery, geometry scoring,
+    20-state verdicts. The oracle states the expected verdict per
+    scenario in closed form (datagen_osm.py docstring)."""
+    from . import datagen_osm
+    from .operators import conflation as CF
+
+    world = datagen_osm.build_osm_world(spark, sf_dir)
+    out = CF.conflate(
+        world["src_ways"],
+        world["src_rels"],
+        world["osm_ways"],
+        world["osm_node_tags"],
+        world["osm_rels"],
+    )
+    return out.select("way_id", "n_rels", "verdict", "osm_way_id", "error_context")
+
+
+@q(
+    "conflate_verdict_counts",
+    oracle="""
+WITH w AS (SELECT DISTINCT o_orderkey AS way_id, CAST(o_orderkey % 20 AS INT) AS cse FROM orders)
+SELECT CASE cse
+    WHEN 0 THEN 'CONFLATED' WHEN 1 THEN 'CONFLATED' WHEN 12 THEN 'CONFLATED'
+    WHEN 2 THEN 'CHECKED_POSSIBLE'
+    WHEN 3 THEN 'ERROR_END_POINTS_FAR_APART'
+    WHEN 4 THEN 'ERROR_WAY_NOT_FOUND'
+    WHEN 5 THEN 'ERROR_MULTIPLE_SINGLE_WAY'
+    WHEN 6 THEN 'ERROR_NATIONAL_BORDER'
+    WHEN 7 THEN 'ERROR_UNEXPECTED_TAG'
+    WHEN 8 THEN 'ERROR_NODES_WITH_TAGS'
+    WHEN 9 THEN 'ERROR_TOO_MANY_NODES'
+    WHEN 10 THEN 'ERROR_CLOSED_SHAPE'
+    WHEN 11 THEN 'ERROR_OVERLAPPING_WAYS'
+    WHEN 13 THEN 'ERROR_SHARED_WAY_NOT_FOUND'
+    WHEN 14 THEN 'ERROR_MULTIPLE_SHARED_WAYS'
+    WHEN 15 THEN 'ERROR_NODE_IN_OTHER_WAYS'
+    WHEN 16 THEN 'ERROR_NODE_IN_NATIONAL_BORDER'
+    WHEN 17 THEN 'ERROR_NODE_IN_OTHER_RELATION'
+    WHEN 18 THEN 'ERROR_NODE_IN_NATIONAL_RELATION'
+    WHEN 19 THEN 'ERROR_INVALID_SHAPE'
+  END AS verdict, count(*) AS n_ways
+FROM w GROUP BY 1
+""",
+)
+def q_conflate_verdict_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 report aggregation (conflate-report.py:45-49): verdict counts."""
+    return (
+        q_conflate_verdicts(spark, sf_dir)
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_ways"))
+    )

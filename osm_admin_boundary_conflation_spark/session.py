@@ -36,7 +36,7 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow everywhere: every geometry/text kernel is a pandas UDF
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # pandas UDFs hold geometry batches; keep them bounded
         .config("spark.sql.execution.arrow.useLargeVarTypes", "true")
         # broadcast joins for boundary dims (the Overpass-index analogue)

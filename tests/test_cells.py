@@ -29,14 +29,34 @@ def test_cover_polygon_filters_corners():
     # a thin diagonal triangle should NOT cover every bbox cell
     tri = np.array([[20.0, 44.0], [20.5, 44.0], [20.0, 44.5], [20.0, 44.0]])
     mp = [[tri]]
-    covered = set(C.cover_polygon(mp, res=4))
-    bbox_cells = set(C.cover_bbox(*G.bbox(mp), res=4))
+    covered = set(C.cover_polygon(mp, res=6))
+    bbox_cells = set(C.cover_bbox(*G.bbox(mp), res=6))
     assert covered <= bbox_cells
     assert len(covered) < len(bbox_cells)
     # every cell containing a vertex is covered
     for lon, lat in tri[:-1]:
-        (cid,) = C.encode_cells([lon], [lat], res=4)
+        (cid,) = C.encode_cells([lon], [lat], res=6)
         assert cid in covered
+    # covering is CONSERVATIVE: every cell whose center is inside is covered
+    size = C.cell_size_deg(6)
+    for cid in bbox_cells:
+        lo_lon, lo_lat, hi_lon, hi_lat = C.cell_bounds(cid)
+        center = np.array([[(lo_lon + hi_lon) / 2, (lo_lat + hi_lat) / 2]])
+        if G.points_in_multipolygon(center, mp)[0]:
+            assert cid in covered, cid
+
+
+def test_cover_polygon_adaptive_coarsens():
+    # a huge polygon must coarsen resolution to fit MAX_COVER_CELLS
+    big = np.array([[0.0, 0.0], [30.0, 0.0], [30.0, 20.0], [0.0, 20.0], [0.0, 0.0]])
+    cover = C.cover_polygon_adaptive([[big]], base_res=6, max_cells=256)
+    assert 0 < len(cover) <= 256
+    res = int(cover[0].split(":")[0][1:])
+    assert res < 6
+    # a small polygon keeps base resolution
+    small = np.array([[20.0, 44.0], [20.1, 44.0], [20.1, 44.1], [20.0, 44.1], [20.0, 44.0]])
+    cover_s = C.cover_polygon_adaptive([[small]], base_res=6, max_cells=256)
+    assert cover_s[0].startswith("r6:")
 
 
 def test_determinism():

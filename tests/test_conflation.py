@@ -1,0 +1,78 @@
+"""Conflation verdict battery vs the closed-form scenario expectations
+(datagen_osm.py docstring; reference semantics conflate.py:358-560)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from osm_admin_boundary_conflation_spark import datagen_osm
+from osm_admin_boundary_conflation_spark.operators import conflation as CF
+
+EXPECTED = {
+    0: "CONFLATED",
+    1: "CONFLATED",
+    2: "CHECKED_POSSIBLE",
+    3: "ERROR_END_POINTS_FAR_APART",
+    4: "ERROR_WAY_NOT_FOUND",
+    5: "ERROR_MULTIPLE_SINGLE_WAY",
+    6: "ERROR_NATIONAL_BORDER",
+    7: "ERROR_UNEXPECTED_TAG",
+    8: "ERROR_NODES_WITH_TAGS",
+    9: "ERROR_TOO_MANY_NODES",
+    10: "ERROR_CLOSED_SHAPE",
+    11: "ERROR_OVERLAPPING_WAYS",
+    12: "CONFLATED",
+    13: "ERROR_SHARED_WAY_NOT_FOUND",
+    14: "ERROR_MULTIPLE_SHARED_WAYS",
+    15: "ERROR_NODE_IN_OTHER_WAYS",
+    16: "ERROR_NODE_IN_NATIONAL_BORDER",
+    17: "ERROR_NODE_IN_OTHER_RELATION",
+    18: "ERROR_NODE_IN_NATIONAL_RELATION",
+    19: "ERROR_INVALID_SHAPE",
+}
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark, sf_dir):
+    world = datagen_osm.build_osm_world(spark, sf_dir)
+    out = CF.conflate(
+        world["src_ways"],
+        world["src_rels"],
+        world["osm_ways"],
+        world["osm_node_tags"],
+        world["osm_rels"],
+    )
+    return out.withColumn("case", (F.col("way_id") % 20).cast("int")).cache()
+
+
+def test_every_scenario_maps_to_expected_verdict(verdicts):
+    rows = verdicts.groupBy("case", "verdict").count().collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["case"], set()).add(r["verdict"])
+    for case, verdict in EXPECTED.items():
+        assert got.get(case) == {verdict}, f"case {case}: {got.get(case)} != {verdict}"
+
+
+def test_error_context_formats(verdicts):
+    by_case = {r["case"]: r for r in verdicts.dropDuplicates(["case"]).collect()}
+    w5 = by_case[5]
+    assert w5["error_context"] == f"{10_000_000 + w5['way_id']},{10_500_000 + w5['way_id']}"
+    assert by_case[7]["error_context"] == "highway"
+    w8 = by_case[8]
+    assert w8["error_context"] == str(5_000_000_000 + w8["way_id"] * 10000 + 2)
+    w3 = by_case[3]
+    assert w3["error_context"] == "1111"  # floor(haversine of 0.01 deg lat)
+    assert 1111.0 < w3["endpoint_dist_m"] < 1113.0
+
+
+def test_exactly_one_row_per_way(verdicts, spark, sf_dir):
+    n_ways = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey").distinct().count()
+    assert verdicts.count() == n_ways
+    assert verdicts.select("way_id").distinct().count() == n_ways
+
+
+def test_conflated_pairs_have_small_hausdorff(verdicts):
+    h = verdicts.filter(F.col("verdict") == "CONFLATED").agg(F.max("hausdorff_m")).collect()[0][0]
+    assert h is not None and h <= 1.0
+    far = verdicts.filter(F.col("case") == 3).agg(F.min("hausdorff_m")).collect()[0][0]
+    assert far > 500.0
