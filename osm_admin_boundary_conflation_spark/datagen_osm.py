@@ -228,3 +228,42 @@ def build_osm_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "osm_node_tags": osm_node_tags,
         "osm_rels": osm_rels,
     }
+
+
+def build_strip_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation input: M adjacent unit rectangles (one per orders
+    key, dense-ranked) sharing vertical borders, plus the outer
+    perimeter ring as way_id=-1 with admin_level=2 (the national-border
+    analogue). Node ids: bottom lattice (x,0) → x; top (x,1) → 1e6+x.
+
+    Expected deduped segments (closed form, see queries.py oracle):
+    M-1 vertical borders (parents: both rects, admin 9), 2(M-2)
+    bottom/top pieces and 2 L-shaped end pieces (parents: rect+outer,
+    admin 2) — total 3M-3.
+    """
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey").distinct()
+    r = o.withColumn("k", F.row_number().over(Window.orderBy("o_orderkey")) - 1)
+    TOP = 1_000_000
+    rects = r.select(
+        F.col("k").alias("way_id"),
+        F.array(
+            F.col("k"),
+            F.col("k") + 1,
+            F.col("k") + 1 + TOP,
+            F.col("k") + TOP,
+            F.col("k"),
+        ).alias("node_ids"),
+        F.lit("9").alias("admin_level"),
+    )
+    outer = r.agg(F.max("k").alias("kmax")).select(
+        F.lit(-1).cast("long").alias("way_id"),
+        F.concat(
+            F.sequence(F.lit(0), F.col("kmax") + 1),
+            F.sequence(F.col("kmax") + 1 + TOP, F.lit(TOP), F.lit(-1)),
+            F.array(F.lit(0)),
+        ).cast("array<long>").alias("node_ids"),
+        F.lit("2").alias("admin_level"),
+    )
+    return rects.unionByName(outer)

@@ -770,3 +770,321 @@ def q_conflate_verdict_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("verdict")
         .agg(F.count("*").alias("n_ways"))
     )
+
+
+# ===========================================================================
+# Segmentation / tiling (SURVEY §3.3 — translation.py pipeline)
+# ===========================================================================
+
+_SEGMENT_ORACLE = """
+WITH r AS (
+  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS k
+  FROM (SELECT DISTINCT o_orderkey FROM orders)
+),
+m AS (SELECT CAST(max(k) + 1 AS BIGINT) AS M FROM r)
+SELECT 'O:' || CAST(k AS VARCHAR) || ',' || CAST(1000000 + k AS VARCHAR) AS fp,
+       CAST(k - 1 AS VARCHAR) || ',' || CAST(k AS VARCHAR) AS parents,
+       CAST(2 AS BIGINT) AS n_parents, 9 AS admin_level
+FROM r WHERE k >= 1
+UNION ALL
+SELECT 'O:' || CAST(k AS VARCHAR) || ',' || CAST(k + 1 AS VARCHAR),
+       '-1,' || CAST(k AS VARCHAR), 2, 2
+FROM r, m WHERE k BETWEEN 1 AND M - 2
+UNION ALL
+SELECT 'O:' || CAST(1000000 + k AS VARCHAR) || ',' || CAST(1000000 + k + 1 AS VARCHAR),
+       '-1,' || CAST(k AS VARCHAR), 2, 2
+FROM r, m WHERE k BETWEEN 1 AND M - 2
+UNION ALL
+SELECT 'O:1,0,1000000,1000001', '-1,0', 2, 2
+UNION ALL
+SELECT 'O:' || CAST(M - 1 AS VARCHAR) || ',' || CAST(M AS VARCHAR) || ','
+            || CAST(1000000 + M AS VARCHAR) || ',' || CAST(1000000 + M - 1 AS VARCHAR),
+       '-1,' || CAST(M - 1 AS VARCHAR), 2, 2
+FROM m
+"""
+
+
+@q("segment_tiles", oracle=_SEGMENT_ORACLE)
+def q_segment_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 segmentation: corner detection (J8), way splitting at
+    corners with wraparound (G13), canonical-fingerprint dedup
+    (G15/O11), parent re-tagging with min admin_level (A5). The oracle
+    enumerates the strip topology's expected segments in closed form."""
+    from . import datagen_osm
+    from .operators import segmentation as SG
+
+    ways = datagen_osm.build_strip_world(spark, sf_dir)
+    segs = SG.segment_ways(ways)
+    return segs.select("fp", "parents", "n_parents", "admin_level")
+
+
+# ===========================================================================
+# Near-dup dedup family (MinHash LSH / n-gram Jaccard / SimHash)
+# ===========================================================================
+
+# md5-based hash family shared with DuckDB: stable_hash64(s) =
+# int(md5('0:'||s)[:15], 16); affine rehash (h*(2i+1)+i*golden) mod M61
+_MINHASH_SQL_CORE = r"""
+corpus AS (
+  SELECT doc_id AS id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS id, text || ' extra' AS t FROM documents WHERE doc_id % 7 = 0
+),
+words AS (SELECT id, t, string_split_regex(trim(lower(t)), '\s+') AS w FROM corpus),
+sh AS (
+  SELECT id, t,
+         CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(generate_series(1, len(w) - 4),
+                                  i -> array_to_string(w[i:i+4], ' ')) END AS sh_list
+  FROM words
+),
+sigs AS (
+  SELECT id,
+    list_transform(range(16), i ->
+      list_min(list_transform(sh_list, s ->
+        CAST((CAST(CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT) AS HUGEINT)
+              * (2*i + 1) + i * 2654435769) % 2305843009213693951 AS BIGINT)))) AS sig
+  FROM sh
+),
+bands AS (
+  SELECT id, b, array_to_string(sig[b*4+1:b*4+4], ',') AS band_key
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS ia, b.id AS ib
+  FROM bands a JOIN bands b ON a.b = b.b AND a.band_key = b.band_key AND a.id < b.id
+),
+shd AS (SELECT id, list_distinct(sh_list) AS s FROM sh)
+"""
+
+
+@q(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_MINHASH_SQL_CORE}
+SELECT ia, ib, round(inter * 1.0 / (len(sa) + len(sb) - inter), 6) AS jacc
+FROM (
+  SELECT ia, ib, sa, sb, len(list_filter(sa, x -> list_contains(sb, x))) AS inter
+  FROM pairs
+  JOIN (SELECT id AS ia, s AS sa FROM shd) USING (ia)
+  JOIN (SELECT id AS ib, s AS sb FROM shd) USING (ib)
+)
+WHERE inter * 1.0 / (len(sa) + len(sb) - inter) >= 0.5
+""",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection: shingle → minhash → band →
+    bucket self-join → exact-Jaccard verify. The oracle recomputes the
+    md5-based signatures bit-for-bit in SQL."""
+    from .operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    dups = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 2000000).alias("id"), F.concat("text", F.lit(" extra")).alias("t"))
+    )
+    corpus = base.unionByName(dups)
+    return DD.minhash_dedup_pairs(corpus, threshold=0.5)
+
+
+@q(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id AS id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS id, text || ' zz' AS t FROM documents WHERE doc_id % 3 = 0
+),
+words AS (SELECT id, string_split_regex(trim(lower(t)), '\s+') AS w FROM corpus),
+buck AS (SELECT id, w, array_to_string(w[1:5], ' ') AS bucket FROM words),
+sh AS (
+  SELECT id, bucket,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(generate_series(1, len(w) - 2),
+                                  i -> array_to_string(w[i:i+2], ' ')) END) AS s
+  FROM buck
+)
+SELECT a.id AS ia, b.id AS ib,
+       round(len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0
+           / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jacc
+FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.id < b.id
+WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0
+    / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.3
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard dedup with prefix-bucket blocking (first 5
+    tokens) — candidate pairs never leave their block."""
+    from .operators.dedup import jaccard3_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    dups = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 3000000).alias("id"), F.concat("text", F.lit(" zz")).alias("t"))
+    )
+    corpus = base.unionByName(dups)
+    w = F.split(F.trim(F.lower(F.col("t"))), r"\s+")
+    bucketed = corpus.withColumn("bucket", F.array_join(F.slice(w, 1, 5), " "))
+    a = bucketed.select(F.col("id").alias("ia"), F.col("t").alias("ta"), "bucket")
+    b = bucketed.select(F.col("id").alias("ib"), F.col("t").alias("tb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("ia") < F.col("ib"))
+    out = pairs.withColumn("jacc", F.round(jaccard3_udf("ta", "tb"), 6)).filter(
+        F.col("jacc") >= 0.3
+    )
+    return out.select("ia", "ib", "jacc")
+
+
+@q(
+    "dedup_simhash",
+    oracle=r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+hv AS (SELECT doc_id,
+              list_transform(w, s -> CAST(('0x' || substr(md5('0:' || s), 1, 15)) AS BIGINT)) AS hs
+       FROM toks)
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(60), b ->
+         CASE WHEN list_sum(list_transform(hs, h -> ((h >> b) & 1) * 2 - 1)) > 0
+              THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM hv
+""",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprints (60-bit token-majority, md5-based)
+    — hamming-ball near-dup clustering key."""
+    from .operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    return DD.simhash_docs(corpus).select(F.col("id").alias("doc_id"), "simhash")
+
+
+@q(
+    "embedding_neardup",
+    oracle="""
+WITH b AS (
+  SELECT vec_id,
+         CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
+       + 4 * CAST(embedding[3] > 0 AS INT) + 8 * CAST(embedding[4] > 0 AS INT) AS bucket,
+         embedding
+  FROM embeddings
+),
+ev AS (
+  SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM b
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS ia, c.vec_id AS ib, sum(a.v * c.v) AS dot
+  FROM ev a JOIN ev c ON a.i = c.i AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+  GROUP BY a.vec_id, c.vec_id
+)
+SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM pairs
+JOIN norms na ON na.vec_id = ia
+JOIN norms nb ON nb.vec_id = ib
+WHERE dot / (na.nrm * nb.nrm) >= 0.4
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-bit LSH bucket prefilter, then
+    exact cosine within buckets (zip_with dot product, JVM-side)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = F.col("embedding")
+    bucket = (
+        (e[0] > 0).cast("int")
+        + 2 * (e[1] > 0).cast("int")
+        + 4 * (e[2] > 0).cast("int")
+        + 8 * (e[3] > 0).cast("int")
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    d = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    nrm = F.sqrt(
+        F.aggregate(F.transform("embedding", lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda a, v: a + v)
+    )
+    d = d.withColumn("nrm", nrm)
+    a = d.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"), "bucket")
+    b = d.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("ia") < F.col("ib"))
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: dbl(x) * dbl(y)), F.lit(0.0), lambda acc, v: acc + v)
+    out = pairs.withColumn("cos_sim", F.round(dot / (F.col("na") * F.col("nb")), 6)).filter(
+        F.col("cos_sim") >= 0.4
+    )
+    return out.select("ia", "ib", "cos_sim")
+
+
+# ===========================================================================
+# Multimodal plumbing + checkpointed pipeline
+# ===========================================================================
+
+
+@q(
+    "multimodal_meta",
+    oracle=f"""
+WITH {datagen.PAGES_CTE}
+SELECT url,
+       strlen('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</title></head><body><p>geo: lat ' || lat_str || ' lon ' || lon_str
+           || '</p><p>' || body_text || '</p></body></html>') AS n_bytes,
+       64 + CAST(('0x' || substr(md5(url), 1, 2)) AS BIGINT) % 64 AS width,
+       (64 + CAST(('0x' || substr(md5(url), 1, 2)) AS BIGINT) % 64) * 3 // 4 AS height,
+       'stub/html' AS codec
+FROM pages_geo
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction over opaque binary media via
+    mapInPandas (decode stubbed deterministically; Spark plumbing real —
+    operators/multimodal.py)."""
+    from .operators import multimodal as MM
+
+    pages = datagen.build_pages(spark, sf_dir)
+    return MM.extract_media_meta(pages, stub=True)
+
+
+@q(
+    "frame_sample",
+    oracle=f"""
+WITH {datagen.PAGES_CTE},
+hb AS (
+  SELECT url,
+         strlen('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || '</title></head><body><p>geo: lat ' || lat_str || ' lon ' || lon_str
+             || '</p><p>' || body_text || '</p></body></html>') AS n_bytes
+  FROM pages_geo
+)
+SELECT url, n_bytes, unnest(generate_series(0, n_bytes // 100)) AS frame_no,
+       unnest(generate_series(0, n_bytes // 100)) * 100 AS byte_offset
+FROM hb
+""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled offset of each
+    opaque payload (JVM-side sequence explode)."""
+    from .operators import multimodal as MM
+
+    pages = datagen.build_pages(spark, sf_dir)
+    return MM.frame_sample(pages, every_n_bytes=100)
+
+
+@q("geotag_checkpointed", oracle=ORACLES["geotag"])
+def q_geotag_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship geotag pipeline run through the checkpoint-resumable
+    StageRunner (plans/checkpoint.py): stage outputs land in parquet;
+    re-running resumes from the finished stages. Output is identical to
+    `geotag` (same oracle)."""
+    import hashlib
+    import tempfile
+
+    from .operators import spatial_join as SJ
+    from .plans.checkpoint import StageRunner
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ckpt = f"{tempfile.gettempdir()}/engine_ckpt_{tag}"
+    runner = StageRunner(spark, ckpt, run_id=f"geotag-{tag}")
+    pages = runner.stage("pages", lambda: datagen.build_pages(spark, sf_dir))
+    boundaries = runner.stage("boundaries", lambda: datagen.build_boundaries(spark, sf_dir))
+    tagged = runner.stage("geotag", lambda: SJ.geotag_pages(pages, boundaries))
+    return tagged.select("url", "level9_id", "cell_id", "verdict")
