@@ -71,8 +71,85 @@ def _line_invalid(c: np.ndarray) -> bool:
     return len(c) < 2 or bool(np.all(np.abs(c - c[0]).max(axis=1) < 1e-15))
 
 
+def _hav(lon1, lat1, lon2, lat2):
+    return G.haversine_m(lon1, lat1, lon2, lat2)
+
+
+def _vector_group(S: np.ndarray, O: np.ndarray, out: dict, idx: np.ndarray) -> None:
+    """Vectorized battery for a group of rows with equal shapes.
+    S: (B, ns, 2), O: (B, no, 2) — all under the 2000-point cap."""
+    B, ns, _ = S.shape
+    no = O.shape[1]
+
+    invalid = (np.abs(S - S[:, :1, :]).max(axis=(1, 2)) < 1e-15) | (
+        np.abs(O - O[:, :1, :]).max(axis=(1, 2)) < 1e-15
+    )
+    closed = (np.abs(S[:, 0] - S[:, -1]).max(axis=1) < 1e-9) | (
+        np.abs(O[:, 0] - O[:, -1]).max(axis=1) < 1e-9
+    )
+    # closed|ring collapses to closed: shapely is_ring implies is_closed
+    alive = ~invalid & ~closed
+
+    same = np.zeros(B, bool)
+    if ns == no:
+        d_f = _hav(S[:, :, 0], S[:, :, 1], O[:, :, 0], O[:, :, 1]).max(axis=1)
+        Orev = O[:, ::-1]
+        d_r = _hav(S[:, :, 0], S[:, :, 1], Orev[:, :, 0], Orev[:, :, 1]).max(axis=1)
+        same = alive & ((d_f <= 1.0) | (d_r <= 1.0))
+
+    # hausdorff (discrete, both directions) for alive rows
+    dmat = _hav(
+        S[:, :, None, 0], S[:, :, None, 1], O[:, None, :, 0], O[:, None, :, 1]
+    )  # (B, ns, no)
+    haus = np.maximum(dmat.min(axis=2).max(axis=1), dmat.min(axis=1).max(axis=1))
+
+    # endpoint match (G7) on rows alive & not same
+    s0, s1, o0, o1 = S[:, 0], S[:, -1], O[:, 0], O[:, -1]
+    d11 = _hav(s0[:, 0], s0[:, 1], o0[:, 0], o0[:, 1])
+    d22 = _hav(s1[:, 0], s1[:, 1], o1[:, 0], o1[:, 1])
+    d12 = _hav(s0[:, 0], s0[:, 1], o1[:, 0], o1[:, 1])
+    d21 = _hav(s1[:, 0], s1[:, 1], o0[:, 0], o0[:, 1])
+    keep = (d11 + d22) <= (d12 + d21)
+    ep_dist = np.where(keep, np.maximum(d11, d22), np.maximum(d12, d21))
+    reverse = ~keep
+
+    # buffer containment (P11): every aligned-src vertex within 0.005 deg
+    # (planar) of the osm polyline
+    S_al = np.where(reverse[:, None, None], S[:, ::-1], S)
+    a = O[:, None, :-1, :]  # (B,1,no-1,2)
+    ab = O[:, None, 1:, :] - a
+    p = S_al[:, :, None, :]  # (B,ns,1,2)
+    denom = (ab**2).sum(axis=3)
+    denom = np.where(denom == 0, 1e-300, denom)
+    t = np.clip(((p - a) * ab).sum(axis=3) / denom, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    dist_deg = np.sqrt(((p - proj) ** 2).sum(axis=3)).min(axis=2).max(axis=1)
+    within = dist_deg <= 0.005
+
+    # quirked bearings (conflate.py:389-390 swapped lat/lon)
+    def qbear(p0, p1):
+        return G.compass_bearing(p0[:, 1], p0[:, 0], p1[:, 1], p1[:, 0])
+
+    a1 = qbear(O[:, 0], O[:, -1])
+    a2 = qbear(S_al[:, 0], S_al[:, -1])
+    heur = within & (np.abs(a1 - a2) < 5.0)
+
+    out["invalid"][idx] = invalid
+    out["closed"][idx] = ~invalid & closed
+    out["same"][idx] = same
+    out["hausdorff_m"][idx] = np.where(alive, haus, -1.0)
+    out["endpoint_dist_m"][idx] = np.where(alive & ~same, ep_dist, np.inf)
+    out["heuristic_same"][idx] = alive & ~same & heur
+
+
 @pandas_udf(_GEOM_SCHEMA)
-def geom_battery_udf(src: pd.Series, osm: pd.Series) -> pd.DataFrame:
+def geom_battery_udf(src: pd.Series, osm: pd.Series, n_src: pd.Series) -> pd.DataFrame:
+    """Batch-vectorized: rows are grouped by (len_src, len_osm) and each
+    group is evaluated with whole-group numpy math (no per-row Python
+    beyond the grouping pass). Short-circuit order mirrors conflate_way:
+    too_many (on the node COUNT column — the coord arrays of huge ways
+    are trimmed before the join and never shipped), then invalid/closed/
+    same/endpoint/buffer/bearing."""
     n = len(src)
     out = {
         "too_many": np.zeros(n, bool),
@@ -83,37 +160,25 @@ def geom_battery_udf(src: pd.Series, osm: pd.Series) -> pd.DataFrame:
         "heuristic_same": np.zeros(n, bool),
         "hausdorff_m": np.full(n, -1.0),
     }
-    # evaluation mirrors conflate_way's short-circuit order so the O(n^2)
-    # similarity math only runs for small, non-identical pairs
+    nsrc = n_src.to_numpy(np.int64)
+    out["too_many"][:] = nsrc >= 2000  # conflate.py:365-368
+    groups: dict[tuple[int, int], list[int]] = {}
+    mats: dict[tuple[int, int], tuple[list, list]] = {}
     for i, (s, o) in enumerate(zip(src, osm)):
-        if s is None or o is None:
+        if out["too_many"][i]:
+            continue
+        if s is None or o is None or len(s) < 2 or len(o) < 2:
             out["invalid"][i] = True
             continue
-        sc = np.asarray([list(p) for p in s], dtype=np.float64)
-        oc = np.asarray([list(p) for p in o], dtype=np.float64)
-        if len(sc) >= 2000:  # conflate.py:365-368
-            out["too_many"][i] = True
-            continue
-        if _line_invalid(sc) or _line_invalid(oc):
-            out["invalid"][i] = True
-            continue
-        _, s_closed, s_ring = G.validity_flags(sc)
-        _, o_closed, o_ring = G.validity_flags(oc)
-        if s_closed or s_ring or o_closed or o_ring:
-            out["closed"][i] = True
-            continue
-        if G.is_same_geometry(sc, oc):
-            out["same"][i] = True
-            out["hausdorff_m"][i] = G.hausdorff_m(sc, oc)
-            continue
-        out["hausdorff_m"][i] = G.hausdorff_m(sc, oc)
-        dist, should_reverse = G.endpoint_match(sc, oc)
-        out["endpoint_dist_m"][i] = dist
-        s_aligned = sc[::-1] if should_reverse else sc
-        within = G.buffer_contains(oc, s_aligned, 0.005)
-        a1 = _quirk_bearing(oc[0], oc[-1])
-        a2 = _quirk_bearing(s_aligned[0], s_aligned[-1])
-        out["heuristic_same"][i] = bool(within and abs(a1 - a2) < 5.0)
+        key = (len(s), len(o))
+        groups.setdefault(key, []).append(i)
+        ms, mo = mats.setdefault(key, ([], []))
+        ms.append(np.asarray(s.tolist() if hasattr(s, "tolist") else list(s), dtype=np.float64))
+        mo.append(np.asarray(o.tolist() if hasattr(o, "tolist") else list(o), dtype=np.float64))
+    for key, idx_list in groups.items():
+        ms, mo = mats[key]
+        idx = np.asarray(idx_list)
+        _vector_group(np.stack(ms), np.stack(mo), out, idx)
     return pd.DataFrame(out)
 
 
@@ -127,6 +192,13 @@ def conflate(
 ) -> DataFrame:
     """→ (way_id, n_rels, verdict, osm_way_id, error_context,
         endpoint_dist_m, hausdorff_m)."""
+    # Trim giant payloads at the source: a way with >=2000 nodes is
+    # ERROR_TOO_MANY_NODES by count alone (conflate.py:365-368), so its
+    # coord array never rides through any shuffle.
+    src_ways = src_ways.withColumn("n_src", F.size("node_ids")).withColumn(
+        "coords", F.when(F.col("n_src") < 2000, F.col("coords"))
+    )
+
     # ---- stage A: J1 membership ------------------------------------------
     grp = src_rels.groupBy("way_id").agg(
         F.count("*").alias("n_rels"),
@@ -181,13 +253,23 @@ def conflate(
     )
 
     # ---- stage C: predicate flags per candidate ---------------------------
+    # Giant coord arrays never ride through shuffles: a source way with
+    # >=2000 nodes is ERROR_TOO_MANY_NODES by count alone
+    # (conflate.py:365-368), so its coords — and its candidate's — are
+    # trimmed to NULL before the join. The remaining arrays are small;
+    # the join side is still hinted merge (spills gracefully, and
+    # Spark's row-count-based size estimate undercounts array payloads).
     ow = osm_ways.select(
         "osm_way_id",
-        F.col("coords").alias("osm_coords"),
+        F.when(F.size("coords") < 2000, F.col("coords")).alias("osm_coords"),
         F.col("node_ids").alias("osm_node_ids"),
         F.col("tags").alias("osm_tags"),
-    )
+    ).hint("merge")
     matched = matched.join(ow, "osm_way_id", "left")
+    # node-level checks are moot for too_many rows: don't explode 2000 ids
+    matched = matched.withColumn(
+        "osm_node_ids", F.when(F.col("n_src") < 2000, F.col("osm_node_ids"))
+    )
 
     tags = F.col("osm_tags")
     national_tag = tags["admin_level"].isNotNull() & (tags["admin_level"].cast("int") <= 2)
@@ -202,26 +284,30 @@ def conflate(
         "unexpected_tag", F.when(F.size(unexpected) > 0, unexpected[0])
     )
 
-    # node→way reverse index (S8): other ways sharing any node
+    # node→way reverse index (S8): other ways sharing any node.
+    # Tag predicates are evaluated BEFORE the explode so only two bools
+    # ride the node-level rows (the index is O(total nodes) and skinny).
+    wt = F.col("tags")
+    w_nat = F.coalesce(wt["admin_level"].cast("int") <= 2, F.lit(False))
+    w_other = wt["boundary"].isNull() | (wt["boundary"] != "administrative")
     node_way = osm_ways.select(
-        F.col("osm_way_id").alias("nw_way"), F.explode("node_ids").alias("node_id"), F.col("tags").alias("nw_tags")
+        F.col("osm_way_id").alias("nw_way"),
+        w_nat.alias("nw_nat"),
+        w_other.alias("nw_other"),
+        F.explode("node_ids").alias("node_id"),
     )
     cand_nodes = matched.select("way_id", "osm_way_id", F.explode("osm_node_ids").alias("node_id"))
     sharing = (
-        cand_nodes.join(node_way, "node_id")
+        cand_nodes.join(node_way.hint("merge"), "node_id")
         .filter(F.col("nw_way") != F.col("osm_way_id"))
-        .select("way_id", "nw_way", "nw_tags")
+        .select("way_id", "nw_way", "nw_nat", "nw_other")
         .dropDuplicates(["way_id", "nw_way"])
     )
-    share_nat = F.col("nw_tags")["admin_level"].isNotNull() & (
-        F.col("nw_tags")["admin_level"].cast("int") <= 2
-    )
-    share_other = F.col("nw_tags")["boundary"].isNull() | (
-        F.col("nw_tags")["boundary"] != "administrative"
-    )
     share_flags = sharing.groupBy("way_id").agg(
-        F.min(F.when(share_nat, F.col("nw_way"))).alias("share_national_way"),
-        F.min(F.when(~share_nat & share_other, F.col("nw_way"))).alias("share_other_way"),
+        F.min(F.when(F.col("nw_nat"), F.col("nw_way"))).alias("share_national_way"),
+        F.min(F.when(~F.col("nw_nat") & F.col("nw_other"), F.col("nw_way"))).alias(
+            "share_other_way"
+        ),
     )
     matched = matched.join(share_flags, "way_id", "left")
 
@@ -258,7 +344,9 @@ def conflate(
     matched = matched.join(node_tag_flags, "way_id", "left")
 
     # ---- stage D: geometry battery ----------------------------------------
-    matched = matched.withColumn("g", geom_battery_udf(F.col("coords"), F.col("osm_coords")))
+    matched = matched.withColumn(
+        "g", geom_battery_udf(F.col("coords"), F.col("osm_coords"), F.col("n_src"))
+    )
 
     # ---- stage E: verdict chain (reference evaluation order) ---------------
     g = F.col("g")
