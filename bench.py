@@ -60,20 +60,39 @@ def build_scaled_pages(spark, sf_dir: str, replicate: int):
     if replicate <= 1:
         return pages
     reps = spark.range(replicate).select(F.col("id").alias("rep"))
-    return (
+    out = (
         pages.crossJoin(reps)
         .withColumn("url", F.concat(F.col("url"), F.lit("#"), F.col("rep").cast("string")))
         .drop("rep")
     )
+    # pad each page to Common-Crawl-like weight (~60KB of markup): the
+    # per-page extract cost, not per-row overhead, should dominate the
+    # throughput measurement — as it would on real pages
+    pad = F.encode(F.repeat(F.lit("<div class='x'>lorem ipsum filler body</div>"), 1400), "UTF-8")
+    out = out.withColumn("html", F.concat(F.col("html"), pad))
+    # the tiny source parquet is a single split; real 100TB input arrives
+    # pre-split — simulate that so the measurement exercises parallelism
+    return out.repartition(spark.sparkContext.defaultParallelism * 3)
 
 
-def run_geotag_job(spark, sf_dir: str, replicate: int) -> tuple[int, float]:
-    """The scaling-evidence job: full geo-tag pipeline over the replicated
-    corpus. Returns (pages, wall_sec)."""
+SCALED_PAGES_PATH = os.environ.get("BENCH_PAGES_PATH", "/tmp/bench_scaled_pages")
+
+
+def materialize_scaled_pages(spark, sf_dir: str, replicate: int) -> None:
+    """Setup (not measured): write the replicated corpus as many parquet
+    splits — the stand-in for a pre-split 100TB input table."""
+    build_scaled_pages(spark, sf_dir, replicate).repartition(512).write.mode(
+        "overwrite"
+    ).parquet(SCALED_PAGES_PATH)
+
+
+def run_geotag_job(spark, sf_dir: str) -> tuple[int, float]:
+    """The scaling-evidence job: full geo-tag pipeline (scan → Arrow-UDF
+    extract → cell join → PiP → verdict) over the materialized corpus."""
     from osm_admin_boundary_conflation_spark import datagen
     from osm_admin_boundary_conflation_spark.operators import spatial_join as SJ
 
-    pages = build_scaled_pages(spark, sf_dir, replicate)
+    pages = spark.read.parquet(SCALED_PAGES_PATH)
     boundaries = datagen.build_boundaries(spark, sf_dir)
     t0 = time.time()
     n = SJ.geotag_pages(pages, boundaries).count()
@@ -115,10 +134,22 @@ def main_scaling_child(cores: int) -> None:
     """Child process: run the geo-tag job at local[cores], print JSON."""
     from osm_admin_boundary_conflation_spark.session import build_session
 
-    spark = build_session(app_name=f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8))
-    # warm-up (JVM/codegen/Arrow init — excluded from measurement)
-    run_geotag_job(spark, SF_DIR, replicate=1)
-    n, wall = run_geotag_job(spark, SF_DIR, REPLICATE)
+    spark = build_session(
+        app_name=f"scale-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+            # heavy (60KB) pages: keep Arrow batches ~16MB so 32 python
+            # workers don't contend for memory bandwidth
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+        },
+    )
+    if not os.path.exists(os.path.join(SCALED_PAGES_PATH, "_SUCCESS")):
+        materialize_scaled_pages(spark, SF_DIR, REPLICATE)
+    # warm-up (JVM/codegen/Arrow/python-worker init — excluded)
+    run_geotag_job(spark, SF_DIR)
+    n, wall = run_geotag_job(spark, SF_DIR)
     print(json.dumps({"cores": cores, "pages": n, "wall_sec": round(wall, 3), "pages_per_sec": round(n / wall, 1)}))
     spark.stop()
 
@@ -126,8 +157,12 @@ def main_scaling_child(cores: int) -> None:
 def main_scaling() -> None:
     results = {}
     for cores in (8, 32):
+        # pin the whole process tree (JVM task threads + python workers)
+        # to exactly `cores` CPUs — otherwise local[8]'s python workers
+        # spill onto the other 24 cores and the N-vs-4N comparison lies
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] if os.path.exists("/usr/bin/taskset") else []
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)],
+            cmd + [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)],
             capture_output=True,
             text=True,
             timeout=1800,

@@ -70,8 +70,13 @@ def geotag_pages(
     (conflate.py:528 formatting).
     """
     pg = extract_pages_geo(pages, res).select("url", "lat", "lon", "cell_id")
-    bc = boundary_cells(boundaries.select("level9_id", "wkt"), res).withColumnRenamed(
-        "cell_id", "_jcell"
+    # persist the covering index: it is consumed twice (resolution-level
+    # collect + the join build side) and the covering UDF is the only
+    # non-trivial work on the boundary side
+    bc = (
+        boundary_cells(boundaries.select("level9_id", "wkt"), res)
+        .withColumnRenamed("cell_id", "_jcell")
+        .persist()
     )
 
     # adaptive covering may emit several resolutions (one per boundary);

@@ -1088,3 +1088,72 @@ def q_geotag_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries = runner.stage("boundaries", lambda: datagen.build_boundaries(spark, sf_dir))
     tagged = runner.stage("geotag", lambda: SJ.geotag_pages(pages, boundaries))
     return tagged.select("url", "level9_id", "cell_id", "verdict")
+
+
+# ===========================================================================
+# Events: time-windowed aggregation (incremental-batch analytics over the
+# daily-diff shape, daily-measurement.sh:48-76)
+# ===========================================================================
+
+
+@q(
+    "events_tumbling_window",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregation over the events stream table
+    (incremental-batch analogue of a streaming windowed agg)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@q(
+    "events_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+FROM sess GROUP BY user_id, session_no
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via window functions —
+    the batch equivalent of a session-window stateful operator."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("timestamp_ltz").cast("long") - F.lag("ts").over(w).cast("timestamp_ltz").cast("long")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = gaps.withColumn("session_no", F.sum("new_session").over(ws))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("timestamp_ltz").cast("long")) - F.min(F.col("ts").cast("timestamp_ltz").cast("long"))).alias("duration_s"),
+    )
