@@ -1157,3 +1157,190 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max(F.col("ts").cast("timestamp_ltz").cast("long")) - F.min(F.col("ts").cast("timestamp_ltz").cast("long"))).alias("duration_s"),
     )
+
+
+# ===========================================================================
+# Remaining reference-operator coverage
+# ===========================================================================
+
+
+@q(
+    "twophase_lookup",
+    oracle="""
+WITH prim AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 13),
+fallback AS (SELECT n_nationkey, n_name FROM nation)
+SELECT c.c_custkey,
+       coalesce(p.n_name, f.n_name) AS resolved_name,
+       CASE WHEN p.n_nationkey IS NOT NULL THEN 'ref' ELSE 'name' END AS match_path
+FROM customer c
+LEFT JOIN prim p ON c.c_nationkey = p.n_nationkey
+LEFT JOIN fallback f ON lower(f.n_name) = lower(
+    (SELECT n2.n_name FROM nation n2 WHERE n2.n_nationkey = c.c_nationkey))
+""",
+)
+def q_twophase_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase lookup (S4+S5, measure_quality.py:86-93 / SURVEY §4):
+    cheap ref-key probe first, case-insensitive name probe only as
+    fallback, coalesced."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    primary = n.filter(F.col("n_nationkey") < 13).select(
+        F.col("n_nationkey").alias("p_key"), F.col("n_name").alias("p_name")
+    )
+    # the "name" each customer knows (via its nation key) — S5's regex
+    # name probe is `lower(name) =` here (G17)
+    cname = c.join(
+        n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("known_name")),
+        F.col("c_nationkey") == F.col("ck"),
+        "left",
+    )
+    fb = n.select(F.lower(F.col("n_name")).alias("f_lower"), F.col("n_name").alias("f_name"))
+    out = (
+        cname.join(F.broadcast(primary), F.col("c_nationkey") == F.col("p_key"), "left")
+        .join(F.broadcast(fb), F.lower(F.col("known_name")) == F.col("f_lower"), "left")
+    )
+    return out.select(
+        "c_custkey",
+        F.coalesce(F.col("p_name"), F.col("f_name")).alias("resolved_name"),
+        F.when(F.col("p_key").isNotNull(), F.lit("ref")).otherwise(F.lit("name")).alias("match_path"),
+    )
+
+
+@q(
+    "hausdorff_scores",
+    oracle=f"""
+WITH {datagen.BOUNDARIES_CTE},
+shifted AS (
+  SELECT level9_id, min_lon, min_lat, max_lon, max_lat,
+         0.1 * (CAST(level9_id AS BIGINT) % 4) AS dx,
+         0.1 * (CAST(level9_id AS BIGINT) % 3) AS dy
+  FROM boundaries
+),
+corners AS (
+  SELECT level9_id, dx, dy, lon, lat FROM shifted,
+  LATERAL (VALUES (min_lon, min_lat), (max_lon, min_lat), (max_lon, max_lat),
+                  (min_lon, max_lat), (min_lon, min_lat)) AS t(lon, lat)
+)
+SELECT level9_id,
+       round(max(2 * 6371008.8 * asin(sqrt(
+           pow(sin(radians(dy) / 2), 2)
+         + cos(radians(lat)) * cos(radians(lat + dy)) * pow(sin(radians(dx) / 2), 2)
+       ))), 3) AS hausdorff_m
+FROM corners GROUP BY level9_id
+""",
+)
+def q_hausdorff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22 discrete Hausdorff between each boundary and its shifted OSM
+    counterpart. For a pure translation smaller than the rectangle, the
+    nearest counterpart of each vertex is its own image, so the oracle
+    states the distance in closed form per corner."""
+    from .functions.udfs import hausdorff_udf
+
+    b = datagen.build_boundaries(spark, sf_dir)
+    key = F.col("level9_id").cast("long")
+    dx, dy = 0.1 * (key % 4), 0.1 * (key % 3)
+    corners = lambda lo, la: F.array(lo, la)  # noqa: E731
+    mk = lambda lo_c, la_c: F.array(  # noqa: E731
+        corners(F.col("min_lon") + lo_c[0], F.col("min_lat") + la_c[0]),
+        corners(F.col("max_lon") + lo_c[1], F.col("min_lat") + la_c[1]),
+        corners(F.col("max_lon") + lo_c[2], F.col("max_lat") + la_c[2]),
+        corners(F.col("min_lon") + lo_c[3], F.col("max_lat") + la_c[3]),
+        corners(F.col("min_lon") + lo_c[4], F.col("min_lat") + la_c[4]),
+    )
+    zero = [F.lit(0.0)] * 5
+    shift_lon = [dx] * 5
+    shift_lat = [dy] * 5
+    d = b.select(
+        "level9_id",
+        mk(zero, zero).alias("a"),
+        mk(shift_lon, shift_lat).alias("bb"),
+    )
+    return d.select("level9_id", F.round(hausdorff_udf(F.col("a"), F.col("bb")), 3).alias("hausdorff_m"))
+
+
+@q(
+    "polygon_union_area",
+    oracle=f"""
+WITH {datagen.BOUNDARIES_CTE}
+SELECT CAST(CAST(level9_id AS BIGINT) // 5 AS BIGINT) AS grid_row,
+       round(sum(CAST((max_lon - min_lon) * (max_lat - min_lat) AS DOUBLE)), 5) AS union_area
+FROM boundaries GROUP BY 1
+""",
+)
+def q_polygon_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/G4 polygon union-reduce (common.py:54 functools.reduce(union))
+    as a grouped-map applyInPandas: per grid row, union the member
+    polygons and return the union's area. Members have disjoint
+    interiors, so union area = sum(area) - sum(pairwise intersections);
+    the kernel computes both terms exactly."""
+    import pandas as pd
+
+    from .functions import geometry as G
+
+    b = datagen.build_boundaries(spark, sf_dir)
+    d = b.select(
+        (F.col("level9_id").cast("long") / 5).cast("long").alias("grid_row"), "wkt"
+    )
+
+    def union_area(pdf: pd.DataFrame) -> pd.DataFrame:
+        mps = [G.parse_wkt(w) for w in pdf["wkt"]]
+        total = sum(G.multipolygon_area(m) for m in mps)
+        inter = 0.0
+        for i in range(len(mps)):
+            for j in range(i + 1, len(mps)):
+                inter += G.intersection_area(mps[i], mps[j])
+        return pd.DataFrame(
+            {"grid_row": [pdf["grid_row"].iloc[0]], "union_area": [round(total - inter, 5)]}
+        )
+
+    return d.groupBy("grid_row").applyInPandas(
+        union_area, "grid_row bigint, union_area double"
+    )
+
+
+@q(
+    "conflate_report",
+    oracle="""
+WITH w AS (SELECT DISTINCT o_orderkey AS way_id, CAST(o_orderkey % 20 AS INT) AS cse FROM orders),
+v AS (
+  SELECT way_id,
+    CASE cse
+      WHEN 0 THEN 'CONFLATED' WHEN 1 THEN 'CONFLATED' WHEN 12 THEN 'CONFLATED'
+      WHEN 2 THEN 'CHECKED_POSSIBLE'
+      WHEN 3 THEN 'ERROR_END_POINTS_FAR_APART'
+      WHEN 4 THEN 'ERROR_WAY_NOT_FOUND'
+      WHEN 5 THEN 'ERROR_MULTIPLE_SINGLE_WAY'
+      WHEN 6 THEN 'ERROR_NATIONAL_BORDER'
+      WHEN 7 THEN 'ERROR_UNEXPECTED_TAG'
+      WHEN 8 THEN 'ERROR_NODES_WITH_TAGS'
+      WHEN 9 THEN 'ERROR_TOO_MANY_NODES'
+      WHEN 10 THEN 'ERROR_CLOSED_SHAPE'
+      WHEN 11 THEN 'ERROR_OVERLAPPING_WAYS'
+      WHEN 13 THEN 'ERROR_SHARED_WAY_NOT_FOUND'
+      WHEN 14 THEN 'ERROR_MULTIPLE_SHARED_WAYS'
+      WHEN 15 THEN 'ERROR_NODE_IN_OTHER_WAYS'
+      WHEN 16 THEN 'ERROR_NODE_IN_NATIONAL_BORDER'
+      WHEN 17 THEN 'ERROR_NODE_IN_OTHER_RELATION'
+      WHEN 18 THEN 'ERROR_NODE_IN_NATIONAL_RELATION'
+      WHEN 19 THEN 'ERROR_INVALID_SHAPE'
+    END AS verdict,
+    CASE WHEN cse IN (4, 5, 11, 13, 14) THEN NULL ELSE 10000000 + way_id END AS osm_way_id
+  FROM w
+)
+SELECT verdict, count(*) AS n_ways,
+       count(osm_way_id) AS n_with_osm_way,
+       min('https://www.openstreetmap.org/way/' || CAST(osm_way_id AS VARCHAR)) AS sample_link
+FROM v GROUP BY verdict
+""",
+)
+def q_conflate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/P13/A1/A2 (conflate-report.py:36-76): per-verdict counts,
+    match counts and linkified context — the HTML report's aggregate."""
+    v = q_conflate_verdicts(spark, sf_dir)
+    return v.groupBy("verdict").agg(
+        F.count("*").alias("n_ways"),
+        F.count("osm_way_id").alias("n_with_osm_way"),
+        F.min(
+            F.concat(F.lit("https://www.openstreetmap.org/way/"), F.col("osm_way_id").cast("string"))
+        ).alias("sample_link"),
+    )
