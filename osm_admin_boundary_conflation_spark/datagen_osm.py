@@ -125,7 +125,17 @@ def build_osm_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dlat = F.when(c == 1, 4e-6).when(shifted, 5e-4).when(c == 3, 1e-2).otherwise(0.0)
     dlon = F.when(shifted, 5e-4).otherwise(0.0)
     degenerate = c == 19
-    cand_pts = F.when(degenerate, F.lit(2)).otherwise(F.col("n_pts"))
+    # case-2 (CHECKED_POSSIBLE) sub-variants exercise the rewrite/edit
+    # plan (J10, conflate.py:407-441): v1 → OSM way one node SHORT
+    # (a node must be created), v2 → one node SURPLUS (a delete);
+    # direction is unchanged so the verdict stays CHECKED_POSSIBLE.
+    variant = F.floor(F.col("way_id") / 20) % 3
+    cand_pts = (
+        F.when(degenerate, F.lit(2))
+        .when((c == 2) & (variant == 1), F.lit(4))
+        .when((c == 2) & (variant == 2), F.lit(6))
+        .otherwise(F.col("n_pts"))
+    )
     cand_coords = F.when(
         degenerate,
         F.array(

@@ -501,3 +501,79 @@ def rect_ring(min_lon: float, min_lat: float, max_lon: float, max_lat: float) ->
             [min_lon, min_lat],
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# CRS reprojection (G2 — serbia/serbia2input.py:20-27 reprojects
+# EPSG:32634 UTM zone 34N → EPSG:4326 with pyproj; pyproj is absent in
+# this environment, so implement the standard transverse-Mercator
+# forward/inverse series (public Krüger formulas, ~1e-9 deg accuracy)
+# vectorized in numpy.
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+
+
+def _tm_constants():
+    f = _WGS84_F
+    n = f / (2.0 - f)
+    A = _WGS84_A / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    alpha = [
+        n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16,
+        13 * n**2 / 48 - 3 * n**3 / 5,
+        61 * n**3 / 240,
+    ]
+    beta = [
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96,
+        n**2 / 48 + n**3 / 15,
+        17 * n**3 / 480,
+    ]
+    delta = [
+        2 * n - 2 * n**2 / 3 - 2 * n**3,
+        7 * n**2 / 3 - 8 * n**3 / 5,
+        56 * n**3 / 15,
+    ]
+    return n, A, alpha, beta, delta
+
+
+def wgs84_to_utm(lon, lat, zone: int = 34):
+    """Forward TM projection → (easting, northing), vectorized."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    n, A, alpha, _, _ = _tm_constants()
+    lon0 = math.radians(zone * 6 - 183)
+    phi = np.radians(lat)
+    lam = np.radians(lon) - lon0
+    e = math.sqrt(_WGS84_F * (2 - _WGS84_F))
+    t = np.sinh(np.arctanh(np.sin(phi)) - e * np.arctanh(e * np.sin(phi)))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arctanh(np.sin(lam) / np.sqrt(1 + t**2))
+    x = eta.copy()
+    y = xi.copy()
+    for j, a in enumerate(alpha, start=1):
+        x += a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        y += a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+    return _UTM_FE + _UTM_K0 * A * x, _UTM_K0 * A * y
+
+
+def utm_to_wgs84(easting, northing, zone: int = 34):
+    """Inverse TM projection → (lon, lat), vectorized (G2)."""
+    easting = np.asarray(easting, np.float64)
+    northing = np.asarray(northing, np.float64)
+    n, A, _, beta, delta = _tm_constants()
+    lon0 = math.radians(zone * 6 - 183)
+    xi = northing / (_UTM_K0 * A)
+    eta = (easting - _UTM_FE) / (_UTM_K0 * A)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b in enumerate(beta, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for j, dd in enumerate(delta, start=1):
+        phi += dd * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lon0 + lam), np.degrees(phi)

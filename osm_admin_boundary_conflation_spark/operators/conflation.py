@@ -54,6 +54,7 @@ _GEOM_SCHEMA = StructType(
         StructField("closed", BooleanType()),
         StructField("same", BooleanType()),
         StructField("endpoint_dist_m", DoubleType()),
+        StructField("should_reverse", BooleanType()),
         StructField("heuristic_same", BooleanType()),
         StructField("hausdorff_m", DoubleType()),
     ]
@@ -139,6 +140,7 @@ def _vector_group(S: np.ndarray, O: np.ndarray, out: dict, idx: np.ndarray) -> N
     out["same"][idx] = same
     out["hausdorff_m"][idx] = np.where(alive, haus, -1.0)
     out["endpoint_dist_m"][idx] = np.where(alive & ~same, ep_dist, np.inf)
+    out["should_reverse"][idx] = alive & ~same & reverse
     out["heuristic_same"][idx] = alive & ~same & heur
 
 
@@ -157,6 +159,7 @@ def geom_battery_udf(src: pd.Series, osm: pd.Series, n_src: pd.Series) -> pd.Dat
         "closed": np.zeros(n, bool),
         "same": np.zeros(n, bool),
         "endpoint_dist_m": np.full(n, np.inf),
+        "should_reverse": np.zeros(n, bool),
         "heuristic_same": np.zeros(n, bool),
         "hausdorff_m": np.full(n, -1.0),
     }

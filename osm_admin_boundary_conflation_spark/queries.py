@@ -1344,3 +1344,63 @@ def q_conflate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("https://www.openstreetmap.org/way/"), F.col("osm_way_id").cast("string"))
         ).alias("sample_link"),
     )
+
+
+@q(
+    "edit_plan_summary",
+    oracle="""
+WITH w AS (SELECT DISTINCT o_orderkey AS way_id FROM orders WHERE o_orderkey % 20 = 2),
+v AS (SELECT way_id, CAST((way_id // 20) % 3 AS INT) AS vr FROM w)
+SELECT way_id,
+       CAST(CASE vr WHEN 1 THEN 4 ELSE 5 END AS BIGINT) AS n_updates,
+       CAST(CASE vr WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS n_creates,
+       CAST(CASE vr WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS n_deletes
+FROM v
+""",
+)
+def q_edit_plan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10+S13 (conflate.py:407-448): the intended OSM edits per
+    CHECKED_POSSIBLE way — update/create/delete counts follow the
+    reference's rewrite loop bounds exactly (edit_plan.py docstring)."""
+    from . import datagen_osm
+    from .operators import conflation as CF
+    from .operators.edit_plan import edit_plan, edit_summary
+
+    world = datagen_osm.build_osm_world(spark, sf_dir)
+    verdicts = CF.conflate(
+        world["src_ways"],
+        world["src_rels"],
+        world["osm_ways"],
+        world["osm_node_tags"],
+        world["osm_rels"],
+    )
+    plan = edit_plan(verdicts, world["src_ways"], world["osm_ways"])
+    return edit_summary(plan)
+
+
+@q(
+    "shared_nodes",
+    oracle="""
+WITH r AS (
+  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS k
+  FROM (SELECT DISTINCT o_orderkey FROM orders)
+),
+m AS (SELECT max(k) AS kmax FROM r)
+SELECT k AS way_a, k + 1 AS way_b, CAST(2 AS INT) AS n_shared
+FROM r, m WHERE k < kmax
+""",
+)
+def q_shared_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/O8 (unglue node-sharing, conflate.py:150-155): shared nodes
+    between adjacent boundary ways via array_intersect."""
+    from . import datagen_osm
+
+    ways = datagen_osm.build_strip_world(spark, sf_dir).filter(F.col("way_id") >= 0)
+    a = ways.select(F.col("way_id").alias("way_a"), F.col("node_ids").alias("na"))
+    b = ways.select(F.col("way_id").alias("way_b"), F.col("node_ids").alias("nb"))
+    pairs = a.join(b, F.col("way_b") == F.col("way_a") + 1)
+    return pairs.select(
+        "way_a",
+        "way_b",
+        F.size(F.array_distinct(F.array_intersect("na", "nb"))).alias("n_shared"),
+    )

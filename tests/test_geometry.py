@@ -163,3 +163,29 @@ class TestValidity:
         inner = outer + np.array([0.0, 0.004])
         assert G.buffer_contains(outer, inner, 0.005)
         assert not G.buffer_contains(outer, outer + np.array([0.0, 0.006]), 0.005)
+
+
+class TestReprojection:
+    def test_utm_roundtrip(self):
+        lons = np.array([19.0, 20.4612, 21.9, 22.5])
+        lats = np.array([42.0, 44.8125, 46.1, 43.3])
+        e, n = G.wgs84_to_utm(lons, lats, zone=34)
+        lon2, lat2 = G.utm_to_wgs84(e, n, zone=34)
+        assert np.abs(lon2 - lons).max() < 1e-7
+        assert np.abs(lat2 - lats).max() < 1e-7
+
+    def test_utm_known_point(self):
+        # central meridian of zone 34 (21E): easting = false easting,
+        # northing ~ meridian arc length from equator
+        e, n = G.wgs84_to_utm(21.0, 0.0, zone=34)
+        assert float(e) == pytest.approx(500000.0, abs=1e-6)
+        assert float(n) == pytest.approx(0.0, abs=1e-6)
+        e45, n45 = G.wgs84_to_utm(21.0, 45.0, zone=34)
+        # meridian arc to 45N ~ 4,984,944 m * k0
+        assert float(n45) == pytest.approx(0.9996 * 4984944.4, rel=1e-4)
+
+    def test_utm_zone34_belgrade_plausible(self):
+        e, n = G.wgs84_to_utm(20.4612, 44.8125, zone=34)
+        # Belgrade sits west of the central meridian -> easting < 500km
+        assert 400_000 < float(e) < 500_000
+        assert 4_900_000 < float(n) < 5_050_000
