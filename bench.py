@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "token_stats",
+    "asof_join",
+    "events_sessionize",
+    "edit_plan_summary",
 ]
 
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "10"))  # pages multiplier for the scaling job

@@ -89,7 +89,24 @@ def _node_ids(base, n_pts, closed=None):
     return F.when(closed, ids_closed).otherwise(ids_open)
 
 
+_WORLD_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def build_osm_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Memoized per (session, sf_dir) with persisted tables: four
+    conflate-family queries share one world instead of regenerating the
+    synthetic arrays per query."""
+    key = (id(spark), sf_dir)
+    if key in _WORLD_CACHE:
+        return _WORLD_CACHE[key]
+    world = _build_osm_world(spark, sf_dir)
+    for df in world.values():
+        df.persist()
+    _WORLD_CACHE[key] = world
+    return world
+
+
+def _build_osm_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     w = _base_ways(spark, sf_dir)
     c = F.col("case")
     closed = c == 10

@@ -42,12 +42,24 @@ VERDICT_NO_MATCH = "NO_MATCH"
 VERDICT_MULTIPLE = "MULTIPLE_MATCH"
 
 
-def extract_pages_geo(pages: DataFrame, res: int) -> DataFrame:
-    """pages(url, html, ...) → + text, lat, lon, cell_id."""
+def extract_pages_geo(pages: DataFrame, res: int, observe: bool = False) -> DataFrame:
+    """pages(url, html, ...) → + text, lat, lon, cell_id.
+
+    With observe=True, attaches named observed metrics (A9 — the Spark
+    analogue of the reference's running diagnostic counters,
+    translation.py:247): rows scanned + rows with extractable geo,
+    retrievable via df.observation / QueryExecutionListener."""
     d = pages.withColumn("text", extract_text_udf("html"))
     d = d.withColumn("_geo", extract_geo_udf("text"))
     d = d.withColumn("lat", F.col("_geo.lat")).withColumn("lon", F.col("_geo.lon")).drop("_geo")
-    return d.withColumn("cell_id", cell_expr(F.col("lon"), F.col("lat"), res))
+    d = d.withColumn("cell_id", cell_expr(F.col("lon"), F.col("lat"), res))
+    if observe:
+        d = d.observe(
+            "extract_metrics",
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count("lat").alias("rows_with_geo"),
+        )
+    return d
 
 
 def boundary_cells(boundaries: DataFrame, res: int) -> DataFrame:

@@ -1404,3 +1404,29 @@ def q_shared_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "way_b",
         F.size(F.array_distinct(F.array_intersect("na", "nb"))).alias("n_shared"),
     )
+
+
+@q(
+    "asof_join",
+    oracle="""
+SELECT l.event_id, r.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (time-travel lookup): for each click, the latest
+    preceding purchase value by the same user — window-over-union
+    implementation (operators/asof.py), no UDF, one shuffle."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"), F.col("ts"), F.col("event_id")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), F.col("ts"), F.col("value").alias("val")
+    )
+    out = asof_join(left, right)
+    return out.select("event_id", F.col("val").alias("last_purchase_value"))

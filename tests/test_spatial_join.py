@@ -73,3 +73,18 @@ def test_extracted_text_byte_identical_across_runs(spark, sf_dir):
     ra = {r["url"]: r["text"].encode() for r in a.collect()}
     rb = {r["url"]: r["text"].encode() for r in b.collect()}
     assert ra == rb
+
+
+def test_observed_metrics(spark, sf_dir):
+    """A9: named observation counters on the extraction stage."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    pages = datagen.build_pages(spark, sf_dir)
+    obs = Observation("extract_metrics")
+    d = SJ.extract_pages_geo(pages, res=6).observe(
+        obs, F.count(F.lit(1)).alias("rows_in"), F.count("lat").alias("rows_with_geo")
+    )
+    d.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows_in"] == 500 and got["rows_with_geo"] == 500
