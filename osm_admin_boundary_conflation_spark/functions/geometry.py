@@ -422,12 +422,13 @@ def canonical_node_fingerprint(node_ids: list[int]) -> str:
     ids = list(node_ids)
     if len(ids) > 1 and ids[0] == ids[-1]:
         core = ids[:-1]
-        k = core.index(min(core))
-        fwd = core[k:] + core[:k]
-        rev = core[::-1]
-        k2 = rev.index(min(rev))
-        rev = rev[k2:] + rev[:k2]
-        best = min(fwd, rev)
+        n = len(core)
+        # lexicographically-minimal rotation over BOTH orientations
+        # (anchoring at "the" min id is ambiguous with duplicate ids)
+        best = min(
+            min(core[k:] + core[:k] for k in range(n)),
+            min((core[::-1])[k:] + (core[::-1])[:k] for k in range(n)),
+        )
         return "R:" + ",".join(map(str, best))
     return "O:" + ",".join(map(str, min(ids, ids[::-1])))
 

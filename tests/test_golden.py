@@ -1,0 +1,54 @@
+"""Golden end-to-end regression (SURVEY §5 item 2 — mirrors the
+reference's sort + diff of result CSVs, daily-measurement.sh:52-63):
+recompute the flagship output, canonical-sort, byte-compare against the
+committed golden file. Also proves the skew-salting path spreads the
+hot cell across reducers (SURVEY §7 item 6)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from osm_admin_boundary_conflation_spark import datagen
+from osm_admin_boundary_conflation_spark.operators import spatial_join as SJ
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "geotag_sf0001.csv")
+
+
+def test_geotag_golden_byte_identical(spark, sf_dir):
+    df = SJ.geotag_pages(
+        datagen.build_pages(spark, sf_dir), datagen.build_boundaries(spark, sf_dir)
+    )
+    rows = sorted(
+        (r["url"], r["level9_id"] or "", r["cell_id"], r["verdict"]) for r in df.collect()
+    )
+    got = "url,level9_id,cell_id,verdict\n" + "".join(",".join(r) + "\n" for r in rows)
+    with open(GOLDEN) as f:
+        want = f.read()
+    assert got.encode() == want.encode()
+
+
+def test_salting_spreads_hot_cell(spark, sf_dir):
+    """The hotspot (>=30% of pages in one cell) pins one reducer without
+    salting; with n_salt=8 the hot key's rows spread over ~8 partitions."""
+    pages = datagen.build_pages(spark, sf_dir)
+    ex = SJ.extract_pages_geo(pages, res=6).select("url", "cell_id")
+    hot = (
+        ex.groupBy("cell_id").count().orderBy(F.col("count").desc()).limit(1).collect()[0]
+    )
+    assert hot["count"] >= 0.29 * ex.count()
+
+    n_salt = 8
+    salted = ex.filter(F.col("cell_id") == hot["cell_id"]).withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(n_salt))
+    )
+    shuffled = salted.repartition(n_salt * 2, "cell_id", "_salt")
+    dist = (
+        shuffled.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    n_parts_used = len(dist)
+    max_share = max(r["count"] for r in dist) / hot["count"]
+    # unsalted, all rows land in ONE partition; salted they spread
+    assert n_parts_used >= n_salt // 2
+    assert max_share < 0.5

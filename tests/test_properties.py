@@ -1,0 +1,109 @@
+"""Property-based tests (SURVEY §5 item 4) over the geometry kernel."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_admin_boundary_conflation_spark.functions import cells as C
+from osm_admin_boundary_conflation_spark.functions import geometry as G
+
+coord = st.floats(min_value=-80, max_value=80, allow_nan=False, width=64)
+
+
+def convex_polygon(cx, cy, radii_angles):
+    """Build a convex ring from sorted angles around a center."""
+    pts = []
+    for r, a in radii_angles:
+        pts.append([cx + r * np.cos(a), cy + r * np.sin(a)])
+    pts.append(pts[0])
+    return np.array(pts)
+
+
+@st.composite
+def convex_rings(draw):
+    """Star-shaped SIMPLE rings (possibly concave): vertices sorted by
+    angle around an interior center with every angular gap < pi —
+    guaranteed non-self-intersecting. (A previous version allowed
+    angular gaps > pi, producing self-intersecting 'polygons' whose
+    shoelace area is a meaningless net value.)"""
+    cx = draw(st.floats(-50, 50))
+    cy = draw(st.floats(-50, 50))
+    n = draw(st.integers(3, 8))
+    jitters = [draw(st.floats(-0.4, 0.4)) for _ in range(n)]
+    angles = [2 * np.pi * i / n + j * np.pi / n for i, j in enumerate(jitters)]
+    radii = [draw(st.floats(0.5, 3.0)) for _ in range(n)]
+    return convex_polygon(cx, cy, list(zip(radii, angles)))
+
+
+@given(convex_rings(), convex_rings())
+@settings(max_examples=40, deadline=None)
+def test_iou_bounded_and_symmetric(r1, r2):
+    a, b = [[r1]], [[r2]]
+    v = G.iou(a, b)
+    assert 0.0 <= v <= 1.0 + 1e-9
+    assert abs(v - G.iou(b, a)) < 1e-9
+
+
+@given(convex_rings())
+@settings(max_examples=30, deadline=None)
+def test_self_intersection_is_area(ring):
+    mp = [[ring]]
+    area = G.multipolygon_area(mp)
+    inter = G.intersection_area(mp, mp)
+    assert abs(inter - area) <= 1e-6 * max(area, 1.0)
+
+
+@given(convex_rings())
+@settings(max_examples=30, deadline=None)
+def test_centroid_inside_convex(ring):
+    c = ring[:-1].mean(axis=0)
+    assert G.points_in_polygon(np.array([c]), [ring])[0]
+
+
+@given(convex_rings())
+@settings(max_examples=20, deadline=None)
+def test_cover_contains_all_vertex_cells(ring):
+    mp = [[ring]]
+    cover = set(C.cover_polygon_adaptive(mp, base_res=5))
+    res = int(next(iter(cover)).split(":")[0][1:])
+    for lon, lat in ring[:-1]:
+        (cid,) = C.encode_cells([lon], [lat], res)
+        assert cid in cover
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=2, max_size=12))
+@settings(max_examples=50, deadline=None)
+def test_fingerprint_reversal_invariant(ids):
+    assert G.canonical_node_fingerprint(ids) == G.canonical_node_fingerprint(ids[::-1])
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=3, max_size=10, unique=True), st.integers(0, 20))
+@settings(max_examples=50, deadline=None)
+def test_ring_fingerprint_rotation_invariant(core, k):
+    ring = core + [core[0]]
+    rot = core[k % len(core) :] + core[: k % len(core)]
+    ring_rot = rot + [rot[0]]
+    assert G.canonical_node_fingerprint(ring) == G.canonical_node_fingerprint(ring_rot)
+
+
+@given(
+    st.floats(-170, 170), st.floats(-80, 80), st.floats(-170, 170), st.floats(-80, 80)
+)
+@settings(max_examples=60, deadline=None)
+def test_haversine_metric_properties(lon1, lat1, lon2, lat2):
+    d = float(G.haversine_m(lon1, lat1, lon2, lat2))
+    d_rev = float(G.haversine_m(lon2, lat2, lon1, lat1))
+    assert d >= 0 and abs(d - d_rev) < 1e-6
+    assert float(G.haversine_m(lon1, lat1, lon1, lat1)) == 0.0
+    assert d <= np.pi * G.EARTH_RADIUS_M + 1
+
+
+@given(st.floats(-170, 170), st.floats(-75, 75))
+@settings(max_examples=40, deadline=None)
+def test_utm_roundtrip_property(lon, lat):
+    # keep within a plausible zone-34 band by mapping lon into [15, 27)
+    lon34 = 15.0 + abs(lon) % 12.0
+    e, n = G.wgs84_to_utm(lon34, lat, zone=34)
+    lon2, lat2 = G.utm_to_wgs84(e, n, zone=34)
+    assert abs(float(lon2) - lon34) < 1e-6
+    assert abs(float(lat2) - lat) < 1e-6
