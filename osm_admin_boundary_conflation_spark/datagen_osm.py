@@ -100,8 +100,11 @@ def build_osm_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if key in _WORLD_CACHE:
         return _WORLD_CACHE[key]
     world = _build_osm_world(spark, sf_dir)
-    for df in world.values():
-        df.persist()
+    # persist only the SMALL relation/tag tables: caching the
+    # coords-bearing ways tables costs more in (de)serialization of the
+    # big arrays than regenerating them from closed-form expressions
+    for name in ("src_rels", "osm_rels", "osm_node_tags"):
+        world[name].persist()
     _WORLD_CACHE[key] = world
     return world
 
@@ -268,10 +271,11 @@ def build_strip_world(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom/top pieces and 2 L-shaped end pieces (parents: rect+outer,
     admin 2) — total 3M-3.
     """
-    from pyspark.sql import Window
+    from .plans.dense_index import dense_index
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey").distinct()
-    r = o.withColumn("k", F.row_number().over(Window.orderBy("o_orderkey")) - 1)
+    # distributed dense rank (no single-partition global window)
+    r = dense_index(o, "o_orderkey", index_col="k")
     TOP = 1_000_000
     rects = r.select(
         F.col("k").alias("way_id"),

@@ -1374,7 +1374,14 @@ def q_edit_plan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         world["osm_node_tags"],
         world["osm_rels"],
     )
-    plan = edit_plan(verdicts, world["src_ways"], world["osm_ways"])
+    # truncate the verdict-battery lineage: only the small
+    # CHECKED_POSSIBLE subset feeds the rewrite joins
+    todo = (
+        verdicts.filter(F.col("verdict") == "CHECKED_POSSIBLE")
+        .select("way_id", "osm_way_id", "verdict")
+        .localCheckpoint()
+    )
+    plan = edit_plan(todo, world["src_ways"], world["osm_ways"])
     return edit_summary(plan)
 
 
