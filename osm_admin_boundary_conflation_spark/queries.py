@@ -1437,3 +1437,71 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join(left, right)
     return out.select("event_id", F.col("val").alias("last_purchase_value"))
+
+
+@q(
+    "ann_ivf_topk",
+    oracle="""
+WITH ev AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+centroids AS (
+  SELECT label, i, avg(v) AS cv FROM ev GROUP BY label, i
+),
+qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+cdist AS (
+  SELECT c.label, sum((c.cv - q.v) * (c.cv - q.v)) AS d2
+  FROM centroids c JOIN qv q USING (i) GROUP BY c.label
+),
+best AS (SELECT label FROM cdist ORDER BY d2, label LIMIT 1),
+cand AS (SELECT e.vec_id, e.i, e.v FROM ev e JOIN best b ON e.label = b.label WHERE e.vec_id <> 0),
+dots AS (
+  SELECT c.vec_id, sum(c.v * q.v) AS dot, sqrt(sum(c.v * c.v)) AS nrm
+  FROM cand c JOIN qv q USING (i) GROUP BY c.vec_id
+),
+qn AS (SELECT sqrt(sum(v * v)) AS qnrm FROM qv)
+SELECT vec_id, score FROM (
+  SELECT vec_id, round(dot / (nrm * qnrm), 6) AS score,
+         row_number() OVER (ORDER BY round(dot / (nrm * qnrm), 6) DESC, vec_id) AS rn
+  FROM dots, qn)
+WHERE rn <= 10
+""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroids per inverted list (label = cluster
+    assignment, the 'trained' IVF index), probe the nearest list only,
+    exact cosine inside it. The scale path: the probe list is a tiny
+    fraction of the corpus; centroid selection is a broadcast of
+    n_lists rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    ev = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "v")
+    ).withColumn("v", dbl(F.col("v")))
+    centroids = ev.groupBy("label", "i").agg(F.avg("v").alias("cv"))
+    qv = ev.filter(F.col("vec_id") == 0).select("i", F.col("v").alias("qv"))
+    cdist = (
+        centroids.join(F.broadcast(qv), "i")
+        .groupBy("label")
+        .agg(F.sum((F.col("cv") - F.col("qv")) * (F.col("cv") - F.col("qv"))).alias("d2"))
+    )
+    best = cdist.orderBy("d2", "label").limit(1).select("label")
+    cand = ev.join(F.broadcast(best), "label").filter(F.col("vec_id") != 0)
+    dots = (
+        cand.join(F.broadcast(qv), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"),
+        )
+    )
+    qnrm = qv.agg(F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qnrm"))
+    scored = dots.crossJoin(F.broadcast(qnrm)).select(
+        "vec_id", F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select(
+        "vec_id", "score"
+    )

@@ -76,3 +76,32 @@ def test_conflated_pairs_have_small_hausdorff(verdicts):
     assert h is not None and h <= 1.0
     far = verdicts.filter(F.col("case") == 3).agg(F.min("hausdorff_m")).collect()[0][0]
     assert far > 500.0
+
+
+def test_parallelism_invariance(spark, sf_dir):
+    """North rule: identical verdicts at different shuffle parallelism
+    (the conflation analogue of the geotag salting-invariance test)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    world = datagen_osm.build_osm_world(spark, sf_dir)
+
+    def run():
+        out = CF.conflate(
+            world["src_ways"],
+            world["src_rels"],
+            world["osm_ways"],
+            world["osm_node_tags"],
+            world["osm_rels"],
+        )
+        return sorted(
+            (r["way_id"], r["verdict"], r["osm_way_id"], r["error_context"])
+            for r in out.collect()
+        )
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
