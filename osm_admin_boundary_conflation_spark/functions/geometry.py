@@ -363,27 +363,32 @@ def compass_bearing(lon1, lat1, lon2, lat2):
 
 
 def endpoint_match(src: np.ndarray, osm: np.ndarray) -> tuple[float, bool]:
-    """Reference get_bigger_endpoint_difference (conflate.py:278-294).
-
-    Compares head/head+tail/tail vs head/tail+tail/head pairings; picks
-    the orientation with the smaller total distance; returns the MAX of
-    the two matched-end distances and whether the OSM way must be
-    reversed to align.
+    """Reference get_bigger_endpoint_difference (conflate.py:278-294),
+    exact rule: with d11 = d(osm[0], src[0]) and d12 = d(osm[0],
+    src[-1]), reverse iff d12 < d11; distance1 = min(d11, d12); d2 =
+    d(osm[-1], src[0]) when reversing else d(osm[-1], src[-1]); result
+    is max(distance1, d2).  (Round 1 used a smaller-SUM-of-endpoints
+    orientation pick, which disagrees in asymmetric cases — ADVICE r01.)
     """
     s0, s1 = src[0], src[-1]
     o0, o1 = osm[0], osm[-1]
-    d_keep_a = float(haversine_m(s0[0], s0[1], o0[0], o0[1]))
-    d_keep_b = float(haversine_m(s1[0], s1[1], o1[0], o1[1]))
-    d_rev_a = float(haversine_m(s0[0], s0[1], o1[0], o1[1]))
-    d_rev_b = float(haversine_m(s1[0], s1[1], o0[0], o0[1]))
-    if d_keep_a + d_keep_b <= d_rev_a + d_rev_b:
-        return max(d_keep_a, d_keep_b), False
-    return max(d_rev_a, d_rev_b), True
+    d11 = float(haversine_m(o0[0], o0[1], s0[0], s0[1]))
+    d12 = float(haversine_m(o0[0], o0[1], s1[0], s1[1]))
+    should_reverse = d12 < d11
+    d1 = min(d11, d12)
+    if should_reverse:
+        d2 = float(haversine_m(o1[0], o1[1], s0[0], s0[1]))
+    else:
+        d2 = float(haversine_m(o1[0], o1[1], s1[0], s1[1]))
+    return max(d1, d2), should_reverse
 
 
 def is_same_geometry(src: np.ndarray, osm: np.ndarray, tol_m: float = 1.0) -> bool:
     """G12 (conflate.py:297-316): same ring-closure, same vertex count,
-    every aligned vertex pair within tol meters (after optional reversal).
+    endpoint difference (via get_bigger_endpoint_difference's exact
+    rule) within tol, then every vertex pair of the CHOSEN orientation
+    within tol meters — the reference aligns once by the endpoint rule
+    and never tries the other orientation.
     """
     if len(src) != len(osm):
         return False
@@ -391,11 +396,12 @@ def is_same_geometry(src: np.ndarray, osm: np.ndarray, tol_m: float = 1.0) -> bo
     osm_closed = bool(np.allclose(osm[0], osm[-1]))
     if src_closed != osm_closed:
         return False
-    for cand in (osm, osm[::-1]):
-        d = haversine_m(src[:, 0], src[:, 1], cand[:, 0], cand[:, 1])
-        if float(np.max(d)) <= tol_m:
-            return True
-    return False
+    dist, should_reverse = endpoint_match(src, osm)
+    if dist > tol_m:
+        return False
+    aligned = src[::-1] if should_reverse else src
+    d = haversine_m(aligned[:, 0], aligned[:, 1], osm[:, 0], osm[:, 1])
+    return float(np.max(d)) <= tol_m
 
 
 def hausdorff_m(a: np.ndarray, b: np.ndarray) -> float:

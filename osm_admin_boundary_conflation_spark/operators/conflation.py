@@ -91,28 +91,33 @@ def _vector_group(S: np.ndarray, O: np.ndarray, out: dict, idx: np.ndarray) -> N
     # closed|ring collapses to closed: shapely is_ring implies is_closed
     alive = ~invalid & ~closed
 
-    same = np.zeros(B, bool)
-    if ns == no:
-        d_f = _hav(S[:, :, 0], S[:, :, 1], O[:, :, 0], O[:, :, 1]).max(axis=1)
-        Orev = O[:, ::-1]
-        d_r = _hav(S[:, :, 0], S[:, :, 1], Orev[:, :, 0], Orev[:, :, 1]).max(axis=1)
-        same = alive & ((d_f <= 1.0) | (d_r <= 1.0))
-
     # hausdorff (discrete, both directions) for alive rows
     dmat = _hav(
         S[:, :, None, 0], S[:, :, None, 1], O[:, None, :, 0], O[:, None, :, 1]
     )  # (B, ns, no)
     haus = np.maximum(dmat.min(axis=2).max(axis=1), dmat.min(axis=1).max(axis=1))
 
-    # endpoint match (G7) on rows alive & not same
+    # endpoint match (G7) — reference get_bigger_endpoint_difference
+    # (conflate.py:278-294) exact rule: reverse iff d(o0,s_last) <
+    # d(o0,s0); distance = max(min of the two o0 distances, the o_last
+    # distance of the chosen orientation).
     s0, s1, o0, o1 = S[:, 0], S[:, -1], O[:, 0], O[:, -1]
-    d11 = _hav(s0[:, 0], s0[:, 1], o0[:, 0], o0[:, 1])
-    d22 = _hav(s1[:, 0], s1[:, 1], o1[:, 0], o1[:, 1])
-    d12 = _hav(s0[:, 0], s0[:, 1], o1[:, 0], o1[:, 1])
-    d21 = _hav(s1[:, 0], s1[:, 1], o0[:, 0], o0[:, 1])
-    keep = (d11 + d22) <= (d12 + d21)
-    ep_dist = np.where(keep, np.maximum(d11, d22), np.maximum(d12, d21))
-    reverse = ~keep
+    d11 = _hav(s0[:, 0], s0[:, 1], o0[:, 0], o0[:, 1])  # d(o0, s0)
+    d22 = _hav(s1[:, 0], s1[:, 1], o1[:, 0], o1[:, 1])  # d(o_last, s_last)
+    d12 = _hav(s0[:, 0], s0[:, 1], o1[:, 0], o1[:, 1])  # d(o_last, s0)
+    d21 = _hav(s1[:, 0], s1[:, 1], o0[:, 0], o0[:, 1])  # d(o0, s_last)
+    reverse = d21 < d11
+    ep_dist = np.maximum(np.minimum(d11, d21), np.where(reverse, d12, d22))
+
+    # G12 same-geometry (conflate.py:297-316): endpoint rule ≤1m, then
+    # per-node ≤1m on the CHOSEN orientation only (never both).
+    same = np.zeros(B, bool)
+    if ns == no:
+        d_f = _hav(S[:, :, 0], S[:, :, 1], O[:, :, 0], O[:, :, 1]).max(axis=1)
+        Orev = O[:, ::-1]
+        d_r = _hav(S[:, :, 0], S[:, :, 1], Orev[:, :, 0], Orev[:, :, 1]).max(axis=1)
+        d_chosen = np.where(reverse, d_r, d_f)
+        same = alive & (ep_dist <= 1.0) & (d_chosen <= 1.0)
 
     # buffer containment (P11): every aligned-src vertex within 0.005 deg
     # (planar) of the osm polyline
@@ -212,11 +217,18 @@ def conflate(
     )
 
     # ---- stage B: candidate index from OSM relation tags ------------------
+    # Mirrors BOTH Overpass filter legs (conflate.py:69,87):
+    # boundary=administrative AND admin_level=9 AND the ref id_key.
     lvl9 = osm_rels.filter(
-        (F.col("tags")["admin_level"] == "9") & F.col("tags")["ref"].isNotNull()
+        (F.col("tags")["boundary"] == "administrative")
+        & (F.col("tags")["admin_level"] == "9")
+        & F.col("tags")["ref"].isNotNull()
     ).select(F.col("tags")["ref"].cast("long").alias("ref"), "member_way_id")
+    # n_refs counts DISTINCT refs (reference counts distinct response
+    # relations); duplicate same-ref memberships must not break the
+    # exclusivity test.
     way_refs = lvl9.groupBy("member_way_id").agg(
-        F.collect_set("ref").alias("refs"), F.count("*").alias("n_refs")
+        F.collect_set("ref").alias("refs"), F.size(F.collect_set("ref")).alias("n_refs")
     )
 
     one_rel = ways.filter(F.col("n_rels") == 1).select(
@@ -243,7 +255,11 @@ def conflate(
         )
         .select("way_id", F.col("m1.member_way_id").alias("osm_way_id"))
     )
-    cands = cand_single.unionByName(cand_shared)
+    # distinct candidate ways per source way: two relations carrying the
+    # same ref (or duplicate memberships) must not double-count a
+    # candidate into a spurious ERROR_MULTIPLE_* verdict — the reference
+    # counts distinct response.ways.
+    cands = cand_single.unionByName(cand_shared).dropDuplicates(["way_id", "osm_way_id"])
     cand_agg = cands.groupBy("way_id").agg(
         F.count("*").alias("n_cands"),
         F.array_sort(F.collect_list("osm_way_id")).alias("cand_ids"),

@@ -675,8 +675,26 @@ def oracle_sql() -> dict[str, str]:
 # ===========================================================================
 
 _CONFLATE_ORACLE = """
-WITH w AS (SELECT DISTINCT o_orderkey AS way_id, CAST(o_orderkey % 20 AS INT) AS cse FROM orders)
-SELECT way_id,
+WITH w AS (
+  SELECT DISTINCT o_orderkey AS way_id, CAST(o_orderkey % 20 AS INT) AS cse,
+         -400000 + o_orderkey % 800000 AS lat0_e4,
+         -1700000 + (o_orderkey * 13) % 3400000 AS lon0_e4
+  FROM orders
+),
+-- case 3 (0.01-deg-lat-shifted candidate): the reference endpoint rule
+-- (get_bigger_endpoint_difference) REVERSES because d(o0, s_last) <
+-- d(o0, s0), so the reported distance is hav(s0, o_last) — per-way
+-- (lat-dependent), mirroring the engine's haversine argument order.
+ep AS (
+  SELECT way_id AS ep_way_id,
+         2 * 6371008.8 * asin(sqrt(
+           pow(sin((radians((lat0_e4 + 40) / 1e4 + 0.01) - radians(lat0_e4 / 1e4)) / 2), 2)
+           + cos(radians(lat0_e4 / 1e4)) * cos(radians((lat0_e4 + 40) / 1e4 + 0.01))
+             * pow(sin((radians((lon0_e4 + 28) / 1e4) - radians(lon0_e4 / 1e4)) / 2), 2)
+         )) AS d2
+  FROM w WHERE cse = 3
+)
+SELECT w.way_id,
   CAST(CASE WHEN cse = 11 THEN 3 WHEN cse IN (12,13,14) THEN 2 ELSE 1 END AS BIGINT) AS n_rels,
   CASE cse
     WHEN 0 THEN 'CONFLATED' WHEN 1 THEN 'CONFLATED' WHEN 12 THEN 'CONFLATED'
@@ -708,10 +726,10 @@ SELECT way_id,
     WHEN 16 THEN CAST(11000000 + way_id AS VARCHAR)
     WHEN 17 THEN CAST(30000000 + way_id AS VARCHAR)
     WHEN 18 THEN CAST(30000000 + way_id AS VARCHAR)
-    WHEN 3 THEN CAST(CAST(floor(2 * 6371008.8 * asin(sin(radians(0.01) / 2))) AS BIGINT) AS VARCHAR)
+    WHEN 3 THEN CAST(CAST(floor(ep.d2) AS BIGINT) AS VARCHAR)
     ELSE NULL
   END AS error_context
-FROM w
+FROM w LEFT JOIN ep ON w.way_id = ep.ep_way_id
 """
 
 
@@ -1118,34 +1136,44 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle="""
 WITH gaps AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE OR
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 OR
                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM gaps
 )
+
 SELECT user_id, session_no, count(*) AS n_events,
-       CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
 FROM sess GROUP BY user_id, session_no
 """,
 )
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) via window functions —
-    the batch equivalent of a session-window stateful operator."""
+    the batch equivalent of a session-window stateful operator.
+
+    Gap test and duration are computed in whole MICROSECONDS on both the
+    Spark and DuckDB sides (Spark ``unix_micros`` ≡ DuckDB ``epoch_us``) so
+    no sub-second truncation can diverge, and both window cumsums order by
+    (ts, event_id) so same-timestamp ties are deterministic — the round-1
+    hash mismatch came from second-truncated Spark math vs full-precision
+    oracle intervals plus an untied oracle cumsum (VERDICT r01 #1)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.withColumn(
         "new_session",
         F.when(
             F.lag("ts").over(w).isNull()
-            | ((F.col("ts").cast("timestamp_ltz").cast("long") - F.lag("ts").over(w).cast("timestamp_ltz").cast("long")) > 1800),
+            | ((us - F.lag(us).over(w)) > 1800000000),
             1,
         ).otherwise(0),
     )
@@ -1155,7 +1183,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = gaps.withColumn("session_no", F.sum("new_session").over(ws))
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
-        (F.max(F.col("ts").cast("timestamp_ltz").cast("long")) - F.min(F.col("ts").cast("timestamp_ltz").cast("long"))).alias("duration_s"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
     )
 
 

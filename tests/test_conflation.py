@@ -60,9 +60,19 @@ def test_error_context_formats(verdicts):
     assert by_case[7]["error_context"] == "highway"
     w8 = by_case[8]
     assert w8["error_context"] == str(5_000_000_000 + w8["way_id"] * 10000 + 2)
+    # case 3: the reference endpoint rule REVERSES (d(o0, s_last) <
+    # d(o0, s0)), so the reported distance is hav(o_last, s0) — per-way.
+    import numpy as np
+
+    from osm_admin_boundary_conflation_spark.functions import geometry as G
+
     w3 = by_case[3]
-    assert w3["error_context"] == "1111"  # floor(haversine of 0.01 deg lat)
-    assert 1111.0 < w3["endpoint_dist_m"] < 1113.0
+    lat0 = (-400000 + w3["way_id"] % 800000) / 1e4
+    lon0 = (-1700000 + (w3["way_id"] * 13) % 3400000) / 1e4
+    d2 = float(G.haversine_m(lon0, lat0, lon0 + 28 / 1e4, (lat0 * 1e4 + 40) / 1e4 + 0.01))
+    assert w3["error_context"] == str(int(np.floor(d2)))
+    assert abs(w3["endpoint_dist_m"] - d2) < 0.01
+    assert w3["endpoint_dist_m"] > 500.0
 
 
 def test_exactly_one_row_per_way(verdicts, spark, sf_dir):
