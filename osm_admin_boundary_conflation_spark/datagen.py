@@ -201,3 +201,88 @@ def build_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_lon",
         "max_lat",
     )
+
+
+# ---------------------------------------------------------------------------
+# relation member ways (G4 polygon-assembly input)
+# ---------------------------------------------------------------------------
+
+
+def build_relation_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation.parquet → UNORDERED OSM relation member ways, the G4 input
+    shape (common.py:37-69): one relation per boundary rectangle, its
+    perimeter split into 4 edge ways with deterministic per-way direction
+    flips; every 3rd relation adds a 2-way inner hole (center strip);
+    every 5th adds a disjoint second outer square (multipolygon case).
+    Expected area / ring counts / center containment / IoU vs the plain
+    rectangle are closed forms the DuckDB oracle states directly.
+    """
+    b = build_boundaries(spark, sf_dir).select(
+        F.col("level9_id").cast("long").alias("rel_id"),
+        "min_lon",
+        "min_lat",
+        "max_lon",
+        "max_lat",
+        "wkt",
+    )
+
+    def pt(lon, lat):
+        return F.array(lon, lat)
+
+    A = pt(F.col("min_lon"), F.col("min_lat"))
+    B = pt(F.col("max_lon"), F.col("min_lat"))
+    C = pt(F.col("max_lon"), F.col("max_lat"))
+    D = pt(F.col("min_lon"), F.col("max_lat"))
+
+    def way(i, role, *pts):
+        """Member way i; coords reversed when (rel_id + i) is even, so the
+        assembler must handle arbitrary per-way orientation."""
+        rev = ((F.col("rel_id") + i) % 2) == 0
+        fwd = F.array(*pts)
+        return F.struct(
+            (F.col("rel_id") * 100 + i).alias("way_id"),
+            F.lit(role).alias("role"),
+            F.when(rev, F.reverse(fwd)).otherwise(fwd).alias("coords"),
+        )
+
+    # inner hole: center strip rectangle (exact binary-fraction offsets)
+    E = pt(F.col("min_lon") + 1.5, F.col("min_lat") + 0.5)
+    Fp = pt(F.col("max_lon") - 1.5, F.col("min_lat") + 0.5)
+    Gp = pt(F.col("max_lon") - 1.5, F.col("max_lat") - 0.5)
+    H = pt(F.col("min_lon") + 1.5, F.col("max_lat") - 0.5)
+    # second outer: unit square 20 degrees north (disjoint from the grid)
+    S0 = pt(F.col("min_lon"), F.col("min_lat") + 20.0)
+    S1 = pt(F.col("min_lon") + 1.0, F.col("min_lat") + 20.0)
+    S2 = pt(F.col("min_lon") + 1.0, F.col("min_lat") + 21.0)
+    S3 = pt(F.col("min_lon"), F.col("min_lat") + 21.0)
+
+    has_hole = (F.col("rel_id") % 3) == 0
+    has_extra = (F.col("rel_id") % 5) == 0
+    members = F.array(
+        way(0, "outer", A, B),
+        way(1, "outer", B, C),
+        way(2, "outer", C, D),
+        way(3, "outer", D, A),
+        F.when(has_hole, way(10, "inner", E, Fp, Gp)),
+        F.when(has_hole, way(11, "inner", Gp, H, E)),
+        F.when(has_extra, way(20, "outer", S0, S1)),
+        F.when(has_extra, way(21, "outer", S1, S2)),
+        F.when(has_extra, way(22, "outer", S2, S3)),
+        F.when(has_extra, way(23, "outer", S3, S0)),
+    )
+    out = b.select(
+        "rel_id",
+        F.explode(F.filter(members, lambda m: m.isNotNull())).alias("m"),
+        (F.col("min_lon") + 3.0).alias("probe_lon"),
+        (F.col("min_lat") + 1.0).alias("probe_lat"),
+        F.col("wkt").alias("ref_wkt"),
+    )
+    return out.select(
+        "rel_id",
+        F.col("m.way_id").alias("way_id"),
+        F.col("m.role").alias("role"),
+        F.col("m.coords").alias("coords"),
+        "probe_lon",
+        "probe_lat",
+        "ref_wkt",
+    )

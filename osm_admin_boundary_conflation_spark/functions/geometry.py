@@ -404,6 +404,71 @@ def is_same_geometry(src: np.ndarray, osm: np.ndarray, tol_m: float = 1.0) -> bo
     return float(np.max(d)) <= tol_m
 
 
+def merge_lines_to_rings(lines: list[np.ndarray]) -> list[np.ndarray]:
+    """linemerge → polygonize analogue (G4, common.py:50-53): chain an
+    UNORDERED set of polylines into closed rings by joining bitwise-equal
+    endpoints (OSM member ways share node coordinates exactly), honoring
+    per-way direction flips. Chains that fail to close are dropped —
+    shapely's polygonize yields no polygon for them. Deterministic: the
+    start segment and each continuation are chosen by index order after
+    an endpoint sort, so output is independent of input row order.
+    """
+    segs = [np.asarray(l, dtype=np.float64) for l in lines if l is not None and len(l) >= 2]
+    key = lambda p: (float(p[0]), float(p[1]))  # noqa: E731
+    order = sorted(range(len(segs)), key=lambda i: (key(segs[i][0]), key(segs[i][-1]), len(segs[i])))
+    adj: dict[tuple[float, float], list[tuple[int, int]]] = {}
+    for i, s in enumerate(segs):
+        adj.setdefault(key(s[0]), []).append((i, 0))
+        adj.setdefault(key(s[-1]), []).append((i, 1))
+    used = [False] * len(segs)
+    rings: list[np.ndarray] = []
+    for start in order:
+        if used[start]:
+            continue
+        used[start] = True
+        chain = [segs[start]]
+        head, tail = key(segs[start][0]), key(segs[start][-1])
+        while tail != head:
+            cands = [(j, e) for j, e in adj.get(tail, []) if not used[j]]
+            if not cands:
+                break
+            j, e = min(cands)
+            used[j] = True
+            nxt = segs[j] if e == 0 else segs[j][::-1]
+            chain.append(nxt)
+            tail = key(nxt[-1])
+        if tail == head:
+            rings.append(np.vstack([chain[0]] + [c[1:] for c in chain[1:]]))
+    return rings
+
+
+def assemble_relation_polygon(
+    outer_lines: list[np.ndarray], inner_lines: list[np.ndarray]
+) -> list[list[np.ndarray]]:
+    """G4 (common.py:37-69 create_geometry_from_osm_response): assemble a
+    relation's multipolygon from unordered outer/inner member ways.
+
+    outer ways → rings → one polygon per ring, unioned (admin-boundary
+    outers are disjoint, so the reference's reduce-union is exactly the
+    multipolygon of the rings); each inner ring then applies as
+    symmetric_difference — a hole when contained in an outer polygon,
+    its own polygon otherwise.
+    """
+    polys: list[list[np.ndarray]] = [[r] for r in merge_lines_to_rings(outer_lines)]
+    if inner_lines:
+        for ring in merge_lines_to_rings(inner_lines):
+            rep = _dedupe_closing(ring).mean(axis=0)[None, :]
+            placed = False
+            for p in polys:
+                if bool(points_in_ring(rep, p[0])[0]):
+                    p.append(ring)
+                    placed = True
+                    break
+            if not placed:
+                polys.append([ring])
+    return polys
+
+
 def hausdorff_m(a: np.ndarray, b: np.ndarray) -> float:
     """Discrete (vertex-set) Hausdorff distance in meters (G22)."""
     lon_a, lat_a = a[:, 0:1], a[:, 1:2]

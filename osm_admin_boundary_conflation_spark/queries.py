@@ -1533,3 +1533,39 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select(
         "vec_id", "score"
     )
+
+
+@q(
+    "polygon_assembly",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS rel_id,
+       round(CAST(12.0 + CASE WHEN n_nationkey % 5 = 0 THEN 1.0 ELSE 0.0 END
+                  - CASE WHEN n_nationkey % 3 = 0 THEN 3.0 ELSE 0.0 END AS DOUBLE), 4) AS area,
+       CAST(CASE WHEN n_nationkey % 5 = 0 THEN 2 ELSE 1 END AS INT) AS n_outer,
+       CAST(CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_holes,
+       (n_nationkey % 3) <> 0 AS center_in,
+       round((12.0 - CASE WHEN n_nationkey % 3 = 0 THEN 3.0 ELSE 0.0 END)
+             / (12.0 + CASE WHEN n_nationkey % 5 = 0 THEN 1.0 ELSE 0.0 END), 4) AS iou
+FROM nation
+""",
+)
+def q_polygon_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 full member-way polygon assembly (common.py:37-69): relations
+    arrive as UNORDERED member ways with per-way direction flips; the
+    engine linemerges/polygonizes outer rings, applies inner rings as
+    holes (symmetric_difference), handles disjoint multi-outer
+    multipolygons, and scores IoU vs the plain boundary rectangle. The
+    oracle states area / ring counts / hole containment / IoU in closed
+    form per scenario (datagen.build_relation_members)."""
+    from .operators import polygon_assembly as PA
+
+    members = datagen.build_relation_members(spark, sf_dir)
+    out = PA.assemble_relations(members)
+    return out.select(
+        "rel_id",
+        F.round("area", 4).alias("area"),
+        "n_outer",
+        "n_holes",
+        "center_in",
+        F.round("iou", 4).alias("iou"),
+    )

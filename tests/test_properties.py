@@ -107,3 +107,77 @@ def test_utm_roundtrip_property(lon, lat):
     lon2, lat2 = G.utm_to_wgs84(e, n, zone=34)
     assert abs(float(lon2) - lon34) < 1e-6
     assert abs(float(lat2) - lat) < 1e-6
+
+
+# --- G4 polygon assembly (merge_lines_to_rings / assemble_relation_polygon) --
+
+
+def _rect_ring(x0, y0, w, h):
+    return np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]])
+
+
+def _split_ring(ring, cuts, rng):
+    """Split a closed ring into `cuts` consecutive polylines, each
+    optionally reversed; return them in a shuffled order."""
+    pts = ring
+    n = len(pts) - 1  # closing vertex repeated
+    # choose cut positions (vertex indices) — always include 0
+    idx = sorted(rng.choice(np.arange(1, n), size=min(cuts - 1, n - 1), replace=False).tolist())
+    bounds = [0] + idx + [n]
+    parts = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        seg = pts[a : b + 1]
+        if rng.random() < 0.5:
+            seg = seg[::-1]
+        parts.append(seg)
+    order = rng.permutation(len(parts))
+    return [parts[i] for i in order]
+
+
+@given(
+    st.integers(0, 10**6),
+    st.integers(2, 4),
+    st.booleans(),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_assembly_area_invariant_to_split_order_direction(seed, cuts, with_hole, with_extra):
+    rng = np.random.default_rng(seed)
+    outer = _rect_ring(10.0, 35.0, 6.0, 2.0)
+    outer_lines = _split_ring(outer, cuts, rng)
+    inner_lines = []
+    expected = 12.0
+    if with_hole:
+        hole = _rect_ring(11.5, 35.5, 3.0, 1.0)
+        inner_lines = _split_ring(hole, cuts, rng)
+        expected -= 3.0
+    if with_extra:
+        outer_lines += _split_ring(_rect_ring(10.0, 55.0, 1.0, 1.0), cuts, rng)
+        expected += 1.0
+    mp = G.assemble_relation_polygon(outer_lines, inner_lines)
+    assert abs(G.multipolygon_area(mp) - expected) < 1e-9
+    assert len(mp) == (2 if with_extra else 1)
+    assert sum(len(p) - 1 for p in mp) == (1 if with_hole else 0)
+    # hole containment semantics: rect center inside iff no hole
+    center = np.array([[13.0, 36.0]])
+    assert bool(G.points_in_multipolygon(center, mp)[0]) == (not with_hole)
+
+
+def test_assembly_drops_unclosed_chains():
+    # an open chain (one edge removed) polygonizes to nothing
+    outer = _rect_ring(0.0, 0.0, 4.0, 4.0)
+    lines = [outer[0:2], outer[1:3], outer[2:4]]  # missing the closing edge
+    assert G.merge_lines_to_rings(lines) == []
+    # a closed single-way ring survives as-is
+    rings = G.merge_lines_to_rings([outer])
+    assert len(rings) == 1 and abs(G.multipolygon_area([[rings[0]]]) - 16.0) < 1e-12
+
+
+def test_assembly_inner_outside_outer_becomes_own_polygon():
+    # symmetric_difference semantics (common.py:67-68): an inner ring NOT
+    # contained in any outer adds area instead of subtracting it
+    outer = [_rect_ring(0.0, 0.0, 2.0, 2.0)]
+    inner = [_rect_ring(10.0, 10.0, 1.0, 1.0)]
+    mp = G.assemble_relation_polygon(outer, inner)
+    assert len(mp) == 2
+    assert abs(G.multipolygon_area(mp) - 5.0) < 1e-12
