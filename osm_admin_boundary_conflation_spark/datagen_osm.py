@@ -24,7 +24,11 @@ Scenario map (way_id % 20):
   12 2 relations, shared way identical      → CONFLATED
   13 2 relations, no shared OSM way         → ERROR_SHARED_WAY_NOT_FOUND
   14 2 relations, two shared OSM ways       → ERROR_MULTIPLE_SHARED_WAYS
-  15 mid-node shared w/ untagged-boundary way → ERROR_NODE_IN_OTHER_WAYS
+  15 node shared w/ non-boundary way         → ERROR_NODE_IN_OTHER_WAYS
+     (unglue=True sub-variants way_id/20 %3: v0 untagged sharer stays
+      ERROR; v1 tagged sharer/mid node → unglue candidate; v2 tagged
+      sharer holding the candidate ENDPOINT interior → unglue the
+      other way; v1/v2 become CHECKED_POSSIBLE with 1 node duplicated)
   16 mid-node shared w/ admin_level=2 way   → ERROR_NODE_IN_NATIONAL_BORDER
   17 candidate also in relation w/o admin_level → ERROR_NODE_IN_OTHER_RELATION
   18 candidate also in admin_level=2 relation   → ERROR_NODE_IN_NATIONAL_RELATION
@@ -199,21 +203,44 @@ def _build_osm_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         _node_ids(F.lit(OSM_NODE_BASE) + F.col("way_id") * 10000 + 5000, cand_pts).alias("node_ids"),
         way_tags.alias("tags"),
     )
-    # sharing ways (cases 15/16): contain the candidate's mid node
-    share_tags = F.when(
-        c == 16, F.expr("map('boundary','administrative','admin_level','2')")
-    ).otherwise(F.expr("map()"))
-    share_way = w.filter(c.isin(15, 16)).select(
-        (F.col("way_id") + SHARE_WAY_BASE).alias("osm_way_id"),
-        F.lit(None).cast("long").alias("way_id"),
+    # sharing ways (cases 15/16): contain a node of the candidate.
+    # Case-15 sub-variants (way_id/20 % 3) exercise the unglue matrix
+    # (conflate.py:150-186,221-230):
+    #   v0 → UNTAGGED sharing way ("boundary in disguise", :147-148):
+    #        unglue fails both directions, stays ERROR_NODE_IN_OTHER_WAYS
+    #   v1 → tagged (highway=track) way sharing the candidate's MID node:
+    #        direction 1 unglues the candidate boundary
+    #   v2 → tagged way whose INTERIOR node is the candidate's ENDPOINT:
+    #        direction 1 fails (endpoint of the boundary), direction 2
+    #        unglues the other way
+    share_tags = (
+        F.when(c == 16, F.expr("map('boundary','administrative','admin_level','2')"))
+        .when((c == 15) & (variant != 0), F.expr("map('highway','track')"))
+        .otherwise(F.expr("map()"))
+    )
+    nb = F.lit(OSM_NODE_BASE) + F.col("way_id") * 10000
+    share_nodes = F.when(
+        (c == 15) & (variant == 2),
+        F.array(nb + 9000, nb + 0, nb + 9001),  # candidate endpoint, interior here
+    ).otherwise(F.array(nb + 2, nb + 9000))  # candidate mid node
+    share_coords = F.when(
+        (c == 15) & (variant == 2),
+        F.array(
+            F.array((F.col("lon0_e4") + 100) / 1e4, (F.col("lat0_e4") + 100) / 1e4),
+            F.array((F.col("lon0_e4") + 5) / 1e4, (F.col("lat0_e4") + 5) / 1e4),
+            F.array((F.col("lon0_e4") + 120) / 1e4, (F.col("lat0_e4") + 80) / 1e4),
+        ),
+    ).otherwise(
         F.array(
             F.array((F.col("lon0_e4") + 14) / 1e4, (F.col("lat0_e4") + 20) / 1e4),
             F.array((F.col("lon0_e4") + 100) / 1e4, (F.col("lat0_e4") + 100) / 1e4),
-        ).alias("coords"),
-        F.array(
-            F.lit(OSM_NODE_BASE) + F.col("way_id") * 10000 + 2,  # shared mid node
-            F.lit(OSM_NODE_BASE) + F.col("way_id") * 10000 + 9000,
-        ).alias("node_ids"),
+        )
+    )
+    share_way = w.filter(c.isin(15, 16)).select(
+        (F.col("way_id") + SHARE_WAY_BASE).alias("osm_way_id"),
+        F.lit(None).cast("long").alias("way_id"),
+        share_coords.alias("coords"),
+        share_nodes.alias("node_ids"),
         share_tags.alias("tags"),
     )
     osm_ways = cand1.unionByName(cand2).unionByName(share_way).drop("way_id")

@@ -197,9 +197,21 @@ def conflate(
     osm_node_tags: DataFrame,
     osm_rels: DataFrame,
     max_endpoint_m: float = 500.0,
+    unglue_ways_as_needed: bool = False,
 ) -> DataFrame:
     """→ (way_id, n_rels, verdict, osm_way_id, error_context,
-        endpoint_dist_m, hausdorff_m)."""
+        endpoint_dist_m, hausdorff_m, n_unglued).
+
+    ``unglue_ways_as_needed`` mirrors the config.yml flag gating
+    unglue_ways (conflate.py:150-186, invoked at :221-238): a sharing
+    way that is neither national nor boundary=administrative no longer
+    errors when the shared nodes can be duplicated — direction 1
+    unglues the CANDIDATE boundary (shared node must not be a candidate
+    endpoint), else direction 2 unglues the OTHER way (not its
+    endpoint); both require BOTH ways tagged ("boundary in disguise"
+    check, :147-148) and the node itself untagged (:173-175). The
+    duplicated-node count rides out as ``n_unglued`` (the dry-run edit
+    analogue of NodeCreate+WayUpdate)."""
     # Trim giant payloads at the source: a way with >=2000 nodes is
     # ERROR_TOO_MANY_NODES by count alone (conflate.py:365-368), so its
     # coord array never rides through any shuffle.
@@ -304,31 +316,73 @@ def conflate(
     )
 
     # node→way reverse index (S8): other ways sharing any node.
-    # Tag predicates are evaluated BEFORE the explode so only two bools
-    # ride the node-level rows (the index is O(total nodes) and skinny).
+    # Tag predicates are evaluated BEFORE the explode so only a few
+    # skinny flags ride the node-level rows (the index is O(total
+    # nodes)). Endpoint positions + way/node taggedness feed the
+    # unglue eligibility rules (conflate.py:150-175).
     wt = F.col("tags")
     w_nat = F.coalesce(wt["admin_level"].cast("int") <= 2, F.lit(False))
     w_other = wt["boundary"].isNull() | (wt["boundary"] != "administrative")
-    node_way = osm_ways.select(
-        F.col("osm_way_id").alias("nw_way"),
-        w_nat.alias("nw_nat"),
-        w_other.alias("nw_other"),
-        F.explode("node_ids").alias("node_id"),
+    node_way = (
+        osm_ways.select(
+            F.col("osm_way_id").alias("nw_way"),
+            w_nat.alias("nw_nat"),
+            w_other.alias("nw_other"),
+            (F.size("tags") > 0).alias("nw_tagged"),
+            F.size("node_ids").alias("nw_n"),
+            F.posexplode("node_ids").alias("nw_pos", "node_id"),
+        )
+        .withColumn("nw_end", (F.col("nw_pos") == 0) | (F.col("nw_pos") == F.col("nw_n") - 1))
+        .drop("nw_pos", "nw_n")
     )
-    cand_nodes = matched.select("way_id", "osm_way_id", F.explode("osm_node_ids").alias("node_id"))
-    sharing = (
+    cand_nodes = (
+        matched.select(
+            "way_id",
+            "osm_way_id",
+            (F.size("osm_tags") > 0).alias("cand_tagged"),
+            F.size("osm_node_ids").alias("c_n"),
+            F.posexplode("osm_node_ids").alias("c_pos", "node_id"),
+        )
+        .withColumn("cand_end", (F.col("c_pos") == 0) | (F.col("c_pos") == F.col("c_n") - 1))
+        .drop("c_pos", "c_n")
+    )
+    # unglue skips ANY tagged node (conflate.py:173-175 — even a lone
+    # created_by, unlike the P7 node-tag verdict below)
+    any_node_tags = osm_node_tags.select("node_id", F.lit(True).alias("node_has_tags"))
+    shared = (
         cand_nodes.join(node_way.hint("merge"), "node_id")
         .filter(F.col("nw_way") != F.col("osm_way_id"))
-        .select("way_id", "nw_way", "nw_nat", "nw_other")
-        .dropDuplicates(["way_id", "nw_way"])
+        .join(F.broadcast(any_node_tags), "node_id", "left")
+        .withColumn("node_has_tags", F.coalesce("node_has_tags", F.lit(False)))
     )
-    share_flags = sharing.groupBy("way_id").agg(
+    d1 = F.col("cand_tagged") & F.col("nw_tagged") & ~F.col("cand_end") & ~F.col("node_has_tags")
+    d2 = F.col("cand_tagged") & F.col("nw_tagged") & ~F.col("nw_end") & ~F.col("node_has_tags")
+    pair_flags = shared.groupBy("way_id", "nw_way").agg(
+        F.first("nw_nat").alias("nw_nat"),
+        F.first("nw_other").alias("nw_other"),
+        F.max(d1.cast("int")).alias("ok1"),
+        F.max(d2.cast("int")).alias("ok2"),
+        F.sum(d1.cast("long")).alias("n1"),
+        F.sum(d2.cast("long")).alias("n2"),
+    )
+    # unglue direction order (conflate.py:221-230): try the candidate
+    # boundary first; only if that fails, unglue the other way
+    unglued = (
+        F.lit(unglue_ways_as_needed)
+        & F.col("nw_other")
+        & ~F.col("nw_nat")
+        & ((F.col("ok1") == 1) | (F.col("ok2") == 1))
+    )
+    n_pair = F.when(F.col("ok1") == 1, F.col("n1")).otherwise(F.col("n2"))
+    share_flags = pair_flags.groupBy("way_id").agg(
         F.min(F.when(F.col("nw_nat"), F.col("nw_way"))).alias("share_national_way"),
-        F.min(F.when(~F.col("nw_nat") & F.col("nw_other"), F.col("nw_way"))).alias(
+        F.min(F.when(~F.col("nw_nat") & F.col("nw_other") & ~unglued, F.col("nw_way"))).alias(
             "share_other_way"
         ),
+        F.sum(F.when(unglued, n_pair).otherwise(F.lit(0))).alias("n_unglued"),
     )
     matched = matched.join(share_flags, "way_id", "left")
+    sharing = pair_flags.select("way_id", "nw_way", "nw_nat", "nw_other")
 
     # relation scan: relations containing the candidate or a sharing way
     scan_ways = matched.select("way_id", F.col("osm_way_id").alias("scan_way")).unionByName(
@@ -396,6 +450,17 @@ def conflate(
             F.floor(g["endpoint_dist_m"]).cast("long").cast("string"),
         )
     )
+    # unglue edits only happen if evaluation actually REACHES the
+    # shared-ways scan (reference short-circuits on earlier errors)
+    reached_share_scan = (
+        ~g["too_many"]
+        & ~g["invalid"]
+        & ~g["closed"]
+        & ~g["same"]
+        & ~F.col("national_tag")
+        & F.col("unexpected_tag").isNull()
+        & F.col("share_national_way").isNull()
+    )
     scored = matched.select(
         "way_id",
         "n_rels",
@@ -406,6 +471,9 @@ def conflate(
             "endpoint_dist_m"
         ),
         F.round(g["hausdorff_m"], 3).alias("hausdorff_m"),
+        F.when(reached_share_scan, F.coalesce("n_unglued", F.lit(0)))
+        .otherwise(F.lit(0))
+        .alias("n_unglued"),
     )
 
     # unmatched branches (0 or >1 candidates, >=3 relations)
@@ -429,5 +497,6 @@ def conflate(
         u_context.alias("error_context"),
         F.lit(None).cast("double").alias("endpoint_dist_m"),
         F.lit(None).cast("double").alias("hausdorff_m"),
+        F.lit(0).cast("long").alias("n_unglued"),
     )
     return scored.unionByName(unmatched_out)

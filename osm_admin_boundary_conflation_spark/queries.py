@@ -1569,3 +1569,57 @@ def q_polygon_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "center_in",
         F.round("iou", 4).alias("iou"),
     )
+
+
+@q(
+    "conflate_verdicts_unglue",
+    oracle="""
+WITH w AS (SELECT DISTINCT o_orderkey AS way_id, CAST(o_orderkey % 20 AS INT) AS cse,
+                  CAST((o_orderkey // 20) % 3 AS INT) AS v
+           FROM orders)
+SELECT way_id,
+  CASE WHEN cse = 15 AND v <> 0 THEN 'CHECKED_POSSIBLE' ELSE
+  CASE cse
+    WHEN 0 THEN 'CONFLATED' WHEN 1 THEN 'CONFLATED' WHEN 12 THEN 'CONFLATED'
+    WHEN 2 THEN 'CHECKED_POSSIBLE'
+    WHEN 3 THEN 'ERROR_END_POINTS_FAR_APART'
+    WHEN 4 THEN 'ERROR_WAY_NOT_FOUND'
+    WHEN 5 THEN 'ERROR_MULTIPLE_SINGLE_WAY'
+    WHEN 6 THEN 'ERROR_NATIONAL_BORDER'
+    WHEN 7 THEN 'ERROR_UNEXPECTED_TAG'
+    WHEN 8 THEN 'ERROR_NODES_WITH_TAGS'
+    WHEN 9 THEN 'ERROR_TOO_MANY_NODES'
+    WHEN 10 THEN 'ERROR_CLOSED_SHAPE'
+    WHEN 11 THEN 'ERROR_OVERLAPPING_WAYS'
+    WHEN 13 THEN 'ERROR_SHARED_WAY_NOT_FOUND'
+    WHEN 14 THEN 'ERROR_MULTIPLE_SHARED_WAYS'
+    WHEN 15 THEN 'ERROR_NODE_IN_OTHER_WAYS'
+    WHEN 16 THEN 'ERROR_NODE_IN_NATIONAL_BORDER'
+    WHEN 17 THEN 'ERROR_NODE_IN_OTHER_RELATION'
+    WHEN 18 THEN 'ERROR_NODE_IN_NATIONAL_RELATION'
+    WHEN 19 THEN 'ERROR_INVALID_SHAPE'
+  END END AS verdict,
+  CAST(CASE WHEN cse = 15 AND v <> 0 THEN 1 ELSE 0 END AS BIGINT) AS n_unglued
+FROM w
+""",
+)
+def q_conflate_verdicts_unglue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unglue_ways_as_needed=True side-effect path
+    (conflate.py:150-186,221-238): sharing ways that can be unglued
+    (node duplication) no longer block conflation; the duplicated-node
+    count is the dry-run edit evidence. Case-15 sub-variants cover
+    untagged-sharer failure, candidate-side unglue, and other-side
+    unglue (after the candidate-endpoint direction fails)."""
+    from . import datagen_osm
+    from .operators import conflation as CF
+
+    world = datagen_osm.build_osm_world(spark, sf_dir)
+    out = CF.conflate(
+        world["src_ways"],
+        world["src_rels"],
+        world["osm_ways"],
+        world["osm_node_tags"],
+        world["osm_rels"],
+        unglue_ways_as_needed=True,
+    )
+    return out.select("way_id", "verdict", "n_unglued")

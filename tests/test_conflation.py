@@ -115,3 +115,36 @@ def test_parallelism_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_unglue_matrix(spark, sf_dir):
+    """unglue_ways_as_needed=True (conflate.py:150-186,221-238): tagged
+    sharers unglue (candidate side for mid nodes, other side for
+    candidate endpoints); untagged sharers stay errors; unglue=False
+    never duplicates nodes."""
+    world = datagen_osm.build_osm_world(spark, sf_dir)
+    args = (
+        world["src_ways"],
+        world["src_rels"],
+        world["osm_ways"],
+        world["osm_node_tags"],
+        world["osm_rels"],
+    )
+    base = CF.conflate(*args)
+    assert base.agg(F.max("n_unglued")).collect()[0][0] == 0
+
+    out = CF.conflate(*args, unglue_ways_as_needed=True)
+    c15 = (
+        out.filter(F.col("way_id") % 20 == 15)
+        .withColumn("v", (F.floor(F.col("way_id") / 20) % 3).cast("int"))
+        .groupBy("v", "verdict", "n_unglued")
+        .count()
+        .collect()
+    )
+    got = {(r["v"]): (r["verdict"], r["n_unglued"]) for r in c15}
+    assert got[0] == ("ERROR_NODE_IN_OTHER_WAYS", 0)
+    assert got[1] == ("CHECKED_POSSIBLE", 1)
+    assert got[2] == ("CHECKED_POSSIBLE", 1)
+    # no other scenario gains unglue edits
+    other = out.filter(F.col("way_id") % 20 != 15).agg(F.max("n_unglued")).collect()[0][0]
+    assert other == 0
