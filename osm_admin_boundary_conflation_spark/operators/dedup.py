@@ -22,23 +22,74 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from ..functions import text as T
-from ..functions.udfs import minhash_udf, simhash_udf
+from ..functions.udfs import simhash_udf
 
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
+K_SHINGLE = 5
+_M61 = 2305843009213693951  # 2^61 - 1
+_GOLD = 0x9E3779B9
+
+
+def shingle_expr(t):
+    """Word-5-shingles as a JVM array expression — identical semantics to
+    functions.text.shingles / the DuckDB oracle (string_split_regex on
+    trim(lower(t)), whole-join when fewer than k words)."""
+    words = F.split(F.trim(F.lower(t)), r"\s+")
+    n = F.size(words)
+    return F.when(
+        n < K_SHINGLE, F.array(F.array_join(words, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - K_SHINGLE + 1),
+            lambda j: F.array_join(F.slice(words, j, K_SHINGLE), " "),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "id", text_col: str = "t") -> DataFrame:
+    """→ (id, m0..m15): the md5-affine minhash family computed ENTIRELY
+    JVM-side — explode shingles, hash with md5→conv (the portable
+    63-bit family stable_hash64 / the oracle's substr(md5)::BIGINT),
+    then one groupBy(id) with 16 min aggregates (map-side combine).
+    Round 1 looped shingles×16 hashes in Python inside the Arrow batch —
+    per-row Python in the hottest 100 TB path (VERDICT r01 #4).
+
+    Arithmetic note: (h * a + b) % (2^61-1) with h < 2^60 overflows
+    signed 64-bit for a up to 31 (Python ran it in arbitrary precision,
+    DuckDB in HUGEINT). Spark DECIMAL would be exact but slow, so the
+    product is decomposed into pure-long codegen ops using 2^61 ≡ 1
+    (mod M): with h = hi·2^32 + lo, h·a ≡ ((hi·a)>>29) +
+    ((hi·a & (2^29-1))<<32) + lo·a, every term < 2^62 — bit-exact vs
+    the arbitrary-precision formula (see tests)."""
+    sh = docs.select(id_col, F.explode(shingle_expr(F.col(text_col))).alias("s"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("0:"), F.col("s"))), 1, 15), 16, 10).cast("long")
+    sh = sh.select(id_col, h.alias("h"))
+    hi = F.shiftright(F.col("h"), 32)
+    lo = F.col("h").bitwiseAND(F.lit(0xFFFFFFFF))
+    mask29 = F.lit((1 << 29) - 1)
+
+    def affine_mod(i: int):
+        a, b = 2 * i + 1, i * _GOLD
+        x = hi * F.lit(a)
+        t = F.shiftright(x, 29) + F.shiftleft(x.bitwiseAND(mask29), 32)
+        return (t + lo * F.lit(a) + F.lit(b)) % F.lit(_M61)
+
+    aggs = [F.min(affine_mod(i)).alias(f"m{i}") for i in range(N_HASHES)]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(docs: DataFrame, id_col: str = "id", text_col: str = "t") -> DataFrame:
     """→ (id, band_no, band_key)."""
-    sig = docs.select(id_col, minhash_udf(F.col(text_col)).alias("sig"))
+    sig = minhash_signatures(docs, id_col, text_col)
     bands = sig.select(
         id_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_no"),
-                    F.concat_ws(",", *[F.col("sig")[b * ROWS_PER_BAND + r].cast("string") for r in range(ROWS_PER_BAND)]).alias(
+                    F.concat_ws(",", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]).alias(
                         "band_key"
                     ),
                 )

@@ -108,9 +108,14 @@ def segment_ways(ways: DataFrame) -> DataFrame:
         F.explode(split_way_udf(F.col("node_ids"), F.col("corner_pos"))).alias("seg_nodes"),
     )
     segs = segs.withColumn("fp", fingerprint_udf(F.col("seg_nodes")))
-    return segs.groupBy("fp").agg(
+    # min_by on a canonical serialization, NOT first(): segments sharing
+    # a fingerprint differ by rotation/reversal, and first() would make
+    # node_ids vary run-to-run with partitioning — violating the
+    # byte-identical-output rule (VERDICT r01 #3)
+    seg_key = F.array_join(F.transform("seg_nodes", lambda x: x.cast("string")), ",")
+    return segs.withColumn("seg_key", seg_key).groupBy("fp").agg(
         F.array_join(F.array_sort(F.collect_set("way_id")), ",").alias("parents"),
         F.count("*").alias("n_parents"),
         F.min(F.col("admin_level").cast("int")).alias("admin_level"),
-        F.first("seg_nodes").alias("node_ids"),
+        F.min_by("seg_nodes", "seg_key").alias("node_ids"),
     )

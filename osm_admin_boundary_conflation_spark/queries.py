@@ -631,35 +631,54 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select("vec_id", "score")
 
 
+def _band_key_sql(j: int, bits: int = 8) -> str:
+    """DuckDB mirror of operators.ann.band_key_expr (1-based arrays)."""
+    return " + ".join(f"{1 << b} * CAST(embedding[{j * bits + b + 1}] > 0 AS INT)" for b in range(bits))
+
+
+_SIGN_BANDS_SQL = f"""
+bands AS (
+  SELECT vec_id, 0 AS band_no, ({_band_key_sql(0)}) AS band_key FROM embeddings
+  UNION ALL
+  SELECT vec_id, 1 AS band_no, ({_band_key_sql(1)}) AS band_key FROM embeddings
+)
+"""
+
+
 @q(
     "ann_lsh_bucketed",
-    oracle="""
-WITH b AS (
-  SELECT vec_id, label,
-         CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
-       + 4 * CAST(embedding[3] > 0 AS INT) + 8 * CAST(embedding[4] > 0 AS INT) AS bucket
+    oracle=f"""
+WITH {_SIGN_BANDS_SQL},
+qk AS (SELECT band_no, band_key FROM bands WHERE vec_id = 0),
+cand AS (
+  SELECT DISTINCT a.vec_id FROM bands a JOIN qk USING (band_no, band_key)
+  WHERE a.vec_id <> 0
+),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
-)
-SELECT bucket, count(*) AS n_vecs, count(DISTINCT label) AS n_labels
-FROM b GROUP BY bucket
+),
+qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+dots AS (
+  SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS nrm
+  FROM ev e JOIN cand USING (vec_id) JOIN qv q USING (i) GROUP BY e.vec_id
+),
+qn AS (SELECT sqrt(sum(v * v)) AS qnrm FROM qv)
+SELECT vec_id, score FROM (
+  SELECT vec_id, round(dot / (nrm * qnrm), 6) AS score,
+         row_number() OVER (ORDER BY round(dot / (nrm * qnrm), 6) DESC, vec_id) AS rn
+  FROM dots, qn)
+WHERE rn <= 10
 """,
 )
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN scale path: sign-bit bucketing on leading
-    dimensions → candidate buckets (search only touches one bucket)."""
+    """ACTUAL LSH-bucketed top-k search (round 1 emitted index stats
+    only): probe the query's banded sign-LSH buckets, exact cosine over
+    the candidate union (~n_bands·N/2^bits of the corpus), top-10."""
+    from .operators import ann as ANN
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    e = F.col("embedding")
-    bucket = (
-        (e[0] > 0).cast("int")
-        + 2 * (e[1] > 0).cast("int")
-        + 4 * (e[2] > 0).cast("int")
-        + 8 * (e[3] > 0).cast("int")
-    )
-    return (
-        emb.select("vec_id", "label", bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_vecs"), F.count_distinct("label").alias("n_labels"))
-    )
+    return ANN.bucketed_topk(emb, query_id=0, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -980,57 +999,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "embedding_neardup",
-    oracle="""
-WITH b AS (
-  SELECT vec_id,
-         CAST(embedding[1] > 0 AS INT) + 2 * CAST(embedding[2] > 0 AS INT)
-       + 4 * CAST(embedding[3] > 0 AS INT) + 8 * CAST(embedding[4] > 0 AS INT) AS bucket,
-         embedding
-  FROM embeddings
+    oracle=f"""
+WITH {_SIGN_BANDS_SQL},
+pairs AS (
+  SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
+  FROM bands a JOIN bands c ON a.band_no = c.band_no AND a.band_key = c.band_key
+   AND a.vec_id < c.vec_id
 ),
 ev AS (
-  SELECT vec_id, bucket, generate_subscripts(embedding, 1) AS i,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM b
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
 ),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY vec_id),
-pairs AS (
-  SELECT a.vec_id AS ia, c.vec_id AS ib, sum(a.v * c.v) AS dot
-  FROM ev a JOIN ev c ON a.i = c.i AND a.bucket = c.bucket AND a.vec_id < c.vec_id
-  GROUP BY a.vec_id, c.vec_id
+dots AS (
+  SELECT p.ia, p.ib, sum(a.v * c.v) AS dot
+  FROM pairs p JOIN ev a ON a.vec_id = p.ia JOIN ev c ON c.vec_id = p.ib AND c.i = a.i
+  GROUP BY p.ia, p.ib
 )
 SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
-FROM pairs
+FROM dots
 JOIN norms na ON na.vec_id = ia
 JOIN norms nb ON nb.vec_id = ib
 WHERE dot / (na.nrm * nb.nrm) >= 0.4
 """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: sign-bit LSH bucket prefilter, then
-    exact cosine within buckets (zip_with dot product, JVM-side)."""
+    """Embedding-cosine near-dup via PARAMETERIZED banded sign-LSH
+    (2 bands × 8 bits — per-band occupancy ~N/256 vs round 1's 16
+    buckets), exact cosine verify within candidate pairs (zip_with,
+    JVM-side)."""
+    from .operators import ann as ANN
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    e = F.col("embedding")
-    bucket = (
-        (e[0] > 0).cast("int")
-        + 2 * (e[1] > 0).cast("int")
-        + 4 * (e[2] > 0).cast("int")
-        + 8 * (e[3] > 0).cast("int")
-    )
-    dbl = lambda c: c.cast("double")  # noqa: E731
-    d = emb.select("vec_id", "embedding", bucket.alias("bucket"))
-    nrm = F.sqrt(
-        F.aggregate(F.transform("embedding", lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda a, v: a + v)
-    )
-    d = d.withColumn("nrm", nrm)
-    a = d.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"), "bucket")
-    b = d.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("ia") < F.col("ib"))
-    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: dbl(x) * dbl(y)), F.lit(0.0), lambda acc, v: acc + v)
-    out = pairs.withColumn("cos_sim", F.round(dot / (F.col("na") * F.col("nb")), 6)).filter(
-        F.col("cos_sim") >= 0.4
-    )
-    return out.select("ia", "ib", "cos_sim")
+    return ANN.neardup_pairs(emb, threshold=0.4)
 
 
 # ===========================================================================
@@ -1196,41 +1197,69 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "twophase_lookup",
     oracle="""
 WITH prim AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 13),
-fallback AS (SELECT n_nationkey, n_name FROM nation)
-SELECT c.c_custkey,
-       coalesce(p.n_name, f.n_name) AS resolved_name,
-       CASE WHEN p.n_nationkey IS NOT NULL THEN 'ref' ELSE 'name' END AS match_path
-FROM customer c
-LEFT JOIN prim p ON c.c_nationkey = p.n_nationkey
-LEFT JOIN fallback f ON lower(f.n_name) = lower(
-    (SELECT n2.n_name FROM nation n2 WHERE n2.n_nationkey = c.c_nationkey))
+known AS (
+  SELECT c.c_custkey, c.c_nationkey,
+         CASE WHEN c.c_custkey % 3 = 0
+              THEN lower(substr(n2.n_name, 1, 1) || '.' || substr(n2.n_name, 3))
+              ELSE n2.n_name END AS pattern
+  FROM customer c JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+)
+SELECT k.c_custkey,
+       coalesce(p.n_name, f.n_name, r.n_name) AS resolved_name,
+       CASE WHEN p.n_nationkey IS NOT NULL THEN 'ref'
+            WHEN f.n_name IS NOT NULL THEN 'name'
+            WHEN r.n_name IS NOT NULL THEN 'regex'
+            ELSE 'miss' END AS match_path
+FROM known k
+LEFT JOIN prim p ON k.c_nationkey = p.n_nationkey
+LEFT JOIN nation f ON lower(f.n_name) = lower(k.pattern)
+LEFT JOIN nation r ON f.n_name IS NULL
+                  AND regexp_matches(r.n_name, '^' || k.pattern || '$', 'i')
 """,
 )
 def q_twophase_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase lookup (S4+S5, measure_quality.py:86-93 / SURVEY §4):
-    cheap ref-key probe first, case-insensitive name probe only as
-    fallback, coalesced."""
+    """Three-leg lookup (S4+S5/G17, measure_quality.py:86-93 and the
+    ANCHORED CASE-INSENSITIVE REGEX name probe of measure_quality.py:28
+    `name~"^{x}$",i`): cheap ref-key probe first, lower()-equality name
+    probe second, rlike regex only for the remaining misses. Every third
+    customer knows a regex PATTERN (second letter wildcarded, lowercased)
+    rather than the literal name, so the regex leg is genuinely
+    exercised."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     primary = n.filter(F.col("n_nationkey") < 13).select(
         F.col("n_nationkey").alias("p_key"), F.col("n_name").alias("p_name")
     )
-    # the "name" each customer knows (via its nation key) — S5's regex
-    # name probe is `lower(name) =` here (G17)
-    cname = c.join(
+    pattern = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.lower(
+            F.concat(F.substring("known_name", 1, 1), F.lit("."), F.expr("substr(known_name, 3)"))
+        ),
+    ).otherwise(F.col("known_name"))
+    known = c.join(
         n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("known_name")),
         F.col("c_nationkey") == F.col("ck"),
-        "left",
-    )
+    ).withColumn("pattern", pattern)
     fb = n.select(F.lower(F.col("n_name")).alias("f_lower"), F.col("n_name").alias("f_name"))
+    rx = n.select(F.col("n_name").alias("r_name"))
     out = (
-        cname.join(F.broadcast(primary), F.col("c_nationkey") == F.col("p_key"), "left")
-        .join(F.broadcast(fb), F.lower(F.col("known_name")) == F.col("f_lower"), "left")
+        known.join(F.broadcast(primary), F.col("c_nationkey") == F.col("p_key"), "left")
+        .join(F.broadcast(fb), F.lower(F.col("pattern")) == F.col("f_lower"), "left")
+        .join(
+            F.broadcast(rx),
+            F.col("f_name").isNull()
+            & F.expr("regexp_like(r_name, concat('(?i)^', pattern, '$'))"),
+            "left",
+        )
     )
     return out.select(
         "c_custkey",
-        F.coalesce(F.col("p_name"), F.col("f_name")).alias("resolved_name"),
-        F.when(F.col("p_key").isNotNull(), F.lit("ref")).otherwise(F.lit("name")).alias("match_path"),
+        F.coalesce(F.col("p_name"), F.col("f_name"), F.col("r_name")).alias("resolved_name"),
+        F.when(F.col("p_key").isNotNull(), F.lit("ref"))
+        .when(F.col("f_name").isNotNull(), F.lit("name"))
+        .when(F.col("r_name").isNotNull(), F.lit("regex"))
+        .otherwise(F.lit("miss"))
+        .alias("match_path"),
     )
 
 

@@ -1,0 +1,55 @@
+"""Segmentation determinism (translation.py pipeline analogue)."""
+
+import pyspark.sql.functions as F
+
+from osm_admin_boundary_conflation_spark import datagen_osm
+from osm_admin_boundary_conflation_spark.operators import segmentation as SG
+
+
+def _run(spark, sf_dir):
+    ways = datagen_osm.build_strip_world(spark, sf_dir)
+    out = SG.segment_ways(ways)
+    return sorted(
+        (r["fp"], r["parents"], r["n_parents"], r["admin_level"], tuple(r["node_ids"]))
+        for r in out.collect()
+    )
+
+
+def test_segment_output_byte_identical_across_parallelism(spark, sf_dir):
+    """North rule: identical FULL rows — including the representative
+    node_ids, which round 1 picked with first() and could vary with
+    partitioning — at different shuffle parallelism."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _run(spark, sf_dir)
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = _run(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+    # representative is the lexicographically-min serialization of its
+    # fingerprint class — recompute one group to pin the rule
+    segs = {r[0]: r[4] for r in a}
+    assert len(segs) == len(a)  # fp is unique per output row
+
+
+def test_segment_representative_is_canonical_min(spark):
+    """Two rotations/reversals of the same ring dedupe to ONE row whose
+    node_ids is the min-serialization member."""
+    # two ways (below the >=3-way corner threshold, so no splitting):
+    # a ring and its rotated reversal share one fingerprint
+    ways = spark.createDataFrame(
+        [
+            (1, [10, 20, 30, 40, 10], "9"),
+            (2, [40, 30, 20, 10, 40], "9"),
+        ],
+        "way_id long, node_ids array<long>, admin_level string",
+    )
+    out = SG.segment_ways(ways).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["parents"] == "1,2"
+    assert r["n_parents"] == 2
+    cands = ["10,20,30,40,10", "40,30,20,10,40"]
+    assert ",".join(str(x) for x in r["node_ids"]) == min(cands)

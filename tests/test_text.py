@@ -63,3 +63,67 @@ def test_fingerprints_deterministic():
     r2 = T.rolling_fingerprint(s)
     assert r1.tolist() == r2.tolist()
     assert r1[1] == 0
+
+
+def test_jvm_minhash_signatures_bit_exact(spark):
+    """The JVM-side minhash path (explode → md5/conv → long-math affine
+    mins) must equal functions.text.minhash_signature bit-for-bit —
+    same md5 family, same (h*a+b) % (2^61-1), overflow-free."""
+    import pyspark.sql.functions as F
+
+    from osm_admin_boundary_conflation_spark.operators import dedup as DD
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short text",
+        "",
+        "  spaced   out   words   here   now   ok  ",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    got = {r["id"]: [r[f"m{i}"] for i in range(16)] for r in DD.minhash_signatures(docs).collect()}
+    import hashlib
+    import re
+
+    for i, t in enumerate(texts):
+        # the oracle/JVM split keeps a single '' word for empty text;
+        # mirror that here instead of text.shingles' empty-list behavior
+        w = re.split(r"\s+", t.strip().lower())
+        sh = [" ".join(w)] if len(w) < 5 else [" ".join(w[j : j + 5]) for j in range(len(w) - 4)]
+        M = (1 << 61) - 1
+        base = [int(hashlib.md5(f"0:{s}".encode()).hexdigest()[:15], 16) for s in sh]
+        exp = [min((h * (2 * i + 1) + i * 0x9E3779B9) % M for h in base) for i in range(16)]
+        assert got[i] == exp, f"text {i}"
+
+
+def test_sign_lsh_band_occupancy(spark, sf_dir):
+    """Parameterized banded sign-LSH: per-band bucket occupancy is
+    ~N/2^bits (the 100 TB scale argument — within-bucket self-join cost
+    is quadratic in occupancy, so buckets must stay small), and the
+    bits parameter actually controls the bucket count."""
+    import pyspark.sql.functions as F
+
+    from osm_admin_boundary_conflation_spark.operators import ann as ANN
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+
+    occ8 = (
+        ANN.sign_lsh_bands(emb, n_bands=2, bits=8)
+        .groupBy("band_no", "band_key")
+        .count()
+        .agg(F.max("count").alias("mx"), F.count("*").alias("nb"))
+        .collect()[0]
+    )
+    # expected ~N/256 per bucket; allow 10x slack for data structure
+    assert occ8["mx"] <= max(10 * n // 256, 10)
+    assert occ8["nb"] >= 100  # genuinely spread, not 16 fat buckets
+
+    occ4 = (
+        ANN.sign_lsh_bands(emb, n_bands=1, bits=4)
+        .groupBy("band_key")
+        .count()
+        .collect()
+    )
+    assert len(occ4) <= 16  # k controls the bucket space
+    assert occ8["nb"] > len(occ4)
