@@ -95,14 +95,46 @@ def _node_ids(base, n_pts, closed=None):
 
 _WORLD_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
+_WORLD_TABLES = ("src_ways", "src_rels", "osm_ways", "osm_node_tags", "osm_rels")
+
+
+def materialize_osm_world(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Write the synthetic world to parquet once (bench setup, NOT
+    measured): conflate-family bench timings then measure ENGINE
+    operators, not synthetic-array generation (VERDICT r01 bench
+    attribution). Coord payloads of >=2000-node ways are trimmed exactly
+    as the in-memory checkpoint path does."""
+    import os
+
+    world = _build_osm_world(spark, sf_dir)
+    world["src_ways"] = world["src_ways"].withColumn(
+        "coords", F.when(F.size("node_ids") < 2000, F.col("coords"))
+    )
+    world["osm_ways"] = world["osm_ways"].withColumn(
+        "coords", F.when(F.size("coords") < 2000, F.col("coords"))
+    )
+    for name in _WORLD_TABLES:
+        world[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
+
 
 def build_osm_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Memoized per (session, sf_dir) with persisted tables: four
     conflate-family queries share one world instead of regenerating the
-    synthetic arrays per query."""
+    synthetic arrays per query. If $SPARK_GRAFT_WORLD_DIR points at a
+    materialized world (bench setup), the tables are read from parquet —
+    identical rows, but scan-backed like a real input."""
+    import os
+
     key = (id(spark), sf_dir)
     if key in _WORLD_CACHE:
         return _WORLD_CACHE[key]
+    wdir = os.environ.get("SPARK_GRAFT_WORLD_DIR")
+    if wdir and os.path.exists(os.path.join(wdir, "src_ways", "_SUCCESS")):
+        world = {name: spark.read.parquet(os.path.join(wdir, name)) for name in _WORLD_TABLES}
+        for name in ("src_rels", "osm_rels", "osm_node_tags"):
+            world[name].persist()
+        _WORLD_CACHE[key] = world
+        return world
     world = _build_osm_world(spark, sf_dir)
     # small relation/tag tables: cheap in-memory persist
     for name in ("src_rels", "osm_rels", "osm_node_tags"):
