@@ -30,7 +30,7 @@ from osm_admin_boundary_conflation_spark.session import build_session  # noqa: E
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("job", choices=["geotag", "conflate", "segment", "measure"])
+    ap.add_argument("job", choices=["geotag", "conflate", "segment", "measure", "report"])
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--output", default="/tmp/engine_out")
     ap.add_argument("--checkpoint", default="/tmp/engine_cli_ckpt")
@@ -77,6 +77,27 @@ def main() -> None:
 
         ways = runner.stage("strip_ways", lambda: datagen_osm.build_strip_world(spark, args.sf_dir))
         out = runner.stage("segments", lambda: segment_ways(ways))
+    elif args.job == "report":
+        # S12: conflate + render the HTML report artifact
+        from osm_admin_boundary_conflation_spark.operators.conflation import conflate
+        from osm_admin_boundary_conflation_spark.report import write_report
+
+        world = datagen_osm.build_osm_world(spark, args.sf_dir)
+        verdicts = runner.stage(
+            "verdicts",
+            lambda: conflate(
+                world["src_ways"],
+                world["src_rels"],
+                world["osm_ways"],
+                world["osm_node_tags"],
+                world["osm_rels"],
+            ),
+        )
+        html_path = args.output if args.output.endswith(".html") else args.output + ".html"
+        stats = write_report(verdicts, html_path)
+        print(f"job=report rows={stats['total_ways']} output={html_path} stats={stats}")
+        spark.stop()
+        return
     else:  # measure
         from osm_admin_boundary_conflation_spark.queries import q_measure_quality
 

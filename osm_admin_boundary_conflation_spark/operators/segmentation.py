@@ -87,9 +87,30 @@ def detect_corners(ways: DataFrame, min_ways: int = 3) -> DataFrame:
     )
 
 
-def segment_ways(ways: DataFrame) -> DataFrame:
+def lint_metrics():
+    """Runtime lint invariants (translation.py:331-370) as observed
+    metrics: consecutive duplicate nodes in ways, one-node ways. Rides
+    the existing scan via df.observe — no extra job (the in-pipeline
+    analogue of the reference's after-each-phase lint pass)."""
+    dup_nodes = F.expr(
+        "size(filter(zip_with(node_ids, slice(node_ids, 2, size(node_ids) - 1),"
+        " (a, b) -> a = b), x -> x))"
+    )
+    return [
+        F.count(F.lit(1)).alias("n_ways"),
+        F.sum(dup_nodes.cast("long")).alias("dup_nodes"),
+        F.sum((F.size("node_ids") == 1).cast("long")).alias("one_node_ways"),
+    ]
+
+
+def segment_ways(ways: DataFrame, lint_observation=None) -> DataFrame:
     """ways(way_id, node_ids, admin_level) → deduped segment table
-    (fp, parents, n_parents, admin_level, node_ids)."""
+    (fp, parents, n_parents, admin_level, node_ids).
+
+    Pass a pyspark Observation as ``lint_observation`` to collect the
+    translation.py lint counters alongside the run."""
+    if lint_observation is not None:
+        ways = ways.observe(lint_observation, *lint_metrics())
     corners = detect_corners(ways)
 
     # corner positions per way (positions within the open core)

@@ -82,22 +82,22 @@ def geotag_pages(
     (conflate.py:528 formatting).
     """
     pg = extract_pages_geo(pages, res).select("url", "lat", "lon", "cell_id")
-    # persist the covering index: it is consumed twice (resolution-level
-    # collect + the join build side) and the covering UDF is the only
-    # non-trivial work on the boundary side
-    bc = (
-        boundary_cells(boundaries.select("level9_id", "wkt"), res)
-        .withColumnRenamed("cell_id", "_jcell")
-        .persist()
-    )
+    # persist the covering BEFORE the explode: the covering UDF (the only
+    # non-trivial boundary-side work) runs once, and the resolution-level
+    # distinct below scans one row per BOUNDARY, not per covering cell
+    # (<=512x smaller than the round-1 post-explode distinct)
+    bcov = boundaries.select("level9_id", "wkt", cover_wkt_udf("wkt").alias("_cells")).persist()
+    bc = bcov.select("level9_id", "wkt", F.explode("_cells").alias("_jcell"))
 
-    # adaptive covering may emit several resolutions (one per boundary);
-    # the pages side joins at every resolution present. The collect is a
-    # bounded driver action over the *distinct resolution levels* (<= 16
-    # values), never over boundary rows.
+    # adaptive covering may emit several resolutions (one per boundary —
+    # all of a boundary's cells share one level); the pages side joins at
+    # every level PRESENT, so the page-side explode factor is the
+    # handful of levels the data actually uses, not all base_res+1. The
+    # collect is a bounded driver action (<= base_res+1 values) over the
+    # per-boundary distinct.
     res_levels = sorted(
-        int(r[0].split(":")[0][1:])
-        for r in bc.select(F.split("_jcell", ":")[0]).distinct().collect()
+        int(r[0][1:])
+        for r in bcov.select(F.split(F.element_at("_cells", 1), ":")[0]).distinct().collect()
     )
     jcells = F.array(*[cell_expr(F.col("lon"), F.col("lat"), rl) for rl in res_levels])
     pg = pg.withColumn("_jcell", F.explode(jcells))

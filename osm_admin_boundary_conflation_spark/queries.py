@@ -1652,3 +1652,144 @@ def q_conflate_verdicts_unglue(spark: SparkSession, sf_dir: str) -> DataFrame:
         unglue_ways_as_needed=True,
     )
     return out.select("way_id", "verdict", "n_unglued")
+
+
+@q(
+    "osm_xml_scan",
+    oracle="""
+SELECT 'node' AS kind, CAST(n_nationkey AS BIGINT) AS id, 0 AS n_children,
+       CASE WHEN n_nationkey % 2 = 0 THEN n_name END AS tag_val,
+       CAST(35.0 + n_nationkey * 0.5 AS DOUBLE) AS lat,
+       CAST(10.0 + n_nationkey * 0.25 AS DOUBLE) AS lon
+FROM nation
+UNION ALL
+SELECT 'way', CAST(1000 + n_nationkey AS BIGINT), 2, 'administrative', NULL, NULL FROM nation
+UNION ALL
+SELECT 'relation', CAST(2000 + n_nationkey AS BIGINT), 2, CAST(n_nationkey AS VARCHAR),
+       NULL, NULL
+FROM nation
+""",
+)
+def q_osm_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 OSM XML source (conflate.py:22-62 load_osm): generate a
+    deterministic .osm document from the nation table (self-closing and
+    block elements, tags, nd refs, typed members), parse it with the
+    distributed mapInPandas scan, and emit a per-element summary the
+    oracle recomputes from the same closed forms."""
+    import os
+    import tempfile
+
+    from .sources.osm_xml import load_osm
+
+    nations = sorted(
+        (r["n_nationkey"], r["n_name"])
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    )
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for k, name in nations:
+        lat, lon = 35.0 + k * 0.5, 10.0 + k * 0.25
+        if k % 2 == 0:
+            lines.append(f'  <node id="{k}" lat="{lat}" lon="{lon}">')
+            lines.append(f'    <tag k="name" v="{name}"/>')
+            lines.append("  </node>")
+        else:
+            lines.append(f'  <node id="{k}" lat="{lat}" lon="{lon}"/>')
+        lines.append(f'  <way id="{1000 + k}">')
+        lines.append(f'    <nd ref="{k}"/>')
+        lines.append(f'    <nd ref="{k + 1}"/>')
+        lines.append('    <tag k="boundary" v="administrative"/>')
+        lines.append("  </way>")
+        lines.append(f'  <relation id="{2000 + k}">')
+        lines.append(f'    <member type="node" ref="{k}" role="admin_centre"/>')
+        lines.append(f'    <member type="way" ref="{1000 + k}" role="outer"/>')
+        lines.append(f'    <tag k="ref" v="{k}"/>')
+        lines.append("  </relation>")
+    lines.append("</osm>")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{os.path.basename(sf_dir.rstrip('/'))}.osm")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+    w = load_osm(spark, path)
+    nodes = w["nodes"].select(
+        F.lit("node").alias("kind"),
+        "id",
+        F.lit(0).alias("n_children"),
+        F.col("tags")["name"].alias("tag_val"),
+        "lat",
+        "lon",
+    )
+    ways = w["ways"].select(
+        F.lit("way").alias("kind"),
+        "id",
+        F.size("node_ids").alias("n_children"),
+        F.col("tags")["boundary"].alias("tag_val"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+    )
+    rels = w["relations"].select(
+        F.lit("relation").alias("kind"),
+        "id",
+        F.size("members").alias("n_children"),
+        F.col("tags")["ref"].alias("tag_val"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+    )
+    return nodes.unionByName(ways).unionByName(rels)
+
+
+@q(
+    "subarea_sync",
+    oracle="""
+SELECT 'm' || CAST(g AS VARCHAR) AS level8_id,
+       CASE WHEN g IN (0, 3) THEN 'skip_equal' ELSE 'edit' END AS action,
+       CAST(CASE g WHEN 1 THEN 1 WHEN 4 THEN 5 ELSE 0 END AS INT) AS n_add,
+       CAST(CASE g WHEN 2 THEN 1 ELSE 0 END AS INT) AS n_remove
+FROM (SELECT DISTINCT n_nationkey % 5 AS g FROM nation)
+""",
+)
+def q_subarea_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subarea sync with the count-compare short-circuit
+    (extras/add_subarea_settlements.py:17-19,54-57
+    ASSUME_SUBAREA_EQUAL_IF_EQUAL_NUMBER): per level-8 municipality,
+    SKIP when the OSM subarea-member count equals the cadastre level-9
+    count — including the heuristic's deliberate false negative (group
+    m3: one stale + one missing, counts equal, skipped); otherwise emit
+    the add/remove member delta (:62-76).
+
+    Synthetic OSM membership per group: m0 in sync; m1 one missing; m2
+    one stale extra; m3 one missing AND one stale (equal count); m4
+    empty."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("key")
+    )
+    g = (F.col("key") % 5).alias("g")
+    cad = n.select(
+        g, (F.col("key") + 40_000_000).alias("ref")
+    )  # cadastre level9 → its OSM relation id (get_level9_from_osm identity)
+    # OSM level-8 relations' subarea members, perturbed per group
+    osm_real = n.select(g, (F.col("key") + 40_000_000).alias("ref")).filter(
+        ~(((F.col("key") % 5) == 1) & (F.col("key") == 1))
+        & ~(((F.col("key") % 5) == 3) & (F.col("key") == 3))
+        & ((F.col("key") % 5) != 4)
+    )
+    stale = n.filter(F.col("key").isin(2, 3)).select(
+        (F.col("key") % 5).alias("g"), (F.col("key") + 49_000_000).alias("ref")
+    )
+    osm = osm_real.unionByName(stale)
+
+    cad_g = cad.groupBy("g").agg(F.collect_set("ref").alias("cad_refs"))
+    osm_g = osm.groupBy("g").agg(F.collect_set("ref").alias("osm_refs"))
+    j = cad_g.join(osm_g, "g", "left").withColumn(
+        "osm_refs", F.coalesce("osm_refs", F.array().cast("array<long>"))
+    )
+    equal = F.size("cad_refs") == F.size("osm_refs")
+    return j.select(
+        F.concat(F.lit("m"), F.col("g").cast("string")).alias("level8_id"),
+        F.when(equal, F.lit("skip_equal")).otherwise(F.lit("edit")).alias("action"),
+        F.when(equal, F.lit(0))
+        .otherwise(F.size(F.array_except("cad_refs", "osm_refs")))
+        .alias("n_add"),
+        F.when(equal, F.lit(0))
+        .otherwise(F.size(F.array_except("osm_refs", "cad_refs")))
+        .alias("n_remove"),
+    )

@@ -53,3 +53,26 @@ def test_segment_representative_is_canonical_min(spark):
     assert r["n_parents"] == 2
     cands = ["10,20,30,40,10", "40,30,20,10,40"]
     assert ",".join(str(x) for x in r["node_ids"]) == min(cands)
+
+
+def test_lint_observed_metrics(spark):
+    """translation.py:331-370 lint analogue: observed counters fire on
+    duplicate consecutive nodes and one-node ways, stay zero on clean
+    input — without an extra job."""
+    from pyspark.sql import Observation
+
+    clean = spark.createDataFrame(
+        [(1, [1, 2, 3], "9"), (2, [3, 4], "9")],
+        "way_id long, node_ids array<long>, admin_level string",
+    )
+    obs = Observation("lint")
+    SG.segment_ways(clean, lint_observation=obs).collect()
+    assert obs.get == {"n_ways": 2, "dup_nodes": 0, "one_node_ways": 0}
+
+    dirty = spark.createDataFrame(
+        [(1, [1, 1, 2, 2, 3], "9"), (2, [7], "9"), (3, [8, 9], "9")],
+        "way_id long, node_ids array<long>, admin_level string",
+    )
+    obs2 = Observation("lint2")
+    SG.segment_ways(dirty, lint_observation=obs2).collect()
+    assert obs2.get == {"n_ways": 3, "dup_nodes": 2, "one_node_ways": 1}
