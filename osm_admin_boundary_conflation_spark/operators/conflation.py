@@ -276,8 +276,15 @@ def conflate(
         F.count("*").alias("n_cands"),
         F.array_sort(F.collect_list("osm_way_id")).alias("cand_ids"),
     )
-    ways = ways.join(cand_agg, "way_id", "left").withColumn(
-        "n_cands", F.coalesce("n_cands", F.lit(0))
+    # persist the candidate-resolved ways: FIVE downstream branches
+    # (node explode, osm-way join, relation scan, node-tag probe, the
+    # unmatched union) consume this subtree — without a persist each
+    # branch recomputes the whole membership + candidate-index DAG.
+    # Payloads are already trimmed, so the cached rows are skinny.
+    ways = (
+        ways.join(cand_agg, "way_id", "left")
+        .withColumn("n_cands", F.coalesce("n_cands", F.lit(0)))
+        .persist()
     )
     matched = ways.filter((F.col("n_cands") == 1) & (F.col("n_rels").isin(1, 2))).withColumn(
         "osm_way_id", F.col("cand_ids")[0]
@@ -290,14 +297,19 @@ def conflate(
     # trimmed to NULL before the join. The remaining arrays are small;
     # the join side is still hinted merge (spills gracefully, and
     # Spark's row-count-based size estimate undercounts array payloads).
+    # node-id payloads of >=2000-node OSM ways are trimmed at the source
+    # like coords: such a way can only match a >=2000-node src (which is
+    # ERROR_TOO_MANY_NODES by count alone) — the reference asserts
+    # found_osm_way < 2000 outright (conflate.py:214) — so the 2000-long
+    # arrays never ride this join.
     ow = osm_ways.select(
         "osm_way_id",
         F.when(F.size("coords") < 2000, F.col("coords")).alias("osm_coords"),
-        F.col("node_ids").alias("osm_node_ids"),
+        F.when(F.size("node_ids") < 2000, F.col("node_ids")).alias("osm_node_ids"),
         F.col("tags").alias("osm_tags"),
     ).hint("merge")
     matched = matched.join(ow, "osm_way_id", "left")
-    # node-level checks are moot for too_many rows: don't explode 2000 ids
+    # node-level checks are moot for too_many rows: don't explode their ids
     matched = matched.withColumn(
         "osm_node_ids", F.when(F.col("n_src") < 2000, F.col("osm_node_ids"))
     )
@@ -349,8 +361,18 @@ def conflate(
     # unglue skips ANY tagged node (conflate.py:173-175 — even a lone
     # created_by, unlike the P7 node-tag verdict below)
     any_node_tags = osm_node_tags.select("node_id", F.lit(True).alias("node_has_tags"))
+    # Prune the reverse index BEFORE its shuffle: only nodes that occur
+    # in some candidate can produce a sharing pair, and the candidate
+    # node-id set is tiny relative to the full index (matched ways ×
+    # ~nodes/way vs every node of every OSM way — here 0.7M vs 16M).
+    # A broadcast semi-join applies the prune map-side, so the giant
+    # explode never shuffles; at a scale where the candidate set itself
+    # outgrows broadcast, swap this for a bloom-filter prune (same
+    # shape, approximate membership + exact join after).
+    cand_node_ids = cand_nodes.select("node_id").distinct()
+    node_way = node_way.join(F.broadcast(cand_node_ids), "node_id", "leftsemi")
     shared = (
-        cand_nodes.join(node_way.hint("merge"), "node_id")
+        cand_nodes.join(node_way, "node_id")
         .filter(F.col("nw_way") != F.col("osm_way_id"))
         .join(F.broadcast(any_node_tags), "node_id", "left")
         .withColumn("node_has_tags", F.coalesce("node_has_tags", F.lit(False)))
