@@ -126,7 +126,10 @@ def main_bench() -> None:
     world_dir = f"{WORLD_DIR}_{_sf_from_dir(SF_DIR)}"
     datagen_osm.materialize_osm_world(spark, SF_DIR, world_dir)
     os.environ["SPARK_GRAFT_WORLD_DIR"] = world_dir
-    print(json.dumps({"setup": "materialize_osm_world", "sec": round(time.time() - t0, 3)}))
+    strip_dir = f"{WORLD_DIR}_strip_{_sf_from_dir(SF_DIR)}"
+    datagen_osm.materialize_strip_world(spark, SF_DIR, strip_dir)
+    os.environ["SPARK_GRAFT_STRIP_DIR"] = strip_dir
+    print(json.dumps({"setup": "materialize_worlds", "sec": round(time.time() - t0, 3)}))
 
     qs = Q.queries()
     timings: dict[str, float] = {}

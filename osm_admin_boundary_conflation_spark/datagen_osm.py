@@ -335,7 +335,24 @@ def _build_osm_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     }
 
 
+def materialize_strip_world(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Bench setup (NOT measured): write the strip world to parquet so
+    segment_tiles times engine operators, not synthetic-array datagen."""
+    _build_strip_world(spark, sf_dir).write.mode("overwrite").parquet(out_dir)
+
+
 def build_strip_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation input (see _build_strip_world). Reads the
+    materialized parquet copy when $SPARK_GRAFT_STRIP_DIR is set."""
+    import os
+
+    sdir = os.environ.get("SPARK_GRAFT_STRIP_DIR")
+    if sdir and os.path.exists(os.path.join(sdir, "_SUCCESS")):
+        return spark.read.parquet(sdir)
+    return _build_strip_world(spark, sf_dir)
+
+
+def _build_strip_world(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmentation input: M adjacent unit rectangles (one per orders
     key, dense-ranked) sharing vertical borders, plus the outer
     perimeter ring as way_id=-1 with admin_level=2 (the national-border

@@ -23,11 +23,21 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StringType
 
 from ..functions.geometry import canonical_node_fingerprint
+
+# ways at or above this node count take the fully distributed window
+# splitter instead of the per-way Arrow UDF: OSM caps ways at 2000
+# nodes, so in-model data always takes the Arrow path (parallel across
+# ways — the right scale shape for many-small-ways input). The window
+# path exists for out-of-model giants (a whole national perimeter as
+# one way) that would straggle or OOM a single task; measured on a
+# 300k-node way both paths cost the same, so the threshold sits where
+# a single task genuinely becomes the bottleneck.
+SPLIT_DISTRIBUTED_MIN = 500_000
 
 
 @pandas_udf(ArrayType(ArrayType(LongType())))
@@ -103,6 +113,83 @@ def lint_metrics():
     ]
 
 
+def split_ways_distributed(ways: DataFrame, corners: DataFrame) -> DataFrame:
+    """G13 splitting for ARBITRARILY long ways, fully distributed — no
+    per-way nested-array materialization, no single-task straggler:
+
+      posexplode → corner flag (join on node_id) → per-way window
+      cumsum of corner flags → segment id arithmetic (corners duplicate
+      into the adjacent segment; closed ways wrap the head rows after
+      the tail with ord = pos + core_n) → groupBy (way, seg) reassembly.
+
+    Byte-identical to split_way_udf (differential-tested, see
+    tests/test_segmentation.py). → (way_id, admin_level, seg_nodes)."""
+    n = F.size("node_ids")
+    is_closed = (n > 1) & (F.element_at("node_ids", 1) == F.element_at("node_ids", -1))
+    base = ways.select(
+        "way_id",
+        "admin_level",
+        n.alias("n"),
+        is_closed.alias("closed"),
+        F.posexplode("node_ids").alias("pos", "node_id"),
+    )
+    # closed ways operate on the open core (closing duplicate dropped)
+    base = base.filter(~F.col("closed") | (F.col("pos") < F.col("n") - 1))
+    base = base.withColumn(
+        "core_n", F.when(F.col("closed"), F.col("n") - 1).otherwise(F.col("n"))
+    )
+    flagged = base.join(
+        corners.select("node_id", F.lit(True).alias("is_corner")), "node_id", "left"
+    ).withColumn("ic", F.coalesce("is_corner", F.lit(False)).cast("int"))
+    w_run = Window.partitionBy("way_id").orderBy("pos")
+    w_all = Window.partitionBy("way_id")
+    flagged = flagged.withColumn("c_le", F.sum("ic").over(w_run))
+    flagged = flagged.withColumn("k", F.max("c_le").over(w_all))
+
+    closed_c, open_c = F.col("closed"), ~F.col("closed")
+    k, c_le, ic, pos, core_n = (F.col(c) for c in ("k", "c_le", "ic", "pos", "core_n"))
+
+    # closed way with NO corners stays whole (incl. its closing node):
+    # pass the original rows through untouched
+    whole_closed = ways.join(
+        flagged.filter(closed_c & (k == 0)).select("way_id").distinct(), "way_id", "leftsemi"
+    ).select("way_id", "admin_level", F.col("node_ids").alias("seg_nodes"))
+
+    splittable = flagged.filter(open_c | (k > 0))
+    # main emission: the segment each row's position belongs to
+    main_seg = F.when(open_c, c_le - ic).otherwise(
+        F.when(c_le == 0, k - 1).otherwise(c_le - 1)
+    )
+    main_ord = F.when(closed_c & (c_le == 0), pos + core_n).otherwise(pos)
+    main = splittable.select(
+        "way_id", "admin_level", main_seg.alias("seg"), main_ord.alias("ord"), "node_id"
+    )
+    # corner rows also END the adjacent segment
+    dup_rows = splittable.filter(ic == 1)
+    dup_open = dup_rows.filter(open_c & (pos < F.col("n") - 1)).select(
+        "way_id", "admin_level", (c_le - ic + 1).alias("seg"), pos.alias("ord"), "node_id"
+    )
+    dup_closed = dup_rows.filter(closed_c).select(
+        "way_id",
+        "admin_level",
+        F.when(c_le == 1, k - 1).otherwise(c_le - 2).alias("seg"),
+        F.when(c_le == 1, pos + core_n).otherwise(pos).alias("ord"),
+        "node_id",
+    )
+    assembled = (
+        main.unionByName(dup_open)
+        .unionByName(dup_closed)
+        .groupBy("way_id", "admin_level", "seg")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "node_id"))), lambda s: s["node_id"]
+            ).alias("seg_nodes")
+        )
+    )
+    out = assembled.filter(F.size("seg_nodes") >= 2).select("way_id", "admin_level", "seg_nodes")
+    return out.unionByName(whole_closed)
+
+
 def segment_ways(ways: DataFrame, lint_observation=None) -> DataFrame:
     """ways(way_id, node_ids, admin_level) → deduped segment table
     (fp, parents, n_parents, admin_level, node_ids).
@@ -113,21 +200,27 @@ def segment_ways(ways: DataFrame, lint_observation=None) -> DataFrame:
         ways = ways.observe(lint_observation, *lint_metrics())
     corners = detect_corners(ways)
 
-    # corner positions per way (positions within the open core)
-    pos = ways.select("way_id", F.posexplode("node_ids").alias("pos", "node_id"))
+    small = ways.filter(F.size("node_ids") < SPLIT_DISTRIBUTED_MIN)
+    big = ways.filter(F.size("node_ids") >= SPLIT_DISTRIBUTED_MIN)
+
+    # small (in-model OSM) ways: per-way Arrow UDF, parallel across ways.
+    # Corner positions computed for the small side only — a giant way
+    # would otherwise funnel a huge collect_set through one group.
+    pos = small.select("way_id", F.posexplode("node_ids").alias("pos", "node_id"))
     corner_pos = (
         pos.join(corners, "node_id")  # corner set can be large at scale: shuffle equi join, AQE may still broadcast
         .groupBy("way_id")
         .agg(F.array_sort(F.collect_set("pos")).alias("corner_pos"))
     )
-    w = ways.join(corner_pos, "way_id", "left").withColumn(
+    w = small.join(corner_pos, "way_id", "left").withColumn(
         "corner_pos", F.coalesce("corner_pos", F.array().cast("array<int>"))
     )
-    segs = w.select(
+    segs_small = w.select(
         "way_id",
         "admin_level",
         F.explode(split_way_udf(F.col("node_ids"), F.col("corner_pos"))).alias("seg_nodes"),
     )
+    segs = segs_small.unionByName(split_ways_distributed(big, corners))
     segs = segs.withColumn("fp", fingerprint_udf(F.col("seg_nodes")))
     # min_by on a canonical serialization, NOT first(): segments sharing
     # a fingerprint differ by rotation/reversal, and first() would make

@@ -76,3 +76,74 @@ def test_lint_observed_metrics(spark):
     obs2 = Observation("lint2")
     SG.segment_ways(dirty, lint_observation=obs2).collect()
     assert obs2.get == {"n_ways": 3, "dup_nodes": 2, "one_node_ways": 1}
+
+
+def test_distributed_splitter_matches_udf(spark, sf_dir):
+    """split_ways_distributed must produce byte-identical segments to the
+    Arrow-UDF splitter on the same input — full strip world, forced down
+    both paths via the threshold."""
+    import osm_admin_boundary_conflation_spark.operators.segmentation as seg_mod
+
+    ways = datagen_osm.build_strip_world(spark, sf_dir)
+    old = seg_mod.SPLIT_DISTRIBUTED_MIN
+
+    def run():
+        out = SG.segment_ways(ways)
+        return sorted(
+            (r["fp"], r["parents"], r["n_parents"], r["admin_level"], tuple(r["node_ids"]))
+            for r in out.collect()
+        )
+
+    try:
+        seg_mod.SPLIT_DISTRIBUTED_MIN = 1  # everything distributed
+        a = run()
+        seg_mod.SPLIT_DISTRIBUTED_MIN = 10**9  # everything Arrow UDF
+        b = run()
+    finally:
+        seg_mod.SPLIT_DISTRIBUTED_MIN = old
+    assert a == b
+
+
+def test_distributed_splitter_randomized(spark):
+    """Randomized differential check: open/closed ways with random
+    corner sets — the window splitter equals the UDF splitter."""
+    import random
+
+    import osm_admin_boundary_conflation_spark.operators.segmentation as seg_mod
+
+    rng = random.Random(7)
+    rows = []
+    for wid in range(60):
+        m = rng.randint(2, 12)
+        nodes = [wid * 1000 + i for i in range(m)]
+        if rng.random() < 0.5 and m >= 4:
+            nodes.append(nodes[0])  # closed
+        rows.append((wid, nodes, "9"))
+    # corner nodes: a random subset of all node ids (incl. endpoints,
+    # duplicates across ways impossible by construction)
+    all_nodes = sorted({n for _, ns, _ in rows for n in ns})
+    corner_ids = [n for n in all_nodes if rng.random() < 0.35]
+    ways = spark.createDataFrame(rows, "way_id long, node_ids array<long>, admin_level string")
+    corners = spark.createDataFrame([(n,) for n in corner_ids], "node_id long")
+
+    dist = SG.split_ways_distributed(ways, corners)
+    got_a = sorted(
+        (r["way_id"], tuple(r["seg_nodes"])) for r in dist.collect()
+    )
+
+    import pyspark.sql.functions as F
+
+    pos = ways.select("way_id", F.posexplode("node_ids").alias("pos", "node_id"))
+    corner_pos = (
+        pos.join(corners, "node_id")
+        .groupBy("way_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("corner_pos"))
+    )
+    w = ways.join(corner_pos, "way_id", "left").withColumn(
+        "corner_pos", F.coalesce("corner_pos", F.array().cast("array<int>"))
+    )
+    udf_out = w.select(
+        "way_id", F.explode(SG.split_way_udf(F.col("node_ids"), F.col("corner_pos"))).alias("seg_nodes")
+    )
+    got_b = sorted((r["way_id"], tuple(r["seg_nodes"])) for r in udf_out.collect())
+    assert got_a == got_b
