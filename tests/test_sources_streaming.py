@@ -67,3 +67,74 @@ def test_stream_geotag_matches_batch(spark, sf_dir, tmp_path):
         for r in SJ.geotag_pages(pages, boundaries).collect()
     }
     assert got == want
+
+
+def test_stateful_stream_sessions_match_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState session windows: closed sessions emitted by
+    the stateful stream equal the batch sessionization, except each
+    user's final session (still open when the bounded stream drains)."""
+    from pyspark.sql import Window
+
+    from osm_admin_boundary_conflation_spark.streaming.stream_sessions import (
+        stream_sessionize,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "event_id")
+    in_dir = str(tmp_path / "ev_in")
+    # two time-ordered micro-batch files (cross-batch order preserved)
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    ev.filter(F.col("ts") <= cut).write.mode("overwrite").parquet(in_dir)
+    ev.filter(F.col("ts") > cut).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint").parquet(
+        in_dir
+    )
+    out_rows = []
+    q = (
+        stream_sessionize(stream)
+        .writeStream.foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start_us"], r["n_events"], r["duration_us"]) for r in out_rows
+    }
+
+    # batch reference (same session math as q_events_sessionize)
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | ((us - F.lag(us).over(w)) > 1800000000), 1).otherwise(0),
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = gaps.withColumn("session_no", F.sum("new_session").over(ws))
+    batch = sess.groupBy("user_id", "session_no").agg(
+        F.min(us).alias("session_start_us"),
+        F.count("*").alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )
+    rows = batch.collect()
+    last_per_user = {}
+    for r in rows:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["session_no"] > cur["session_no"]:
+            last_per_user[r["user_id"]] = r
+    want = {
+        (r["user_id"], r["session_start_us"], r["n_events"], r["duration_us"])
+        for r in rows
+        if r is not last_per_user[r["user_id"]]
+    }
+    finals = {
+        (r["user_id"], r["session_start_us"], r["n_events"], r["duration_us"])
+        for r in last_per_user.values()
+    }
+    # every gap-closed session is emitted, bit-identical to batch
+    assert want <= got
+    # anything extra is a FINAL session legitimately closed by the
+    # event-time timeout once the end-of-stream watermark passed
+    # last_event + gap; none is fabricated
+    assert got - want <= finals
+    assert len(want) > 0
