@@ -1793,3 +1793,191 @@ def q_subarea_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(F.array_except("osm_refs", "cad_refs")))
         .alias("n_remove"),
     )
+
+
+_PREP_LANG_SQL = _LANG_SCORE_SQL.replace("FROM documents", "FROM dedup")
+
+@q(
+    "prep_pipeline",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents WHERE doc_id % 5 = 0
+),
+dedup AS (
+  SELECT doc_id, text, n_chars FROM corpus
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+{_PREP_LANG_SQL},
+langd AS (
+  SELECT d.doc_id, d.text, d.n_chars,
+         CASE WHEN s_en = 0 AND s_sr = 0 AND s_de = 0 THEN 'und'
+              WHEN s_en >= s_sr AND s_en >= s_de THEN 'en'
+              WHEN s_sr >= s_de THEN 'sr'
+              ELSE 'de' END AS lang_pred
+  FROM dedup d JOIN counted c ON d.doc_id = c.doc_id
+),
+qual AS (
+  SELECT doc_id, lang_pred,
+         len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+         round(0.4 * least(1.0, n_chars / 500.0)
+             + 0.3 * (1.0 - (length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', ''))) / greatest(length(text), 1))
+             + 0.3 * least(1.0, ((length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) // 5) / 10.0), 5) AS score
+  FROM langd
+)
+SELECT lang_pred, count(*) AS n_docs, CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       min(score) AS min_score, max(score) AS max_score
+FROM qual WHERE score >= 0.55 GROUP BY lang_pred
+""",
+)
+def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep pipeline composing the engine's
+    document operators in one plan: inject exact dups → content-hash
+    dedup (keep-min) → language-ID (Arrow UDF) → quality scoring
+    (pure codegen expressions) → quality filter → per-language token
+    budget. One query = the shape of a real corpus-prep job; Catalyst
+    fuses the scalar stages around the single dedup shuffle.
+
+    Aggregates are integers or order-independent min/max of per-doc
+    rounded scores — no float summation whose ordering could diverge
+    between engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "n_chars")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars"
+    )
+    corpus = docs.unionByName(dups)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = corpus.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    langd = dedup.withColumn("lang_pred", U.lang_id_udf("text"))
+    t = F.col("text")
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,!]", ""))
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    the_cnt = F.floor((F.length(padded) - F.length(F.regexp_replace(padded, " the ", ""))) / 5)
+    score = F.round(
+        0.4 * F.least(F.lit(1.0), F.col("n_chars") / 500.0)
+        + 0.3 * (1.0 - punct / F.greatest(F.length(t), F.lit(1)))
+        + 0.3 * F.least(F.lit(1.0), the_cnt / 10.0),
+        5,
+    )
+    qual = langd.select(
+        "lang_pred",
+        F.size(F.split(F.trim(t), " +")).cast("long").alias("ws_tokens"),
+        score.alias("score"),
+    ).filter(F.col("score") >= 0.55)
+    return qual.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+@q(
+    "kmeans_clusters",
+    oracle="""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent0 AS (SELECT vec_id AS cid, i, v AS cv FROM ev WHERE vec_id < 8),
+d2_1 AS (
+  SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS d2
+  FROM ev e JOIN cent0 c ON e.i = c.i GROUP BY e.vec_id, c.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM d2_1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+),
+cent1 AS (
+  SELECT a.cid, e.i, avg(e.v) AS cv
+  FROM ev e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY a.cid, e.i
+),
+d2_2 AS (
+  SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS d2
+  FROM ev e JOIN cent1 c ON e.i = c.i GROUP BY e.vec_id, c.cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM d2_2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+)
+SELECT cid, count(*) AS n_members, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+FROM a2 GROUP BY cid
+""",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 fixed iterations) — the IVF
+    index-training path as pure DataFrame ops (operators/kmeans.py);
+    the oracle unrolls the same two assignment/update rounds in SQL.
+    Output is integers only (counts + id extremes), so cross-engine
+    float-summation ordering cannot perturb the compare."""
+    from .operators import kmeans as KM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return KM.cluster_stats(emb, k=8, iterations=2)
+
+
+@q(
+    "ann_ivf_multiprobe",
+    oracle="""
+WITH ev AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+centroids AS (SELECT label, i, avg(v) AS cv FROM ev GROUP BY label, i),
+qv AS (SELECT i, v FROM ev WHERE vec_id = 0),
+cdist AS (
+  SELECT c.label, sum((c.cv - q.v) * (c.cv - q.v)) AS d2
+  FROM centroids c JOIN qv q USING (i) GROUP BY c.label
+),
+probed AS (SELECT label FROM cdist QUALIFY row_number() OVER (ORDER BY d2, label) <= 2),
+cand AS (
+  SELECT e.vec_id, e.i, e.v FROM ev e JOIN probed p USING (label) WHERE e.vec_id <> 0
+),
+dots AS (
+  SELECT c.vec_id, sum(c.v * q.v) AS dot, sqrt(sum(c.v * c.v)) AS nrm
+  FROM cand c JOIN qv q USING (i) GROUP BY c.vec_id
+),
+qn AS (SELECT sqrt(sum(v * v)) AS qnrm FROM qv)
+SELECT vec_id, score FROM (
+  SELECT vec_id, round(dot / (nrm * qnrm), 6) AS score,
+         row_number() OVER (ORDER BY round(dot / (nrm * qnrm), 6) DESC, vec_id) AS rn
+  FROM dots, qn)
+WHERE rn <= 10
+""",
+)
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=2): probing the two nearest inverted
+    lists recovers recall lost to quantization while still touching only
+    ~2/n_lists of the corpus — the standard IVF recall/latency knob."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    ev = emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "v")).withColumn(
+        "v", dbl(F.col("v"))
+    )
+    centroids = ev.groupBy("label", "i").agg(F.avg("v").alias("cv"))
+    qv = ev.filter(F.col("vec_id") == 0).select("i", F.col("v").alias("qv"))
+    cdist = (
+        centroids.join(F.broadcast(qv), "i")
+        .groupBy("label")
+        .agg(F.sum((F.col("cv") - F.col("qv")) * (F.col("cv") - F.col("qv"))).alias("d2"))
+    )
+    wl = Window.orderBy("d2", "label")
+    probed = cdist.withColumn("rn", F.row_number().over(wl)).filter(F.col("rn") <= 2).select("label")
+    cand = ev.join(F.broadcast(probed), "label").filter(F.col("vec_id") != 0)
+    dots = (
+        cand.join(F.broadcast(qv), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dot"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"),
+        )
+    )
+    qnrm = qv.agg(F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qnrm"))
+    scored = dots.crossJoin(F.broadcast(qnrm)).select(
+        "vec_id", F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select(
+        "vec_id", "score"
+    )
