@@ -312,7 +312,7 @@ def conflate(
     # node-level checks are moot for too_many rows: don't explode their ids
     matched = matched.withColumn(
         "osm_node_ids", F.when(F.col("n_src") < 2000, F.col("osm_node_ids"))
-    )
+    ).persist()  # consumed by node explode, relation scan, tag probe, final select
 
     tags = F.col("osm_tags")
     national_tag = tags["admin_level"].isNotNull() & (tags["admin_level"].cast("int") <= 2)
