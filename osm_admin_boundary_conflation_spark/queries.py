@@ -1981,3 +1981,53 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select(
         "vec_id", "score"
     )
+
+
+@q(
+    "zip_csv_scan",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS nation_key, n_name AS name,
+       CASE WHEN n_nationkey % 2 = 0 THEN 'even.csv' ELSE 'odd.csv' END AS member
+FROM nation
+""",
+)
+def q_zip_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 zipped-CSV source (serbia2input.py:32-76 data plane): build a
+    deterministic zip of two CSV members from the nation table, read it
+    back through the distributed binaryFile+mapInPandas zip source, and
+    emit typed rows the oracle recomputes from nation directly. (The
+    reference's HTTP download is environment I/O, out of sandbox scope —
+    the archive → table path is the engine's part.)"""
+    import io
+    import os
+    import tempfile
+    import zipfile
+
+    from .sources.zip_source import read_zipped_csvs
+
+    rows = sorted(
+        (r["n_nationkey"], r["n_name"])
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    )
+
+    def csv_bytes(subset):
+        buf = io.StringIO()
+        buf.write("nation_key,name\n")
+        for k, name in subset:
+            buf.write(f"{k},{name}\n")
+        return buf.getvalue().encode()
+
+    zdir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zip_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(zdir, exist_ok=True)
+    zpath = os.path.join(zdir, "nations.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("even.csv", csv_bytes([r for r in rows if r[0] % 2 == 0]))
+        z.writestr("odd.csv", csv_bytes([r for r in rows if r[0] % 2 == 1]))
+        z.writestr("readme.txt", b"not a csv member")
+
+    df = read_zipped_csvs(spark, zdir, columns=["nation_key", "name"])
+    return df.select(
+        F.col("nation_key").cast("long").alias("nation_key"), "name", "member"
+    )
