@@ -221,7 +221,26 @@ def segment_ways(ways: DataFrame, lint_observation=None) -> DataFrame:
         F.explode(split_way_udf(F.col("node_ids"), F.col("corner_pos"))).alias("seg_nodes"),
     )
     segs = segs_small.unionByName(split_ways_distributed(big, corners))
-    segs = segs.withColumn("fp", fingerprint_udf(F.col("seg_nodes")))
+    # canonical fingerprint: OPEN segments (the overwhelming majority —
+    # rings survive splitting only when a closed way has no corners)
+    # stay JVM-side (integer-array lexicographic least of the two
+    # orientations ≡ python min(ids, ids[::-1])); rotation-canonical
+    # RING fingerprints keep the Arrow kernel.
+    is_ring = (F.size("seg_nodes") > 1) & (
+        F.element_at("seg_nodes", 1) == F.element_at("seg_nodes", -1)
+    )
+    fp_open = F.concat(
+        F.lit("O:"),
+        F.array_join(
+            F.transform(
+                F.least(F.col("seg_nodes"), F.reverse("seg_nodes")), lambda x: x.cast("string")
+            ),
+            ",",
+        ),
+    )
+    opens = segs.filter(~is_ring).withColumn("fp", fp_open)
+    rings = segs.filter(is_ring).withColumn("fp", fingerprint_udf(F.col("seg_nodes")))
+    segs = opens.unionByName(rings)
     # min_by on a canonical serialization, NOT first(): segments sharing
     # a fingerprint differ by rotation/reversal, and first() would make
     # node_ids vary run-to-run with partitioning — violating the
