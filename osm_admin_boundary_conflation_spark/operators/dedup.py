@@ -157,3 +157,75 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 def simhash_docs(docs: DataFrame) -> DataFrame:
     return docs.select(F.col("id"), simhash_udf(F.col("t")).alias("simhash"))
+
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 4 bands x 15 bits: hamming<=3 ALWAYS collides in >=1 band
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "id", text_col: str = "t") -> DataFrame:
+    """→ (id, simhash): the 60-bit token-majority SimHash computed
+    ENTIRELY JVM-side — explode tokens, md5→conv hash, 60 bit-majority
+    sums in one aggregation, reassemble the fingerprint. Same hash
+    family as functions.text.simhash64 (tokenization matches the
+    oracle's split-regex: an empty text yields one '' token)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = docs.select(id_col, F.explode(words).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("0:"), F.col("tok"))), 1, 15), 16, 10).cast("long")
+    tok = tok.select(id_col, h.alias("h"))
+    accs = [
+        F.sum((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"a{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy(id_col).agg(*accs)
+    simhash = sums.select(
+        id_col,
+        sum(
+            [F.when(F.col(f"a{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(SIMHASH_BITS)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return simhash
+
+
+def simhash_hamming_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-ball near-dup pair join: band the fingerprint into
+    4 x 15-bit keys (pigeonhole: hamming<=3 shares a band), self-join
+    per band, verify exact hamming via bit_count(xor). All JVM.
+    → (ia, ib, hamming)."""
+    sig = simhash_signatures(docs)
+    bands = sig.select(
+        F.col("id"),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("bb"),
+                    F.shiftright(F.col("simhash"), 15 * b).bitwiseAND(F.lit(0x7FFF)).alias("bk"),
+                )
+                for b in range(SIMHASH_BANDS)
+            ])
+        ).alias("s"),
+    ).select("id", "simhash", F.col("s.bb").alias("bb"), F.col("s.bk").alias("bk"))
+    a, c = bands.alias("a"), bands.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.bb") == F.col("c.bb"))
+            & (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.id") < F.col("c.id")),
+        )
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("c.id").alias("ib"),
+            F.col("a.simhash").alias("sa"),
+            F.col("c.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("ia", "ib", "hamming")
+    )

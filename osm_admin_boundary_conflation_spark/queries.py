@@ -2031,3 +2031,75 @@ def q_zip_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.col("nation_key").cast("long").alias("nation_key"), "name", "member"
     )
+
+
+@q(
+    "dedup_simhash_pairs",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id, text || ' extra' AS t FROM documents WHERE doc_id % 11 = 0
+),
+toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM corpus),
+th AS (SELECT doc_id, CAST(('0x' || substr(md5('0:' || tok), 1, 15)) AS BIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS s
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, s, bb, (s >> (15 * bb)) & 32767 AS bk
+  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS bb)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS ia, c.doc_id AS ib, a.s AS sa, c.s AS sb
+  FROM bands a JOIN bands c ON a.bb = c.bb AND a.bk = c.bk AND a.doc_id < c.doc_id
+)
+SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+""",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (round 1 emitted fingerprints only): band
+    the 60-bit fingerprint 4 x 15 bits (pigeonhole: hamming<=3 always
+    collides in some band), band self-join, exact bit_count(xor) verify
+    — the hamming-ball dedup path, fully JVM-side."""
+    from .operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    dups = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 4000000).alias("id"), F.concat("text", F.lit(" extra")).alias("t")
+    )
+    return DD.simhash_hamming_pairs(base.unionByName(dups), max_hamming=3)
+
+
+@q(
+    "corpus_profile",
+    oracle="""
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+""",
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: EXACT interpolated percentiles per language —
+    Spark `percentile` ≡ DuckDB `quantile_cont` (both sort-based linear
+    interpolation, no sketch nondeterminism; use approx_percentile /
+    KLL only when exactness can be traded for one pass at scale)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

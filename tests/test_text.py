@@ -149,3 +149,21 @@ def test_kmeans_parallelism_invariance(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_jvm_simhash_bit_exact(spark):
+    """JVM simhash_signatures == functions.text.simhash64 bit-for-bit
+    (same md5 token family, same bit-majority rule)."""
+    from osm_admin_boundary_conflation_spark.functions.text import simhash64
+    from osm_admin_boundary_conflation_spark.operators import dedup as DD
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "one",
+        "  many   spaces   between   tokens  ",
+        "a b c d e f g a b c d e f g",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    got = {r["id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == simhash64(t), f"text {i}"
