@@ -2103,3 +2103,102 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@q(
+    "geotag_knn",
+    oracle=f"""
+WITH {datagen.PAGES_CTE},
+{datagen.BOUNDARIES_CTE},
+cents AS (
+  SELECT level9_id, (min_lon + max_lon) / 2 AS clon, (min_lat + max_lat) / 2 AS clat
+  FROM boundaries
+),
+d AS (
+  SELECT url, level9_id,
+         2 * 6371008.8 * asin(sqrt(
+           pow(sin((radians(clat) - radians(lat)) / 2), 2)
+           + cos(radians(lat)) * cos(radians(clat))
+             * pow(sin((radians(clon) - radians(lon)) / 2), 2)
+         )) AS dist
+  FROM pages_geo CROSS JOIN cents
+)
+SELECT url, CAST(rn AS INT) AS knn_rank, level9_id, round(dist, 3) AS dist_m
+FROM (SELECT *, row_number() OVER (PARTITION BY url ORDER BY dist, level9_id) AS rn FROM d)
+WHERE rn <= 3
+""",
+)
+def q_geotag_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN candidate matching (north rule): for each extracted page
+    coordinate, the k=3 nearest boundary CENTROIDS by geodesic distance
+    — the candidate-generation step ahead of exact geometry scoring.
+    Pages go through the REAL extraction path (html bytes → Arrow UDF →
+    lat/lon); the dim side is a broadcast cross join (25 rows), ranked
+    by a JVM haversine expression; exact ties (grid-symmetric pages)
+    break on boundary id identically in both engines."""
+    from .functions.udfs import haversine_expr
+    from .operators.spatial_join import extract_pages_geo
+
+    pages = datagen.build_pages(spark, sf_dir)
+    pg = extract_pages_geo(pages, res=datagen.CELL_RES).select("url", "lat", "lon").filter(
+        F.col("lat").isNotNull()
+    )
+    b = datagen.build_boundaries(spark, sf_dir).select(
+        "level9_id",
+        ((F.col("min_lon") + F.col("max_lon")) / 2).alias("clon"),
+        ((F.col("min_lat") + F.col("max_lat")) / 2).alias("clat"),
+    )
+    d = pg.crossJoin(F.broadcast(b)).withColumn(
+        "dist", haversine_expr(F.col("lon"), F.col("lat"), F.col("clon"), F.col("clat"))
+    )
+    w = Window.partitionBy("url").orderBy("dist", "level9_id")
+    return (
+        d.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= 3)
+        .select("url", "knn_rank", "level9_id", F.round("dist", 3).alias("dist_m"))
+    )
+
+
+@q(
+    "raster_tile_assign",
+    oracle=f"""
+WITH {datagen.BOUNDARIES_CTE},
+px AS (
+  SELECT i, j,
+         CAST(10 + (i + 0.5) * 0.25 AS DOUBLE) AS lon,
+         CAST(35 + (j + 0.5) * 0.125 AS DOUBLE) AS lat
+  FROM generate_series(0, 119) t1(i) CROSS JOIN generate_series(0, 79) t2(j)
+  WHERE (i * 31 + j * 17) % 7 < 4
+)
+SELECT level9_id, count(*) AS n_pixels
+FROM px JOIN boundaries b
+  ON lon > min_lon AND lon < max_lon AND lat > min_lat AND lat < max_lat
+GROUP BY level9_id
+""",
+)
+def q_raster_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector tile assignment (north rule): a deterministic
+    raster of pixel centers (0.25°×0.125°, masked to vary per-tile
+    counts) is assigned to vector boundary polygons by the PiP kernel
+    over the broadcast dim side — per-polygon pixel counts. Pixel
+    centers sit strictly inside cells (binary-exact fractional offsets
+    vs integer edges), so strict-inequality SQL and the ray-cast kernel
+    agree exactly. At raster scale the pixel side stays a pure JVM
+    sequence (no datafile), partitioned by range."""
+    from .functions.udfs import point_in_wkt_udf
+
+    i = spark.range(0, 120).select(F.col("id").alias("i"))
+    j = spark.range(0, 80).select(F.col("id").alias("j"))
+    px = (
+        i.crossJoin(j)
+        .filter((F.col("i") * 31 + F.col("j") * 17) % 7 < 4)
+        .select(
+            (10 + (F.col("i") + 0.5) * 0.25).alias("lon"),
+            (35 + (F.col("j") + 0.5) * 0.125).alias("lat"),
+        )
+    )
+    b = datagen.build_boundaries(spark, sf_dir).select("level9_id", "wkt")
+    assigned = px.crossJoin(F.broadcast(b)).filter(
+        point_in_wkt_udf(F.col("lon"), F.col("lat"), F.col("wkt"))
+    )
+    return assigned.groupBy("level9_id").agg(F.count("*").alias("n_pixels"))
