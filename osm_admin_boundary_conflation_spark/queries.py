@@ -2202,3 +2202,68 @@ def q_raster_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         point_in_wkt_udf(F.col("lon"), F.col("lat"), F.col("wkt"))
     )
     return assigned.groupBy("level9_id").agg(F.count("*").alias("n_pixels"))
+
+
+@q(
+    "decontaminate",
+    oracle=r"""
+WITH evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  -- contaminated training docs: eval text smuggled in behind a prefix
+  SELECT doc_id + 5000000 AS doc_id, 'prefix words here ' || text AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+ew AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM evald),
+eg AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 7),
+                         i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM ew WHERE len(w) >= 8
+),
+tw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM train),
+tg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+                        i -> array_to_string(w[i:i+7], ' '))) AS g
+  FROM tw WHERE len(w) >= 8
+)
+SELECT t.doc_id, count(DISTINCT t.g) AS n_overlapping_ngrams
+FROM tg t JOIN eg USING (g)
+GROUP BY t.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline op): flag training
+    documents sharing any 8-gram with the eval set. Eval 8-grams
+    (distinct, the small side) hash-join against exploded training
+    8-grams; output per-train-doc overlapping-gram counts. At corpus
+    scale the eval-gram side broadcasts (eval sets are tiny vs training
+    corpora) so the training side never shuffles for the probe."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    K = 8
+
+    def grams(df):
+        words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        n = F.size(words)
+        g = F.when(
+            n >= K,
+            F.transform(
+                F.sequence(F.lit(1), n - K + 1),
+                lambda i: F.array_join(F.slice(words, i, K), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return df.select("doc_id", F.explode(g).alias("g"))
+
+    ev = docs.filter(F.col("doc_id") % 13 == 0)
+    contaminated = ev.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.lit("prefix words here "), F.col("text")).alias("text"),
+    )
+    train = docs.filter(F.col("doc_id") % 13 != 0).select("doc_id", "text").unionByName(
+        contaminated
+    )
+    eval_grams = grams(ev).select("g").distinct()
+    overlaps = grams(train).join(F.broadcast(eval_grams), "g")
+    return overlaps.groupBy("doc_id").agg(
+        F.count_distinct("g").alias("n_overlapping_ngrams")
+    )

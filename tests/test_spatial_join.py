@@ -88,3 +88,46 @@ def test_observed_metrics(spark, sf_dir):
     d.write.format("noop").mode("overwrite").save()
     got = obs.get
     assert got["rows_in"] == 500 and got["rows_with_geo"] == 500
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketing for co-located joins (the 100 TB fact-fact strategy):
+    two tables bucketed on the join key by the same bucket count join
+    WITHOUT any Exchange in the physical plan — pre-shuffled at write
+    time, reusable across every downstream join on that key."""
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckdemo")
+    try:
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("buckdemo.orders_b")
+        )
+        (
+            li.withColumnRenamed("l_orderkey", "o_orderkey")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("buckdemo.lineitem_b")
+        )
+        joined = spark.table("buckdemo.orders_b").join(
+            spark.table("buckdemo.lineitem_b").hint("merge"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        # and it computes the right thing
+        got = joined.agg(F.count("*")).collect()[0][0]
+        want = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert got == want > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS buckdemo")
