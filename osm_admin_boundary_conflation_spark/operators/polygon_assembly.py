@@ -23,7 +23,7 @@ from ..functions import geometry as G
 
 _OUT_SCHEMA = (
     "rel_id long, wkt string, area double, n_outer int, n_holes int, "
-    "center_in boolean, iou double"
+    "center_in boolean, iou double, area_diff double"
 )
 
 
@@ -45,8 +45,12 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
         center_in = bool(G.points_in_multipolygon(probe, mp)[0])
 
     iou_v = None
+    area_diff_v = None
     if "ref_wkt" in pdf.columns and pd.notna(pdf["ref_wkt"].iloc[0]):
-        iou_v = float(G.iou(mp, G.parse_wkt(pdf["ref_wkt"].iloc[0])))
+        ref = G.parse_wkt(pdf["ref_wkt"].iloc[0])
+        iou_v = float(G.iou(mp, ref))
+        # measure_quality.py:106: intersection.area / cadastre.area
+        area_diff_v = float(G.area_diff(ref, mp))
 
     return pd.DataFrame(
         [
@@ -58,6 +62,7 @@ def _assemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "n_holes": n_holes,
                 "center_in": center_in,
                 "iou": iou_v,
+                "area_diff": area_diff_v,
             }
         ]
     )

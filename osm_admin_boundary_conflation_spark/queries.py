@@ -2267,3 +2267,41 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlaps.groupBy("doc_id").agg(
         F.count_distinct("g").alias("n_overlapping_ngrams")
     )
+
+
+@q(
+    "measure_quality_assembled",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS rel_id,
+       CASE WHEN n_nationkey % 7 = 3 THEN CAST(-1.0 AS DOUBLE)
+            ELSE round(CAST((12.0 - CASE WHEN n_nationkey % 3 = 0 THEN 3.0 ELSE 0.0 END)
+                 / (12.0 + CASE WHEN n_nationkey % 5 = 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE), 5)
+       END AS i_o_u,
+       CASE WHEN n_nationkey % 7 = 3 THEN CAST(-1.0 AS DOUBLE)
+            ELSE round(CAST((12.0 - CASE WHEN n_nationkey % 3 = 0 THEN 3.0 ELSE 0.0 END)
+                 / 12.0 AS DOUBLE), 5)
+       END AS area_diff
+FROM nation
+""",
+)
+def q_measure_quality_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL measure_quality pipeline shape
+    (measure_quality.py:71-111): the OSM comparison polygon is ASSEMBLED
+    from unordered relation member ways (G4), then scored against the
+    cadastre polygon — i_o_u = inter/union, area_diff = inter/cadastre
+    (both round 5); relations with no OSM data emit the reference's
+    -1/-1 not-found row (:94-98). Every 7th relation's members are
+    dropped to exercise that leg."""
+    from .operators import polygon_assembly as PA
+
+    members = datagen.build_relation_members(spark, sf_dir).filter(F.col("rel_id") % 7 != 3)
+    assembled = PA.assemble_relations(members).select("rel_id", "iou", "area_diff")
+    all_rels = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("rel_id")
+    )
+    out = all_rels.join(assembled, "rel_id", "left")
+    return out.select(
+        "rel_id",
+        F.coalesce(F.round("iou", 5), F.lit(-1.0)).alias("i_o_u"),
+        F.coalesce(F.round("area_diff", 5), F.lit(-1.0)).alias("area_diff"),
+    )
