@@ -2305,3 +2305,75 @@ def q_measure_quality_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.round("iou", 5), F.lit(-1.0)).alias("i_o_u"),
         F.coalesce(F.round("area_diff", 5), F.lit(-1.0)).alias("area_diff"),
     )
+
+
+@q(
+    "stream_sessions",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+),
+agg AS (
+  SELECT user_id, session_no, count(*) AS n_events,
+         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+  FROM sess GROUP BY user_id, session_no
+),
+wm AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+lastsess AS (SELECT user_id, max(session_no) AS last_no FROM agg GROUP BY user_id)
+SELECT a.user_id, CAST(a.start_us AS BIGINT) AS session_start_us,
+       a.n_events, CAST(a.end_us - a.start_us AS BIGINT) AS duration_us
+FROM agg a JOIN lastsess l USING (user_id) CROSS JOIN wm
+WHERE a.session_no <> l.last_no
+   OR (a.end_us // 1000 + 1800000) < (wm.max_us - 1800000000) // 1000
+""",
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL STREAMING session operator, oracle-gated: events
+    replay as two time-ordered micro-batch files through
+    applyInPandasWithState (streaming/stream_sessions.py); emitted
+    sessions are exactly the batch sessionization minus each user's
+    final session UNLESS its event-time timeout fired under the
+    end-of-stream watermark (last_event + gap < max_ts - delay, at the
+    engine's millisecond timeout granularity) — which the oracle states
+    in closed form. Fresh checkpoint per run (results are deterministic;
+    exactly-once replay is covered separately by test_checkpoint)."""
+    import os
+    import tempfile
+
+    from .streaming.stream_sessions import stream_sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "event_id")
+    tmp = tempfile.mkdtemp(prefix="stream_sessions_")
+    in_dir = os.path.join(tmp, "in")
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    ev.filter(F.col("ts") <= cut).write.mode("overwrite").parquet(in_dir)
+    ev.filter(F.col("ts") > cut).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint").parquet(
+        in_dir
+    )
+    rows: list = []
+    q = (
+        stream_sessionize(stream)
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(r["user_id"], r["session_start_us"], r["n_events"], r["duration_us"]) for r in rows],
+        "user_id bigint, session_start_us bigint, n_events bigint, duration_us bigint",
+    )
