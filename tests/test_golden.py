@@ -52,3 +52,39 @@ def test_salting_spreads_hot_cell(spark, sf_dir):
     # unsalted, all rows land in ONE partition; salted they spread
     assert n_parts_used >= n_salt // 2
     assert max_share < 0.5
+
+
+GOLDEN_ASSEMBLY = os.path.join(os.path.dirname(__file__), "golden", "polygon_assembly_sf0001.csv")
+GOLDEN_UNGLUE = os.path.join(os.path.dirname(__file__), "golden", "unglue_counts_sf0001.csv")
+
+
+def _canon_csv(header, rows):
+    return header + "\n" + "".join(",".join(str(x) for x in r) + "\n" for r in sorted(rows))
+
+
+def test_polygon_assembly_golden(spark, sf_dir):
+    """Round-2 golden: assembled-polygon stats are byte-stable between
+    rounds (catches kernel drift the per-round oracle can't — the oracle
+    is recomputed, the golden is committed)."""
+    from osm_admin_boundary_conflation_spark.queries import q_polygon_assembly
+
+    rows = [
+        (r["rel_id"], r["area"], r["n_outer"], r["n_holes"], r["center_in"], r["iou"])
+        for r in q_polygon_assembly(spark, sf_dir).collect()
+    ]
+    got = _canon_csv("rel_id,area,n_outer,n_holes,center_in,iou", rows)
+    with open(GOLDEN_ASSEMBLY) as f:
+        assert got == f.read()
+
+
+def test_unglue_verdict_counts_golden(spark, sf_dir):
+    from osm_admin_boundary_conflation_spark.queries import q_conflate_verdicts_unglue
+
+    df = q_conflate_verdicts_unglue(spark, sf_dir)
+    rows = [
+        (r["verdict"], r["n_unglued"], r["count"])
+        for r in df.groupBy("verdict", "n_unglued").count().collect()
+    ]
+    got = _canon_csv("verdict,n_unglued,count", rows)
+    with open(GOLDEN_UNGLUE) as f:
+        assert got == f.read()

@@ -181,3 +181,52 @@ def test_assembly_inner_outside_outer_becomes_own_polygon():
     mp = G.assemble_relation_polygon(outer, inner)
     assert len(mp) == 2
     assert abs(G.multipolygon_area(mp) - 5.0) < 1e-12
+
+
+# --- shapefile writer fuzz (S9) ---------------------------------------------
+
+
+@given(st.integers(0, 10**6), st.integers(1, 6), st.booleans())
+@settings(max_examples=25, deadline=None)
+def test_shapefile_roundtrip_random(seed, n_polys, with_holes):
+    import tempfile
+
+    from osm_admin_boundary_conflation_spark.functions import geometry as GG
+    from osm_admin_boundary_conflation_spark.sources.shapefile_sink import (
+        FIELDS,
+        read_shapefile,
+        write_shapefile,
+    )
+
+    rng = np.random.default_rng(seed)
+    polys = []
+    for p in range(n_polys):
+        x0 = float(rng.uniform(-170, 160))
+        y0 = float(rng.uniform(-80, 70))
+        w, h = float(rng.uniform(0.5, 8)), float(rng.uniform(0.5, 8))
+        rings = [f"({x0} {y0}, {x0 + w} {y0}, {x0 + w} {y0 + h}, {x0} {y0 + h}, {x0} {y0})"]
+        if with_holes:
+            hx, hy = x0 + w / 4, y0 + h / 4
+            rings.append(
+                f"({hx} {hy}, {hx + w / 4} {hy}, {hx + w / 4} {hy + h / 4}, {hx} {hy + h / 4}, {hx} {hy})"
+            )
+        polys.append("(" + ", ".join(rings) + ")")
+    wkt = "MULTIPOLYGON (" + ", ".join(polys) + ")"
+    row = {"wkt": wkt, **{k: f"v{seed % 97}" for k in FIELDS}}
+
+    with tempfile.TemporaryDirectory() as td:
+        base = f"{td}/fuzz"
+        stats = write_shapefile([row], base)
+        (rec,) = read_shapefile(base)
+    n_rings = n_polys * (2 if with_holes else 1)
+    assert len(rec["rings"]) == n_rings
+    # total ring area magnitude conserved; orientation signs per spec
+    src = GG.parse_wkt(wkt)
+    src_rings = [r for poly in src for r in poly]
+    got_areas = sorted(
+        abs(0.5 * sum(x1 * y2 - x2 * y1 for (x1, y1), (x2, y2) in zip(r, r[1:] + r[:1])))
+        for r in rec["rings"]
+    )
+    want_areas = sorted(abs(GG.ring_area_signed(r)) for r in src_rings)
+    assert np.allclose(got_areas, want_areas)
+    assert rec["properties"]["level9id"] == f"v{seed % 97}"
