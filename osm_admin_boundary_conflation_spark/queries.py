@@ -2377,3 +2377,51 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["user_id"], r["session_start_us"], r["n_events"], r["duration_us"]) for r in rows],
         "user_id bigint, session_start_us bigint, n_events bigint, duration_us bigint",
     )
+
+
+@q(
+    "geotag_by_name",
+    oracle="""
+SELECT 'place://' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(doc_id % 25 AS VARCHAR) AS level9_id,
+       n.n_name AS place_name
+FROM documents d JOIN nation n ON n.n_nationkey = d.doc_id % 25
+""",
+)
+def q_geotag_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Place-NAME geo-tagging (north rule: 'extracting coordinates/place
+    names from text'): pages whose html carries a place mention but no
+    coordinates are matched to boundaries by name — real byte-level
+    extraction (Arrow UDF) → JVM regexp capture → broadcast name join
+    against the boundary dim (the S5/G17 name-probe leg applied to the
+    page pipeline)."""
+    from .functions.udfs import extract_text_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pages = docs.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("nk"), "n_name")),
+        F.col("doc_id") % 25 == F.col("nk"),
+    ).select(
+        F.concat(F.lit("place://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>somewhere near place: "),
+                F.col("n_name"),
+                F.lit(";</p><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    extracted = pages.withColumn("text", extract_text_udf("html")).withColumn(
+        "place_name", F.regexp_extract(F.col("text"), r"place: ([A-Z0-9_ ]+);", 1)
+    )
+    bounds = datagen.build_boundaries(spark, sf_dir).select("level9_id", "level9_name")
+    return (
+        extracted.join(
+            F.broadcast(bounds), F.lower("place_name") == F.lower(F.col("level9_name"))
+        )
+        .select("url", "level9_id", "place_name")
+    )
