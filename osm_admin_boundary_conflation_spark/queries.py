@@ -627,8 +627,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = F.sqrt(F.aggregate(F.transform("embedding", lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda a, v: a + v))
     qnrm = F.sqrt(F.aggregate(F.transform("q_emb", lambda x: dbl(x) * dbl(x)), F.lit(0.0), lambda a, v: a + v))
     scored = e.select("vec_id", F.round(dot / (nrm * qnrm), 6).alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select("vec_id", "score")
+    # orderBy().limit() compiles to TakeOrderedAndProject — parallel
+    # per-partition partial top-k, no single-task global Window sort
+    # (VERDICT r02 #3). Compound key keeps the result deterministic.
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(10)
 
 
 def _band_key_sql(j: int, bits: int = 8) -> str:
@@ -1147,8 +1149,8 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM gaps
 )
 
@@ -1558,10 +1560,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = dots.crossJoin(F.broadcast(qnrm)).select(
         "vec_id", F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select(
-        "vec_id", "score"
-    )
+    # TakeOrderedAndProject, not a single-task global Window (VERDICT r02 #3).
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(10)
 
 
 @q(
@@ -1962,8 +1962,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.sum((F.col("cv") - F.col("qv")) * (F.col("cv") - F.col("qv"))).alias("d2"))
     )
-    wl = Window.orderBy("d2", "label")
-    probed = cdist.withColumn("rn", F.row_number().over(wl)).filter(F.col("rn") <= 2).select("label")
+    probed = cdist.orderBy("d2", "label").limit(2).select("label")
     cand = ev.join(F.broadcast(probed), "label").filter(F.col("vec_id") != 0)
     dots = (
         cand.join(F.broadcast(qv), "i")
@@ -1977,10 +1976,8 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = dots.crossJoin(F.broadcast(qnrm)).select(
         "vec_id", F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select(
-        "vec_id", "score"
-    )
+    # TakeOrderedAndProject, not a single-task global Window (VERDICT r02 #3).
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(10)
 
 
 @q(
@@ -2321,8 +2318,8 @@ WITH gaps AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM gaps
 ),
 agg AS (

@@ -148,3 +148,64 @@ def test_unglue_matrix(spark, sf_dir):
     # no other scenario gains unglue edits
     other = out.filter(F.col("way_id") % 20 != 15).agg(F.max("n_unglued")).collect()[0][0]
     assert other == 0
+
+
+def _battery_frame(n_pairs, n_nodes, seed=7):
+    """Build a pandas input batch of matched n_nodes-point way pairs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    src, osm = [], []
+    for i in range(n_pairs):
+        base = rng.uniform(-50, 50, size=(n_nodes, 2)).cumsum(axis=0) * 1e-4
+        jit = base + rng.uniform(-1e-6, 1e-6, size=base.shape)
+        src.append(base.tolist())
+        osm.append(jit.tolist())
+    return pd.Series(src), pd.Series(osm), pd.Series([n_nodes] * n_pairs)
+
+
+def test_battery_chunk_invariance():
+    """geom_battery_udf output must not depend on the same-shape chunk
+    size (VERDICT r02 #4 fix): forcing 1-row chunks == one big chunk."""
+    import numpy as np
+
+    fn = CF.geom_battery_udf.func
+    s, o, n = _battery_frame(24, 120)
+    big = fn(s, o, n)
+    small = _run_with_max_elems(fn, s, o, n, 1)
+    for c in big.columns:
+        assert np.array_equal(
+            big[c].to_numpy(), small[c].to_numpy(), equal_nan=(big[c].dtype.kind == "f")
+        ), c
+
+
+def _run_with_max_elems(fn, s, o, n, cap):
+    """_MAX_ELEMS is local to the udf body; emulate a 1-row chunk cap by
+    slicing the batch to single rows and concatenating — identical effect
+    since chunks are independent."""
+    import pandas as pd
+
+    outs = [fn(s.iloc[[i]].reset_index(drop=True),
+               o.iloc[[i]].reset_index(drop=True),
+               n.iloc[[i]].reset_index(drop=True)) for i in range(len(s))]
+    return pd.concat(outs, ignore_index=True)
+
+
+def test_battery_big_batch_memory_bounded():
+    """A batch of 32 matched 1500-node pairs must complete with bounded
+    peak allocations: unchunked, the buffer-containment tensor alone is
+    32*1500*1499*2*8 ≈ 1.15 GB; chunked (≤2^24 elems) it stays ~250 MB
+    per tensor (VERDICT r02 #4)."""
+    import tracemalloc
+
+    fn = CF.geom_battery_udf.func
+    s, o, n = _battery_frame(32, 1500)
+    tracemalloc.start()
+    out = fn(s, o, n)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(out) == 32
+    # matched jittered pairs: all alive, tiny hausdorff
+    assert (out["hausdorff_m"] >= 0).all()
+    assert peak < 900 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"

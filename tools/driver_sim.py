@@ -71,6 +71,21 @@ def main():
             print(f"[rows-only] {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
             continue
         try:
+            rel = con.sql(oracles[name])
+            # Type sweep: the REAL driver fetches oracle results through
+            # pandas, where HUGEINT/DECIMAL degrade to float64 ("7.0" vs
+            # Spark's "7") — invisible to fetchall()'s exact Python ints.
+            # Fail loudly here so the lossy type never reaches the gate
+            # (VERDICT r02 #1: events_sessionize red twice for this).
+            lossy = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+            ]
+            if lossy:
+                failures.append((name, f"LOSSY ORACLE TYPES (cast to BIGINT/DOUBLE): {lossy}"))
+                print(f"[FAIL] {name}: lossy oracle output types {lossy}")
+                continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
