@@ -128,6 +128,26 @@ def iou_udf(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"i_o_u": ious, "area_diff": diffs})
 
 
+_RT_SCHEMA = StructType(
+    [
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_RT_SCHEMA)
+def utm_roundtrip_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """G2 (serbia/serbia2input.py:20-27 reprojects EPSG:32634 → 4326 with
+    pyproj): WGS84 → UTM zone 34N → WGS84 round trip through the Krüger
+    transverse-Mercator series, vectorized numpy over the Arrow batch.
+    Round-trip error of the series is ~1e-9 deg, so round(_, 5) equals
+    the input exactly — which is what the driver oracle checks."""
+    e, n = G.wgs84_to_utm(lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+    lo, la = G.utm_to_wgs84(e, n)
+    return pd.DataFrame({"lon": lo, "lat": la})
+
+
 @pandas_udf(ArrayType(StringType()))
 def cover_wkt_udf(wkt: pd.Series) -> pd.Series:
     """G21 polygon→covering-cell-set (boundary side of the cell hash

@@ -2422,3 +2422,122 @@ def q_geotag_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("url", "level9_id", "place_name")
     )
+
+
+@q(
+    "reproject_roundtrip",
+    oracle="""
+SELECT c_custkey,
+       round(18.0 + (c_custkey * 37 % 60000) / 10000.0, 5) AS lon,
+       round(41.0 + (c_custkey * 53 % 50000) / 10000.0, 5) AS lat,
+       CAST(0.0 AS DOUBLE) AS rt_err
+FROM customer
+""",
+)
+def q_reproject_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 CRS reprojection (serbia/serbia2input.py:20-27): synthesize one
+    in-zone (UTM 34N, Serbia-ish lon 18-24 / lat 41-46) point per
+    customer row with integer arithmetic, round-trip it WGS84→UTM→WGS84
+    through the Krüger-series kernel, and emit round(_, 5) coordinates
+    plus the rounded round-trip error. The series is ~1e-9 deg accurate
+    and the grid points sit 5e-6 deg from any 5-dp rounding boundary, so
+    the oracle can state the identity in closed form."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = cust.select(
+        "c_custkey",
+        (F.lit(18.0) + (F.col("c_custkey") * 37 % 60000) / 10000.0).alias("lon0"),
+        (F.lit(41.0) + (F.col("c_custkey") * 53 % 50000) / 10000.0).alias("lat0"),
+    )
+    rt = pts.withColumn("rt", U.utm_roundtrip_udf("lon0", "lat0"))
+    return rt.select(
+        "c_custkey",
+        F.round("rt.lon", 5).alias("lon"),
+        F.round("rt.lat", 5).alias("lat"),
+        F.round(
+            F.greatest(
+                F.abs(F.col("rt.lon") - F.col("lon0")),
+                F.abs(F.col("rt.lat") - F.col("lat0")),
+            ),
+            5,
+        ).alias("rt_err"),
+    )
+
+
+@q(
+    "shapefile_roundtrip",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS rel_id,
+       'Č' || n_name AS level9name,
+       repeat('€', 26) AS level8name,
+       CAST(CASE WHEN n_nationkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_rings,
+       CAST(CASE WHEN n_nationkey % 3 = 0 THEN 10 ELSE 5 END AS BIGINT) AS n_points,
+       (n_nationkey * 7 % 300) / 10.0 - 15.0 AS minx,
+       (n_nationkey * 11 % 120) / 10.0 + 35.0 AS miny,
+       ((n_nationkey * 7 % 300) / 10.0 - 15.0) + (0.5 + (n_nationkey % 4) / 10.0) AS maxx,
+       ((n_nationkey * 11 % 120) / 10.0 + 35.0) + (0.3 + (n_nationkey % 5) / 10.0) AS maxy
+FROM nation
+""",
+)
+def q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 shapefile sink gate (inputcsv2shp.py:28-48): synthesize one
+    cadastre polygon per nation row (hole every 3rd), write it through
+    the from-scratch .shp/.shx/.dbf writer, parse the binary files back,
+    and emit attributes + ring/point counts + exact bbox doubles. Like
+    the reference's fiona sink this is a bounded DRIVER-SIDE sink (25
+    rows); the binary round trip is what the oracle certifies. level8name
+    is 30 3-byte chars so the 80-byte DBF field must truncate on a
+    character boundary (26 chars), exercising the multibyte-safe cut."""
+    import tempfile
+
+    from .sources.shapefile_sink import read_shapefile, write_shapefile
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    rows = []
+    for r in sorted(nat.collect(), key=lambda r: r["n_nationkey"]):
+        n = int(r["n_nationkey"])
+        lon0 = (n * 7 % 300) / 10.0 - 15.0
+        lat0 = (n * 11 % 120) / 10.0 + 35.0
+        x2 = lon0 + (0.5 + (n % 4) / 10.0)
+        y2 = lat0 + (0.3 + (n % 5) / 10.0)
+        ring = f"{lon0!r} {lat0!r}, {x2!r} {lat0!r}, {x2!r} {y2!r}, {lon0!r} {y2!r}, {lon0!r} {lat0!r}"
+        if n % 3 == 0:
+            hx1, hy1, hx2, hy2 = lon0 + 0.1, lat0 + 0.1, x2 - 0.1, y2 - 0.1
+            hole = f", ({hx1!r} {hy1!r}, {hx2!r} {hy1!r}, {hx2!r} {hy2!r}, {hx1!r} {hy2!r}, {hx1!r} {hy1!r})"
+        else:
+            hole = ""
+        rows.append(
+            {
+                "wkt": f"POLYGON(({ring}){hole})",
+                "level9id": str(9_000_000 + n),
+                "level9name": "Č" + r["n_name"],
+                "level8id": str(8_000_000 + n),
+                "level8name": "€" * 30,
+                "level7id": str(7_000_000 + n),
+                "level7name": f"L7_{n}",
+                "level6id": str(6_000_000 + n),
+                "level6name": f"L6_{n}",
+            }
+        )
+    with tempfile.TemporaryDirectory() as td:
+        base = f"{td}/cadastre"
+        write_shapefile(rows, base)
+        recs = read_shapefile(base)
+    parsed = [
+        (
+            int(rec["properties"]["level9id"]) - 9_000_000,
+            rec["properties"]["level9name"],
+            rec["properties"]["level8name"],
+            len(rec["rings"]),
+            sum(len(rg) for rg in rec["rings"]),
+            min(x for rg in rec["rings"] for x, _ in rg),
+            min(y for rg in rec["rings"] for _, y in rg),
+            max(x for rg in rec["rings"] for x, _ in rg),
+            max(y for rg in rec["rings"] for _, y in rg),
+        )
+        for rec in recs
+    ]
+    return spark.createDataFrame(
+        parsed,
+        "rel_id long, level9name string, level8name string, n_rings long, "
+        "n_points long, minx double, miny double, maxx double, maxy double",
+    )

@@ -48,13 +48,18 @@ def _ring_ccw(ring):
 
 
 def _polygon_record(mp) -> bytes:
-    """Multipolygon structure → one shapefile POLYGON record content."""
+    """Multipolygon structure → one shapefile POLYGON record content.
+    A geometry with no rings (e.g. merge_lines_to_rings dropped every
+    unclosable chain) becomes a spec-correct Null Shape (type 0) record
+    instead of crashing on min()/max() of empty lists."""
     rings = []
     for poly in mp:
         if not poly:
             continue
         rings.append(_ring_cw(poly[0]))
         rings.extend(_ring_ccw(h) for h in poly[1:])
+    if not rings:
+        return struct.pack("<i", 0)  # Null Shape
     xs = [float(x) for r in rings for x, _ in r]
     ys = [float(y) for r in rings for _, y in r]
     n_points = sum(len(r) for r in rings)
@@ -95,11 +100,23 @@ def _dbf_bytes(records: list[dict]) -> bytes:
         row = b" "
         for name in FIELDS:
             v = rec.get(name)
-            row += (("" if v is None else str(v)).encode("utf-8")[:_FIELD_LEN]).ljust(
+            row += _truncate_utf8(("" if v is None else str(v)).encode("utf-8")).ljust(
                 _FIELD_LEN, b" "
             )
         out += row
     return out + b"\x1a"
+
+
+def _truncate_utf8(raw: bytes, limit: int = _FIELD_LEN) -> bytes:
+    """Byte-truncate on a CHARACTER boundary: a naive [:limit] can split
+    a multibyte UTF-8 sequence and make the reader's decode throw.
+    Backtrack past any trailing continuation bytes (0b10xxxxxx)."""
+    if len(raw) <= limit:
+        return raw
+    cut = limit
+    while cut > 0 and (raw[cut] & 0xC0) == 0x80:
+        cut -= 1
+    return raw[:cut]
 
 
 def write_shapefile(rows: list[dict], base_path: str) -> dict:
@@ -115,12 +132,15 @@ def write_shapefile(rows: list[dict], base_path: str) -> dict:
         for ring in poly
         for x, y in ring
     ]
-    bbox = (
-        min(p[0] for p in all_pts),
-        min(p[1] for p in all_pts),
-        max(p[0] for p in all_pts),
-        max(p[1] for p in all_pts),
-    )
+    if all_pts:
+        bbox = (
+            min(p[0] for p in all_pts),
+            min(p[1] for p in all_pts),
+            max(p[0] for p in all_pts),
+            max(p[1] for p in all_pts),
+        )
+    else:  # every geometry degenerated to a Null Shape
+        bbox = (0.0, 0.0, 0.0, 0.0)
 
     shp = b""
     shx = b""
@@ -156,6 +176,9 @@ def read_shapefile(base_path: str) -> list[dict]:
         body = data[pos + 8 : pos + 8 + clen * 2]
         pos += 8 + clen * 2
         shape_type = struct.unpack("<i", body[:4])[0]
+        if shape_type == 0:  # Null Shape (empty geometry)
+            out.append({"rings": []})
+            continue
         assert shape_type == 5
         n_parts, n_points = struct.unpack("<2i", body[36:44])
         parts = list(struct.unpack(f"<{n_parts}i", body[44 : 44 + 4 * n_parts]))

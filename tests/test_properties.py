@@ -230,3 +230,53 @@ def test_shapefile_roundtrip_random(seed, n_polys, with_holes):
     want_areas = sorted(abs(GG.ring_area_signed(r)) for r in src_rings)
     assert np.allclose(got_areas, want_areas)
     assert rec["properties"]["level9id"] == f"v{seed % 97}"
+
+
+def test_shapefile_null_shape_and_multibyte_truncation(tmp_path):
+    """ADVICE r02: empty geometries become spec Null Shape records (no
+    min()-of-empty crash) and DBF truncation never splits a UTF-8 char."""
+    import osm_admin_boundary_conflation_spark.functions.geometry as G
+    from osm_admin_boundary_conflation_spark.sources.shapefile_sink import (
+        _truncate_utf8,
+        read_shapefile,
+        write_shapefile,
+    )
+
+    # 3-byte chars: 80 bytes falls mid-char -> cut back to 78 (26 chars)
+    assert _truncate_utf8(("\u20ac" * 30).encode()) == ("\u20ac" * 26).encode()
+    # 2-byte chars at an exact boundary: 40 chars survive
+    assert _truncate_utf8(("\u017d" * 45).encode()) == ("\u017d" * 40).encode()
+    assert _truncate_utf8(b"x" * 79) == b"x" * 79
+
+    rows = [
+        {"wkt": "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))", "level9id": "a",
+         "level9name": "\u20ac" * 30},
+    ]
+    base = str(tmp_path / "t")
+    write_shapefile(rows, base)
+    recs = read_shapefile(base)
+    assert recs[0]["properties"]["level9name"] == "\u20ac" * 26
+
+    # empty multipolygon -> Null Shape record that round-trips alongside
+    # a real polygon (and an all-empty file gets the zero bbox)
+    orig = G.parse_wkt
+
+    def parse_empty_aware(w):
+        return [] if w == "POLYGON EMPTY" else orig(w)
+
+    try:
+        G.parse_wkt = parse_empty_aware
+        base2 = str(tmp_path / "mixed")
+        write_shapefile(
+            [{"wkt": "POLYGON EMPTY", "level9id": "z"}, rows[0]], base2
+        )
+        recs2 = read_shapefile(base2)
+        assert recs2[0]["rings"] == []
+        assert len(recs2[1]["rings"]) == 1
+
+        base3 = str(tmp_path / "allempty")
+        stats = write_shapefile([{"wkt": "POLYGON EMPTY", "level9id": "z"}], base3)
+        assert stats["bbox"] == (0.0, 0.0, 0.0, 0.0)
+        assert read_shapefile(base3)[0]["rings"] == []
+    finally:
+        G.parse_wkt = orig
