@@ -2133,7 +2133,7 @@ def q_geotag_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat/lon); the dim side is a broadcast cross join (25 rows), ranked
     by a JVM haversine expression; exact ties (grid-symmetric pages)
     break on boundary id identically in both engines."""
-    from .functions.udfs import haversine_expr
+    from .operators.knn import knn_join
     from .operators.spatial_join import extract_pages_geo
 
     pages = datagen.build_pages(spark, sf_dir)
@@ -2145,14 +2145,13 @@ def q_geotag_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("min_lon") + F.col("max_lon")) / 2).alias("clon"),
         ((F.col("min_lat") + F.col("max_lat")) / 2).alias("clat"),
     )
-    d = pg.crossJoin(F.broadcast(b)).withColumn(
-        "dist", haversine_expr(F.col("lon"), F.col("lat"), F.col("clon"), F.col("clat"))
-    )
-    w = Window.partitionBy("url").orderBy("dist", "level9_id")
-    return (
-        d.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= 3)
-        .select("url", "knn_rank", "level9_id", F.round("dist", 3).alias("dist_m"))
+    # Exercise the BUCKETED scale path on the gate (sample-bounded
+    # cell-disk probe — exact, so the oracle is the same closed-form
+    # global kNN); 'auto' would pick the broadcast crossJoin for this
+    # 25-row dim, which remains the right plan for dim-sized site sets.
+    out = knn_join(pg, b, k=3, strategy="bucketed")
+    return out.select(
+        "url", "knn_rank", "level9_id", F.round("dist", 3).alias("dist_m")
     )
 
 
@@ -2361,19 +2360,24 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint").parquet(
         in_dir
     )
-    rows: list = []
+    # Per-batch append to a scratch SINK TABLE — the same shape the
+    # engine would use at scale (no driver-side materialization; each
+    # micro-batch's closed sessions land as parquet files).
+    out_dir = os.path.join(tmp, "sessions_out")
     q = (
         stream_sessionize(stream)
-        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .writeStream.foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(out_dir)
+        )
         .option("checkpointLocation", os.path.join(tmp, "ck"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(
-        [(r["user_id"], r["session_start_us"], r["n_events"], r["duration_us"]) for r in rows],
-        "user_id bigint, session_start_us bigint, n_events bigint, duration_us bigint",
-    )
+    schema = "user_id bigint, session_start_us bigint, n_events bigint, duration_us bigint"
+    if not os.path.isdir(out_dir):  # stream emitted nothing
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(out_dir)
 
 
 @q(

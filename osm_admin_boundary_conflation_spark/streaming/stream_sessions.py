@@ -50,13 +50,16 @@ def _sessionize_group(
         for pdf in pdfs
         for v in (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).tolist()
     )
+    if not ts_us:
+        # no rows and no timeout: nothing to fold; keep existing state
+        # (and its pending timeout) untouched rather than index ts_us[0]
+        return
     closed: list[dict] = []
     if state.exists:
         start_us, last_us, n = state.get
     else:
         start_us = last_us = ts_us[0]
-        n = 0
-        ts_us = ts_us  # first event counted in the loop below
+        n = 0  # first event counted in the loop below
 
     for t in ts_us:
         if t - last_us > GAP_US:
