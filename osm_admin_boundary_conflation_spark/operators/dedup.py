@@ -4,13 +4,14 @@
   4 → band-bucket self-join → exact Jaccard verify. The hash family is
   md5-based (functions/text.py stable_hash64) so the DuckDB oracle can
   recompute signatures bit-for-bit.
-- n-gram Jaccard within cheap blocking buckets.
+- n-gram Jaccard within cheap blocking buckets, with TRIANGLE SALTING
+  (prefix_block_pairs) for boilerplate-hot prefixes.
 - SimHash (60-bit, token-majority) for hamming-distance dedup.
 
 Scale: band-bucket self-join is the standard LSH shape — the shuffle
-key is (band_no, band_signature); hot buckets (boilerplate text) can be
-salted exactly like the cell join. Verification only touches candidate
-pairs, never the full cross product.
+key is (band_no, band_signature); hot buckets are spread with the same
+triangle salt. Verification only touches candidate pairs, never the
+full cross product.
 """
 
 from __future__ import annotations
@@ -115,6 +116,46 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+def prefix_block_pairs(
+    corpus: DataFrame, prefix_len: int = 5, n_salts: int = 1
+) -> DataFrame:
+    """corpus(id, t) → candidate pairs (ia, ta, ib, tb) sharing the same
+    first-``prefix_len``-token prefix bucket.
+
+    n_salts > 1 enables TRIANGLE SALTING for boilerplate-heavy corpora
+    where one hot prefix would funnel a quadratic block through a single
+    reducer: each doc gets a deterministic salt s(id) ∈ [0, n); the a
+    side is replicated with every possible partner salt j and the b side
+    with every possible owner salt i, so pair (x, y) meets EXACTLY once
+    at join key (bucket, s(x), s(y)). The hot bucket's m² pair work
+    spreads over n² reducers at the cost of n× row replication — results
+    are salt-invariant (pytest-asserted)."""
+    w = F.split(F.trim(F.lower(F.col("t"))), r"\s+")
+    bucketed = corpus.withColumn("bucket", F.array_join(F.slice(w, 1, prefix_len), " "))
+    if n_salts <= 1:
+        a = bucketed.select(F.col("id").alias("ia"), F.col("t").alias("ta"), "bucket")
+        b = bucketed.select(F.col("id").alias("ib"), F.col("t").alias("tb"), "bucket")
+        return (
+            a.join(b, "bucket").filter(F.col("ia") < F.col("ib")).select("ia", "ta", "ib", "tb")
+        )
+    salt = F.pmod(F.xxhash64(F.col("id")), F.lit(n_salts)).cast("int")
+    allsalts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    sb = bucketed.withColumn("own", salt)
+    a = sb.select(
+        F.col("id").alias("ia"), F.col("t").alias("ta"), "bucket",
+        F.col("own").alias("si"), allsalts.alias("sj"),
+    )
+    b = sb.select(
+        F.col("id").alias("ib"), F.col("t").alias("tb"), "bucket",
+        F.col("own").alias("sj"), allsalts.alias("si"),
+    )
+    return (
+        a.join(b, ["bucket", "si", "sj"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ta", "ib", "tb")
+    )
 
 
 @pandas_udf(DoubleType())

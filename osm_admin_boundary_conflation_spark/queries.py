@@ -954,8 +954,11 @@ WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard dedup with prefix-bucket blocking (first 5
-    tokens) — candidate pairs never leave their block."""
-    from .operators.dedup import jaccard3_udf
+    tokens) — candidate pairs never leave their block. Runs the
+    TRIANGLE-SALTED block join (n_salts=4) so a boilerplate-heavy hot
+    prefix spreads over 16 reducers; salting is result-invariant, so
+    the oracle is the plain blocked self-join."""
+    from .operators.dedup import jaccard3_udf, prefix_block_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
@@ -964,11 +967,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") + 3000000).alias("id"), F.concat("text", F.lit(" zz")).alias("t"))
     )
     corpus = base.unionByName(dups)
-    w = F.split(F.trim(F.lower(F.col("t"))), r"\s+")
-    bucketed = corpus.withColumn("bucket", F.array_join(F.slice(w, 1, 5), " "))
-    a = bucketed.select(F.col("id").alias("ia"), F.col("t").alias("ta"), "bucket")
-    b = bucketed.select(F.col("id").alias("ib"), F.col("t").alias("tb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("ia") < F.col("ib"))
+    pairs = prefix_block_pairs(corpus, prefix_len=5, n_salts=4)
     out = pairs.withColumn("jacc", F.round(jaccard3_udf("ta", "tb"), 6)).filter(
         F.col("jacc") >= 0.3
     )

@@ -167,3 +167,32 @@ def test_jvm_simhash_bit_exact(spark):
     got = {r["id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
     for i, t in enumerate(texts):
         assert got[i] == simhash64(t), f"text {i}"
+
+
+def test_prefix_block_salting_invariance(spark):
+    """Triangle-salted prefix blocking must produce exactly the same
+    candidate pairs as the plain blocked self-join — including on a
+    corpus with one HOT prefix shared by most docs (the skew case the
+    salt exists for)."""
+    import pyspark.sql.functions as F
+
+    from osm_admin_boundary_conflation_spark.operators.dedup import prefix_block_pairs
+
+    rows = []
+    for i in range(120):
+        if i % 5 == 0:
+            rows.append((i, f"unique head {i} words tail body {i}"))
+        else:  # hot prefix: same first 5 tokens for 80% of docs
+            rows.append((i, f"terms of service boilerplate page variant {i} content"))
+    corpus = spark.createDataFrame(rows, "id long, t string")
+
+    def frame(df):
+        return sorted((r["ia"], r["ib"]) for r in df.select("ia", "ib").collect())
+
+    plain = frame(prefix_block_pairs(corpus, n_salts=1))
+    for n_salts in (2, 4, 7):
+        assert frame(prefix_block_pairs(corpus, n_salts=n_salts)) == plain, n_salts
+    # the hot block actually produced quadratic candidates (the skew is
+    # real); the unique-prefix docs collide with nothing
+    hot = 96
+    assert len(plain) == hot * (hot - 1) // 2
