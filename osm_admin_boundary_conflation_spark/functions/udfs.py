@@ -128,6 +128,46 @@ def iou_udf(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"i_o_u": ious, "area_diff": diffs})
 
 
+@pandas_udf(DoubleType())
+def bearing_udf(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+    """G8 initial compass bearing (conflate.py:338-355) — the numpy
+    kernel over the Arrow batch; oracle-checked against the closed-form
+    atan2 formula in SQL."""
+    return pd.Series(
+        G.compass_bearing(
+            lon1.to_numpy(np.float64),
+            lat1.to_numpy(np.float64),
+            lon2.to_numpy(np.float64),
+            lat2.to_numpy(np.float64),
+        )
+    )
+
+
+_VALID_SCHEMA = StructType(
+    [
+        StructField("is_valid", BooleanType()),
+        StructField("is_closed", BooleanType()),
+        StructField("is_ring", BooleanType()),
+    ]
+)
+
+
+@pandas_udf(_VALID_SCHEMA)
+def validity_flags_udf(coords: pd.Series) -> pd.DataFrame:
+    """G10/G14 (conflate.py:370-376): LineString validity, closure, and
+    ring-ness (closed AND simple — the self-intersection/duplicate-
+    interior-vertex check) per Arrow batch."""
+    out = {"is_valid": [], "is_closed": [], "is_ring": []}
+    for c in coords:
+        arr = np.asarray(c.tolist() if hasattr(c, "tolist") else list(c), np.float64)
+        arr = arr.reshape(-1, 2) if arr.size else arr.reshape(0, 2)
+        v, cl, rg = G.validity_flags(arr)
+        out["is_valid"].append(v)
+        out["is_closed"].append(cl)
+        out["is_ring"].append(rg)
+    return pd.DataFrame(out)
+
+
 _RT_SCHEMA = StructType(
     [
         StructField("lon", DoubleType()),

@@ -2544,3 +2544,137 @@ def q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel_id long, level9name string, level8name string, n_rings long, "
         "n_points long, minx double, miny double, maxx double, maxy double",
     )
+
+
+@q(
+    "compass_bearings",
+    oracle="""
+WITH p AS (
+  SELECT c_custkey,
+         (c_custkey * 13 % 3400000) / 10000.0 - 170.0 AS lon1,
+         (c_custkey * 7 % 1600000) / 10000.0 - 80.0 AS lat1,
+         ((c_custkey * 13 % 3400000) / 10000.0 - 170.0) + (c_custkey % 21 - 10) / 10.0 AS lon2,
+         ((c_custkey * 7 % 1600000) / 10000.0 - 80.0) + (c_custkey % 17 - 8) / 10.0 AS lat2
+  FROM customer
+)
+SELECT c_custkey,
+       round(mod(degrees(atan2(
+           sin(radians(lon2) - radians(lon1)) * cos(radians(lat2)),
+           cos(radians(lat1)) * sin(radians(lat2))
+             - sin(radians(lat1)) * cos(radians(lat2))
+               * cos(radians(lon2) - radians(lon1))
+         )) + 360.0, 360.0), 6) AS bearing
+FROM p
+""",
+)
+def q_compass_bearings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 compass bearing (conflate.py:338-355): one synthetic point
+    pair per customer row, bearing computed by the numpy kernel
+    (Arrow-batched bearing_udf) vs the closed-form spherical atan2
+    formula in the oracle — radians() applied per-coordinate on both
+    sides so the float op order is identical."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = F.col("c_custkey")
+    lon1 = (c * 13 % 3400000) / 10000.0 - 170.0
+    lat1 = (c * 7 % 1600000) / 10000.0 - 80.0
+    pts = cust.select(
+        "c_custkey",
+        lon1.alias("lon1"),
+        lat1.alias("lat1"),
+        (lon1 + (c % 21 - 10) / 10.0).alias("lon2"),
+        (lat1 + (c % 17 - 8) / 10.0).alias("lat2"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.round(U.bearing_udf("lon1", "lat1", "lon2", "lat2"), 6).alias("bearing"),
+    )
+
+
+@q(
+    "results_sink_metrics",
+    oracle="""
+SELECT 'gate' AS run_id, 'filtered' AS stage,
+       CAST((SELECT count(*) FROM customer WHERE c_acctbal >= 1000.0) AS BIGINT) AS rows_total
+UNION ALL
+SELECT 'gate', 'segments',
+       CAST((SELECT count(DISTINCT c_mktsegment) FROM customer WHERE c_acctbal >= 1000.0) AS BIGINT)
+""",
+)
+def q_results_sink_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 results-table sink + A10 per-run metrics, gate row: run a
+    two-stage checkpointed pipeline (StageRunner — each stage output is
+    an atomic parquet table, per-partition lineage rows appended to the
+    _metrics table), re-run it to prove resume adds NO new metrics, and
+    return per-stage total row counts aggregated FROM THE METRICS TABLE
+    (so the sink + metrics path, not the in-memory result, is what the
+    oracle certifies)."""
+    import tempfile
+
+    from .plans.checkpoint import StageRunner
+
+    with tempfile.TemporaryDirectory(prefix="results_sink_") as td:
+        def pipeline():
+            runner = StageRunner(spark, td, run_id="gate")
+            filtered = runner.stage(
+                "filtered",
+                lambda: spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+                    F.col("c_acctbal") >= 1000.0
+                ),
+            )
+            runner.stage(
+                "segments",
+                lambda: filtered.groupBy("c_mktsegment").agg(
+                    F.count("*").alias("n")
+                ),
+            )
+            return runner
+
+        runner = pipeline()
+        assert runner.recomputed == ["filtered", "segments"]
+        rerun = pipeline()  # second run: everything resumes, no new metrics
+        assert rerun.resumed == ["filtered", "segments"] and not rerun.recomputed
+        out = (
+            rerun.metrics()
+            .groupBy("run_id", "stage")
+            .agg(F.sum("rows_out").alias("rows_total"))
+        )
+        rows = [(r["run_id"], r["stage"], r["rows_total"]) for r in out.collect()]
+    return spark.createDataFrame(rows, "run_id string, stage string, rows_total bigint")
+
+
+@q(
+    "geometry_validity",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS way_id,
+       n_nationkey % 4 <> 3 AS is_valid,
+       n_nationkey % 4 IN (0, 2) AS is_closed,
+       n_nationkey % 4 = 0 AS is_ring
+FROM nation
+""",
+)
+def q_geometry_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10/G14 validity battery gate (conflate.py:370-376): one
+    synthetic LineString per nation row in four classes — proper ring,
+    open polyline, closed-but-self-touching ring (duplicate interior
+    vertex, the 'simple' failure the self-intersection finder flags),
+    and a degenerate single point — classified by the numpy kernel via
+    an Arrow UDF; the oracle states the class →flags map."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.col("n_nationkey").cast("double")
+    p = lambda x, y: F.array(x, y)  # noqa: E731
+    ring = F.array(p(n, n), p(n + 1, n), p(n + 1, n + 1), p(n, n + 1), p(n, n))
+    open_line = F.array(p(n, n), p(n + 1, n), p(n + 1, n + 1))
+    # closed, but vertex 1 repeats at position 3 -> not simple
+    touch = F.array(p(n, n), p(n + 1, n), p(n + 2, n + 1), p(n + 1, n), p(n - 1, n + 1), p(n, n))
+    point = F.array(p(n, n))
+    coords = (
+        F.when(F.col("n_nationkey") % 4 == 0, ring)
+        .when(F.col("n_nationkey") % 4 == 1, open_line)
+        .when(F.col("n_nationkey") % 4 == 2, touch)
+        .otherwise(point)
+    )
+    flagged = nat.select(
+        F.col("n_nationkey").cast("long").alias("way_id"),
+        U.validity_flags_udf(coords).alias("fl"),
+    )
+    return flagged.select("way_id", "fl.is_valid", "fl.is_closed", "fl.is_ring")
