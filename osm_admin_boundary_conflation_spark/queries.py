@@ -2678,3 +2678,119 @@ def q_geometry_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.validity_flags_udf(coords).alias("fl"),
     )
     return flagged.select("way_id", "fl.is_valid", "fl.is_closed", "fl.is_ring")
+
+
+# ===========================================================================
+# Round-3 training-pipeline additions: sampling + term statistics
+# ===========================================================================
+
+
+@q(
+    "stratified_sample",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS BIGINT) AS bucket
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000
+      < CASE WHEN lang = 'en' THEN 100 ELSE 250 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sampling (training-data pipeline):
+    keep 10% of English docs and 25% of everything else, selected by an
+    md5 bucket of the stable doc id — reproducible across runs, engines
+    and partitionings (never rand()/sample(), which are
+    partitioning-dependent). One scan, no shuffle; the predicate
+    pushes to the row level."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 1000
+    rate = F.when(F.col("lang") == "en", 100).otherwise(250)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@q(
+    "reservoir_per_group",
+    oracle="""
+SELECT lang, source, doc_id
+FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 2
+""",
+)
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic reservoir sampling: 2 uniform docs per
+    (lang, source) stratum, chosen by md5-hash order — the group-wise
+    subsampling step of corpus balancing. Partial top-k per partition
+    (rank window is per-group, never global)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("lang", "source", "doc_id")
+    )
+
+
+@q(
+    "tfidf_topterms",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln((n.n_docs * 1.0 + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf FROM (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= 3
+""",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (text-analysis pipeline op): one
+    token explode, two map-side-combining aggregations (tf per doc-term,
+    df per term), a token equi-join back (well-distributed key), a
+    1-row broadcast for N; each score is a single product per row (no
+    cross-row float summation — cross-engine safe), ranked per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") * 1.0 + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
