@@ -131,3 +131,16 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
         spark.sql("DROP DATABASE IF EXISTS buckdemo")
+
+
+def test_ann_topk_plan_is_take_ordered(spark, sf_correct):
+    """VERDICT r02 #3: every ANN top-k must compile to
+    TakeOrderedAndProject (parallel partial top-k), never a
+    partition-less Window funnelling all scored rows into one task."""
+    from osm_admin_boundary_conflation_spark import queries as Q
+
+    for name in ("ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk", "ann_ivf_multiprobe"):
+        df = Q.QUERIES[name](spark, sf_correct)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
