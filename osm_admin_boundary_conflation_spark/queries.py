@@ -2794,3 +2794,88 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@q(
+    "stream_geotag_gate",
+    oracle=f"""
+WITH {datagen.PAGES_CTE}, {datagen.BOUNDARIES_CTE}
+SELECT g.url AS url,
+       b.level9_id AS level9_id,
+       {_CELL_SQL} AS cell_id,
+       'MATCHED' AS verdict
+FROM pages_geo g JOIN boundaries b
+  ON g.lon >= b.min_lon AND g.lon < b.max_lon
+ AND g.lat >= b.min_lat AND g.lat < b.max_lat
+""",
+)
+def q_stream_geotag_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INGESTION gate: the same geo-tag pipeline driven by
+    Structured Streaming (streaming/stream_geotag.py) over the corpus
+    replayed as two parquet micro-batches (split by url hash — each
+    url's single page lands in exactly one batch, and geotag_pages
+    aggregates per url, so stream output ≡ batch output). AvailableNow
+    drains both batches exactly-once into a parquet sink table; the
+    oracle is the batch geotag oracle, unchanged."""
+    import os
+    import tempfile
+
+    from .streaming.stream_geotag import stream_geotag
+
+    pages = datagen.build_pages(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stream_geotag_")
+    in_dir = os.path.join(tmp, "in")
+    half = F.pmod(F.xxhash64("url"), F.lit(2))
+    pages.filter(half == 0).write.mode("overwrite").parquet(in_dir)
+    pages.filter(half == 1).write.mode("append").parquet(in_dir)
+
+    out_dir = os.path.join(tmp, "out")
+    stream_geotag(
+        spark,
+        in_dir,
+        datagen.build_boundaries(spark, sf_dir),
+        out_dir,
+        os.path.join(tmp, "ck"),
+    )
+    return spark.read.parquet(out_dir).select("url", "level9_id", "cell_id", "verdict")
+
+
+@q(
+    "lint_observed",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_ways,
+       CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dup_nodes,
+       CAST(sum(CASE WHEN n_nationkey % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS one_node_ways
+FROM nation
+""",
+)
+def q_lint_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 diagnostic counters gate (translation.py:331-370 lint pass):
+    one synthetic way per nation row — every 5th carries a consecutive
+    duplicate node, the next a single node — segmented with a
+    df.observe lint observation riding the existing scan (no extra
+    job); the OBSERVED counters are returned as the result row and
+    checked against the closed-form class counts."""
+    from pyspark.sql import Observation
+
+    from .operators import segmentation as SG
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.col("n_nationkey").cast("long")
+    node_ids = (
+        F.when(n % 5 == 0, F.array(n * 10, n * 10, n * 10 + 1))
+        .when(n % 5 == 1, F.array(n * 10))
+        .otherwise(F.array(n * 10, n * 10 + 1, n * 10 + 2))
+    )
+    ways = nat.select(
+        n.alias("way_id"), node_ids.alias("node_ids"), F.lit("9").alias("admin_level")
+    )
+    obs = Observation("lint_gate")
+    SG.segment_ways(ways, lint_observation=obs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_ways"], m["dup_nodes"], m["one_node_ways"])],
+        "n_ways bigint, dup_nodes bigint, one_node_ways bigint",
+    )
