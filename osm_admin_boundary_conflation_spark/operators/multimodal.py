@@ -18,6 +18,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -71,6 +73,53 @@ def extract_media_meta(pages: DataFrame, stub: bool = True) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("resized_w", LongType()),
+        StructField("resized_h", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_media_features(pages: DataFrame, dim: int = 8, stub: bool = True) -> DataFrame:
+    """Feature-extract + resize plumbing (the embed step of a multimodal
+    training pipeline): mapInPandas over Arrow batches producing a
+    fixed-``dim`` float vector per media blob plus aspect-preserving
+    resize dims (max side 224). The embedding model is STUBBED
+    deterministically (md5-derived bytes → [0,1] floats, recomputable by
+    the DuckDB oracle); the schema, batching and vector column type are
+    the real plumbing an image tower would plug into."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        if not stub:
+            raise NotImplementedError("no image codec/model in this container")
+        for pdf in it:
+            urls = pdf["url"]
+            hexes = urls.map(lambda u: hashlib.md5(u.encode()).hexdigest())
+            w0 = hexes.map(lambda h: 64 + int(h[:2], 16) % 64)
+            h0 = (w0 * 3) // 4
+            # aspect-preserving resize to max side 224 (w0 >= h0 here)
+            rw = pd.Series([224] * len(urls))
+            rh = (h0 * 224) // w0
+            feats = hexes.map(
+                lambda h: [round(int(h[2 * j : 2 * j + 2], 16) / 255.0, 6) for j in range(dim)]
+            )
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "resized_w": rw.astype("int64"),
+                    "resized_h": rh.astype("int64"),
+                    "feature": feats,
+                }
+            )
+
+    return pages.select("url").mapInPandas(batches, FEATURES_SCHEMA)
 
 
 def frame_sample(pages: DataFrame, every_n_bytes: int = 1000) -> DataFrame:

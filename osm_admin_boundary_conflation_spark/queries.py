@@ -2879,3 +2879,35 @@ def q_lint_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_ways"], m["dup_nodes"], m["one_node_ways"])],
         "n_ways bigint, dup_nodes bigint, one_node_ways bigint",
     )
+
+
+@q(
+    "media_features",
+    oracle=f"""
+WITH {datagen.PAGES_CTE},
+f AS (
+  SELECT url,
+         CAST(224 AS BIGINT) AS resized_w,
+         ((64 + CAST(('0x' || substr(md5(url), 1, 2)) AS BIGINT) % 64) * 3 // 4) * 224
+           // (64 + CAST(('0x' || substr(md5(url), 1, 2)) AS BIGINT) % 64) AS resized_h,
+         unnest(generate_series(0, 7)) AS feat_no
+  FROM pages_geo
+)
+SELECT url, resized_w, resized_h, CAST(feat_no AS INT) AS feat_no,
+       round(CAST(('0x' || substr(md5(url), 2 * feat_no + 1, 2)) AS BIGINT) / 255.0, 6) AS feat_val
+FROM f
+""",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extract + resize plumbing (mapInPandas →
+    array<double> embedding column + aspect-preserving 224-max-side
+    resize dims; model stubbed deterministically from md5 bytes —
+    operators/multimodal.py extract_media_features). The gate flattens
+    the vector to scalar rows."""
+    from .operators import multimodal as MM
+
+    pages = datagen.build_pages(spark, sf_dir)
+    feats = MM.extract_media_features(pages, dim=8, stub=True)
+    return feats.select(
+        "url", "resized_w", "resized_h", F.posexplode("feature").alias("feat_no", "feat_val")
+    )
