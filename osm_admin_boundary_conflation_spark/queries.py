@@ -2911,3 +2911,84 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "url", "resized_w", "resized_h", F.posexplode("feature").alias("feat_no", "feat_val")
     )
+
+
+@q(
+    "pack_sequences",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT shard, CAST(start_tok // 512 AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM c GROUP BY shard, seq_id
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence PACKING (pretraining prep): concatenate docs in
+    deterministic order and chunk at a 512-token budget — each doc is
+    assigned to the sequence where it STARTS (the standard
+    concat-then-chunk packing). Packing is per SHARD (doc_id % 32), so
+    the cumsum window is partitioned — embarrassingly parallel, exactly
+    how real packing pipelines shard by file; there is no global
+    single-partition window anywhere."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("shard"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = t.withColumn("start_tok", (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long"))
+    return (
+        c.groupBy("shard", F.floor(F.col("start_tok") / 512).alias("seq_id"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").cast("long").alias("sum_tokens"))
+    )
+
+
+@q(
+    "redact_pii",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or u' || CAST(doc_id AS VARCHAR) || '@test.com' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.com')) AS BIGINT) AS n_emails,
+       md5(regexp_replace(t, '[a-z0-9]+@[a-z]+\.com', '<EMAIL>', 'g')) AS redacted_md5
+FROM aug
+""",
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data scrubbing): inject two synthetic
+    emails per doc, count and redact them with the SAME simple regex in
+    both engines (dialect-neutral char classes), output the count and
+    the md5 of the redacted text (byte-level equality through the
+    hash). All JVM-side regexp — no Python in the path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@test.com"),
+    )
+    pat = r"[a-z0-9]+@[a-z]+\.com"
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(pat)).cast("long").alias("n_emails"),
+        F.md5(F.encode(F.regexp_replace(t, pat, "<EMAIL>"), "UTF-8")).alias("redacted_md5"),
+    )
