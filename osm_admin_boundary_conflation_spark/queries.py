@@ -863,12 +863,17 @@ def q_segment_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # md5-based hash family shared with DuckDB: stable_hash64(s) =
 # int(md5('0:'||s)[:15], 16); affine rehash (h*(2i+1)+i*golden) mod M61
-_MINHASH_SQL_CORE = r"""
-corpus AS (
+_MINHASH_CORPUS_SQL = r"""
   SELECT doc_id AS id, text AS t FROM documents
   UNION ALL
   SELECT doc_id + 2000000 AS id, text || ' extra' AS t FROM documents WHERE doc_id % 7 = 0
-),
+"""
+
+
+def _minhash_core(corpus_sql: str) -> str:
+    """CTE chain shingle→minhash→band→candidate pairs, parameterized by
+    the corpus subquery (must yield columns id, t)."""
+    return "corpus AS (" + corpus_sql + r"""),
 words AS (SELECT id, t, string_split_regex(trim(lower(t)), '\s+') AS w FROM corpus),
 sh AS (
   SELECT id, t,
@@ -895,6 +900,9 @@ pairs AS (
 ),
 shd AS (SELECT id, list_distinct(sh_list) AS s FROM sh)
 """
+
+
+_MINHASH_SQL_CORE = _minhash_core(_MINHASH_CORPUS_SQL)
 
 
 @q(
@@ -925,6 +933,68 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(dups)
     return DD.minhash_dedup_pairs(corpus, threshold=0.5)
+
+
+# chained-variant corpus: base → ' extra' → ' extra more' gives 3-node
+# components (the weakest base↔'extra more' edge may miss 0.5 for short
+# docs — CC still unifies the chain transitively)
+_CC_CORPUS_SQL = r"""
+  SELECT doc_id AS id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS id, text || ' extra' AS t FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 4000000 AS id, text || ' extra more' AS t FROM documents WHERE doc_id % 14 = 0
+"""
+
+
+@q(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_minhash_core(_CC_CORPUS_SQL)},
+vp AS (
+  SELECT ia, ib
+  FROM (
+    SELECT ia, ib, len(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+           len(sa) AS la, len(sb) AS lb
+    FROM pairs
+    JOIN (SELECT id AS ia, s AS sa FROM shd) USING (ia)
+    JOIN (SELECT id AS ib, s AS sb FROM shd) USING (ib)
+  )
+  WHERE inter * 1.0 / (la + lb - inter) >= 0.5
+),
+e AS (SELECT ia AS u, ib AS v FROM vp UNION SELECT ib AS u, ia AS v FROM vp),
+r AS (
+  SELECT id, id AS lab FROM corpus
+  UNION
+  SELECT e.u AS id, r.lab FROM r JOIN e ON e.v = r.id
+)
+SELECT id, min(lab) AS cluster_id FROM r GROUP BY id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup GROUPS: connected components over the
+    MinHash-LSH pair graph labels every doc with the min doc id of its
+    component ("keep cluster_id, drop the rest"). The oracle computes
+    the same fixpoint with a recursive transitive-closure CTE.
+    Reference analogue: conflate-boundaries.py:214-258 (one
+    representative per duplicate-geometry set)."""
+    from .operators import dedup as DD
+    from .operators.graph import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    d1 = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("id"), F.concat("text", F.lit(" extra")).alias("t")
+    )
+    d2 = docs.filter(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + 4000000).alias("id"),
+        F.concat("text", F.lit(" extra more")).alias("t"),
+    )
+    corpus = base.unionByName(d1).unionByName(d2)
+    edges = DD.minhash_dedup_pairs(corpus, threshold=0.5).select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    )
+    return connected_components(corpus.select("id"), edges)
 
 
 @q(
@@ -2991,4 +3061,282 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count(t, F.lit(pat)).cast("long").alias("n_emails"),
         F.md5(F.encode(F.regexp_replace(t, pat, "<EMAIL>"), "UTF-8")).alias("redacted_md5"),
+    )
+
+
+# ===========================================================================
+# Chunk-level corpus hygiene (boilerplate removal, paragraph dedup,
+# repetition stats, inverted index)
+# ===========================================================================
+
+_CHUNK_WORDS = 10
+
+# DuckDB mirror of _chunks_col: split → disjoint 10-word windows with index
+_CHUNK_SQL = r"""
+words AS (SELECT id, source, string_split_regex(trim(lower(t)), '\s+') AS w FROM corpus),
+chunks AS (
+  SELECT id, source, unnest(list_transform(range(CAST(ceil(len(w)/10.0) AS BIGINT)),
+         i -> {'idx': i, 'chunk': array_to_string(w[i*10+1:i*10+10], ' ')}), recursive := true)
+  FROM words
+)
+"""
+
+
+def _chunks_col(tcol, size: int = _CHUNK_WORDS):
+    """Array of disjoint `size`-word chunks of lower(trim(text)) —
+    all JVM-side (split / sequence / slice / array_join)."""
+    w = F.split(F.trim(F.lower(tcol)), r"\s+")
+    n = F.greatest(F.ceil(F.size(w) / F.lit(size)).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(w, i * size + 1, size), " "),
+    )
+
+
+@q(
+    "boilerplate_chunks",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, source,
+         source || ' home about contact subscribe footer terms privacy cookie banner ' || text AS t
+  FROM documents
+),
+{_CHUNK_SQL},
+srcdocs AS (SELECT source, count(DISTINCT id) AS nd FROM corpus GROUP BY source),
+bp AS (
+  SELECT c.source, c.chunk
+  FROM (SELECT source, chunk, count(DISTINCT id) AS cnt FROM chunks GROUP BY source, chunk) c
+  JOIN srcdocs USING (source)
+  WHERE cnt >= 2 AND cnt * 4 >= nd
+),
+marked AS (
+  SELECT ch.id, ch.idx, ch.chunk, (bp.chunk IS NOT NULL) AS is_bp
+  FROM chunks ch LEFT JOIN bp ON ch.source = bp.source AND ch.chunk = bp.chunk
+)
+SELECT id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN is_bp THEN NULL ELSE chunk END, ' ' ORDER BY idx)) AS clean_md5
+FROM marked GROUP BY id
+""",
+)
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level boilerplate removal (the classic webtext cleaner):
+    a chunk appearing in >=25% of a source's docs (and >=2 docs) is
+    boilerplate and stripped; output is the per-doc chunk census plus
+    the md5 of the reassembled clean text. Each doc gets a synthetic
+    10-word per-source nav header so the operator has real work to do.
+    Scale shape: the boilerplate set is by construction small (frequent
+    chunks only) — it broadcasts back onto the exploded chunks, so the
+    corpus side shuffles once (the per-doc regroup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        F.concat(
+            F.col("source"),
+            F.lit(" home about contact subscribe footer terms privacy cookie banner "),
+            F.col("text"),
+        ).alias("t"),
+    )
+    ch = corpus.select(
+        "id", "source", F.posexplode(_chunks_col(F.col("t"))).alias("idx", "chunk")
+    )
+    srcdocs = corpus.groupBy("source").agg(F.countDistinct("id").alias("nd"))
+    bp = (
+        ch.groupBy("source", "chunk")
+        .agg(F.countDistinct("id").alias("cnt"))
+        .join(srcdocs, "source")
+        .filter((F.col("cnt") >= 2) & (F.col("cnt") * 4 >= F.col("nd")))
+        .select("source", "chunk")
+    )
+    marked = ch.join(
+        F.broadcast(bp.withColumn("is_bp", F.lit(True))), ["source", "chunk"], "left"
+    ).withColumn("is_bp", F.coalesce("is_bp", F.lit(False)))
+    kept_struct = F.when(~F.col("is_bp"), F.struct("idx", "chunk"))
+    return marked.groupBy("id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("is_bp"), 0).otherwise(1)).alias("n_kept"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)), lambda x: x["chunk"]
+                    ),
+                    " ",
+                ),
+                "UTF-8",
+            )
+        ).alias("clean_md5"),
+    )
+
+
+@q(
+    "dedup_paragraphs",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, source, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000 AS id, source, text AS t FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 6000000 AS id, source, text || ' tail tokens appended here' AS t
+  FROM documents WHERE doc_id % 10 = 0
+),
+{_CHUNK_SQL},
+own AS (SELECT chunk, min(id) AS o_id FROM chunks GROUP BY chunk),
+own2 AS (
+  SELECT c.chunk, own.o_id, min(c.idx) AS o_idx
+  FROM chunks c JOIN own ON c.chunk = own.chunk AND c.id = own.o_id
+  GROUP BY c.chunk, own.o_id
+)
+SELECT ch.id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN ch.id = o.o_id AND ch.idx = o.o_idx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM chunks ch JOIN own2 o ON ch.chunk = o.chunk
+GROUP BY ch.id
+""",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global paragraph-level exact dedup (MassiveText-style): every
+    10-word chunk is kept only at its FIRST occurrence corpus-wide
+    (owner = min (doc_id, chunk_idx)); re-posted copies keep nothing,
+    append-variants keep only their novel tail. One groupBy on the
+    chunk hash + one join back — both shuffle on the well-distributed
+    chunk key."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("id"), "source", F.col("text").alias("t"))
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5000000).alias("id"), "source", F.col("text").alias("t")
+    )
+    tails = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 6000000).alias("id"),
+        "source",
+        F.concat("text", F.lit(" tail tokens appended here")).alias("t"),
+    )
+    corpus = base.unionByName(copies).unionByName(tails)
+    ch = corpus.select("id", F.posexplode(_chunks_col(F.col("t"))).alias("idx", "chunk"))
+    owner = ch.groupBy("chunk").agg(F.min(F.struct("id", "idx")).alias("o"))
+    return (
+        ch.join(owner, "chunk")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(
+                    (F.col("id") == F.col("o.id")) & (F.col("idx") == F.col("o.idx")), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+
+
+@q(
+    "repetition_stats",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+),
+toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
+wc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+tot AS (
+  SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS total_words, count(*) AS distinct_words
+  FROM words w JOIN wc ON w.doc_id = wc.doc_id GROUP BY w.doc_id, len(w.w)
+),
+top AS (
+  SELECT doc_id, tok AS top_word, cnt AS top_word_count FROM (
+    SELECT doc_id, tok, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+    FROM wc
+  ) WHERE rn = 1
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1])) AS big
+  FROM words WHERE len(w) >= 2
+),
+bc AS (SELECT doc_id, big, count(*) AS cnt FROM bg GROUP BY doc_id, big),
+topb AS (
+  SELECT doc_id, big AS top_bigram, cnt AS top_bigram_count FROM (
+    SELECT doc_id, big, cnt, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, big) AS rn
+    FROM bc
+  ) WHERE rn = 1
+)
+SELECT doc_id, total_words, distinct_words, top_word, top_word_count,
+       top_bigram, top_bigram_count
+FROM tot JOIN top USING (doc_id) JOIN topb USING (doc_id)
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc, as integer counts
+    (cross-engine safe): total/distinct words, the most-repeated word
+    and bigram with deterministic ties (count desc, then lexical).
+    Bigrams are built JVM-side with zip_with over shifted slices — no
+    Python, no self-join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.trim(F.lower("text")), r"\s+")
+    words = docs.select("doc_id", w.alias("w"))
+    toks = words.select("doc_id", F.explode("w").alias("tok"))
+    wc = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    tot = (
+        words.select("doc_id", F.size("w").cast("long").alias("total_words"))
+        .join(wc.groupBy("doc_id").agg(F.count("*").alias("distinct_words")), "doc_id")
+    )
+    w_top = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "tok")
+    top = (
+        wc.withColumn("rn", F.row_number().over(w_top))
+        .filter("rn = 1")
+        .select("doc_id", F.col("tok").alias("top_word"), F.col("cnt").alias("top_word_count"))
+    )
+    n = F.size("w")
+    bigs = words.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, n - 1),
+                F.slice("w", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("big"),
+    )
+    bc = bigs.groupBy("doc_id", "big").agg(F.count("*").alias("cnt"))
+    w_topb = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "big")
+    topb = (
+        bc.withColumn("rn", F.row_number().over(w_topb))
+        .filter("rn = 1")
+        .select(
+            "doc_id", F.col("big").alias("top_bigram"), F.col("cnt").alias("top_bigram_count")
+        )
+    )
+    return tot.join(top, "doc_id").join(topb, "doc_id")
+
+
+@q(
+    "inverted_index",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total,
+       array_to_string(list_sort(list_distinct(list(doc_id)))[1:12], ',') AS postings_head
+FROM toks GROUP BY term
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → document frequency, total term
+    frequency, and the head of the sorted posting list. One explode +
+    one groupBy on the term key (map-side combine); posting lists are
+    capped (12) so no group's state is unbounded — at 100 TB the full
+    posting list would go to a bucketed sink instead of a string."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    return toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 12),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
     )

@@ -1,0 +1,73 @@
+"""Connected components (dedup clustering) and chunk-level text ops."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from osm_admin_boundary_conflation_spark.operators.graph import connected_components
+from osm_admin_boundary_conflation_spark.queries import _chunks_col
+
+
+def _cc(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs] or [(None, None)], "src long, dst long"
+    )
+    if not edge_pairs:
+        edges = edges.filter(F.col("src").isNotNull())
+    out = connected_components(nodes, edges).collect()
+    return {r.id: r.cluster_id for r in out}
+
+
+def test_cc_two_components_and_singleton(spark):
+    # component {1,2,3} (chain), component {10,11}, singleton 99
+    got = _cc(spark, [1, 2, 3, 10, 11, 99], [(2, 1), (3, 2), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_cc_long_chain_converges(spark):
+    # diameter 9 chain labelled from the far end — needs >1 round
+    ids = list(range(20, 30))
+    edges = [(a, a + 1) for a in ids[:-1]]
+    got = _cc(spark, ids, edges)
+    assert set(got.values()) == {20}
+
+
+def test_cc_orientation_invariant(spark):
+    ids = [5, 6, 7]
+    assert _cc(spark, ids, [(7, 6), (5, 6)]) == _cc(spark, ids, [(6, 7), (6, 5)])
+
+
+def test_cc_no_edges(spark):
+    got = _cc(spark, [1, 2], [])
+    assert got == {1: 1, 2: 2}
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("a b c", ["a b c"]),
+        (" ".join(f"w{i}" for i in range(10)), [" ".join(f"w{i}" for i in range(10))]),
+        (
+            " ".join(f"w{i}" for i in range(23)),
+            [
+                " ".join(f"w{i}" for i in range(10)),
+                " ".join(f"w{i}" for i in range(10, 20)),
+                "w20 w21 w22",
+            ],
+        ),
+    ],
+)
+def test_chunks_col(spark, text, expected):
+    row = spark.range(1).select(_chunks_col(F.lit(text)).alias("c")).first()
+    assert row.c == expected
+
+
+def test_chunks_roundtrip_rebuild(spark):
+    # joining the chunks back with ' ' reproduces the normalized text
+    text = " ".join(f"tok{i}" for i in range(37))
+    row = (
+        spark.range(1)
+        .select(F.array_join(_chunks_col(F.lit("  " + text.upper() + " ")), " ").alias("t"))
+        .first()
+    )
+    assert row.t == text.lower()
