@@ -3309,6 +3309,100 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "interval_containment_join",
+    oracle=r"""
+WITH pts AS (
+  SELECT l_orderkey * 10 + l_linenumber AS pid,
+         epoch_us(l_shipdate) // 86400000000 AS x
+  FROM lineitem WHERE l_orderkey % 50 = 0
+),
+iv AS (
+  SELECT o_orderkey AS iid,
+         epoch_us(o_orderdate) // 86400000000 AS s,
+         epoch_us(o_orderdate) // 86400000000 + 30 AS e
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT iid, count(*) AS n_points, min(pid) AS min_pid, max(pid) AS max_pid
+FROM pts JOIN iv ON iv.s <= pts.x AND pts.x < iv.e
+GROUP BY iid
+""",
+)
+def q_interval_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as a bucketed equi-join: shipments (points on the day
+    axis) joined to the 30-day order windows containing them, via
+    operators/interval_join.py — intervals replicate to ~3 buckets of
+    width 16 days, points to one; no nested-loop join in the plan. The
+    oracle is DuckDB's native inequality join."""
+    from .operators.interval_join import interval_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    epoch0 = F.lit("1970-01-01").cast("date")
+
+    def day_no(c):
+        # integer day number; timezone-free (NTZ timestamps hold wall dates)
+        return F.datediff(F.to_date(c), epoch0).cast("long")
+
+    pts = li.filter(F.col("l_orderkey") % 50 == 0).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
+        day_no("l_shipdate").alias("x"),
+    )
+    iv = od.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("iid"),
+        day_no("o_orderdate").alias("s"),
+        (day_no("o_orderdate") + 30).alias("e"),
+    )
+    return (
+        interval_join(pts, iv, width=16)
+        .groupBy("iid")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("pid").alias("min_pid"),
+            F.max("pid").alias("max_pid"),
+        )
+    )
+
+
+@q(
+    "events_sliding_window",
+    oracle=r"""
+WITH w AS (
+  SELECT event_id, event_type,
+         make_timestamp((epoch_us(ts) // 300000000 - u.k) * 300000000) AS window_start
+  FROM events, (SELECT unnest([0, 1]) AS k) u
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       min(event_id) AS min_eid, max(event_id) AS max_eid
+FROM w GROUP BY window_start, event_type
+""",
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 10-minute windows every 5
+    minutes over the events table — each event lands in exactly 2
+    windows (Spark F.window with slide; the oracle derives both epoch-
+    aligned starts in closed form). Counts and id extremes only —
+    integer-safe across engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "600 seconds", "300 seconds").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_eid"),
+            F.max("event_id").alias("max_eid"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "min_eid",
+            "max_eid",
+        )
+    )
+
+
+@q(
     "inverted_index",
     oracle=r"""
 WITH toks AS (

@@ -1,0 +1,50 @@
+"""Bucketed interval join: differential vs naive inequality join."""
+
+import pyspark.sql.functions as F
+
+from osm_admin_boundary_conflation_spark.operators.interval_join import interval_join
+
+
+def _run(spark, pts, ivs, width):
+    p = spark.createDataFrame(pts, "pid long, x long")
+    i = spark.createDataFrame(ivs, "iid long, s long, e long")
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(p, i, width=width).select("pid", "iid").collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in p.join(i, (F.col("s") <= F.col("x")) & (F.col("x") < F.col("e")))
+        .select("pid", "iid")
+        .collect()
+    }
+    return got, want
+
+
+def test_boundaries_halfopen(spark):
+    # x == s included, x == e-1 included, x == e excluded
+    got, want = _run(spark, [(1, 10), (2, 19), (3, 20)], [(7, 10, 20)], width=16)
+    assert got == want == {(1, 7), (2, 7)}
+
+
+def test_interval_spanning_many_buckets_no_dupes(spark):
+    # one long interval over many width-4 buckets: each point matches ONCE
+    got, want = _run(spark, [(i, i) for i in range(0, 40)], [(1, 3, 37)], width=4)
+    assert got == want
+    assert len(got) == 34  # 3..36
+
+
+def test_differential_random(spark):
+    # deterministic pseudo-random layout, intervals shorter and longer than width
+    pts = [(i, (i * 37) % 200) for i in range(120)]
+    ivs = [(j, (j * 53) % 180, (j * 53) % 180 + 1 + (j * 29) % 60) for j in range(25)]
+    got, want = _run(spark, pts, ivs, width=16)
+    assert got == want and len(got) > 0
+
+
+def test_no_nested_loop_in_plan(spark):
+    p = spark.createDataFrame([(1, 5)], "pid long, x long")
+    i = spark.createDataFrame([(1, 0, 10)], "iid long, s long, e long")
+    plan = interval_join(p, i, width=8)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
