@@ -38,10 +38,14 @@ def connected_components(
     Deterministic: the fixpoint of min-propagation is unique regardless
     of iteration order or partitioning.
     """
+    # materialize the symmetric edge list ONCE — upstream edge producers
+    # (e.g. the whole MinHash-LSH verify pipeline) must not re-execute on
+    # every propagation round
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
 

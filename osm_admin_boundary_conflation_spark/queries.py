@@ -3403,6 +3403,224 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "simplify_collinear",
+    oracle=r"""
+WITH ways AS (SELECT unnest(range(200)) AS wid),
+pts AS (SELECT wid, unnest(range(40 + wid % 13)) AS i FROM ways),
+xy AS (SELECT wid, i, i AS x, abs(((i + wid) % 8) - 4) AS y FROM pts),
+nb AS (
+  SELECT wid, i, x, y,
+         lag(x)  OVER w AS px, lag(y)  OVER w AS py,
+         lead(x) OVER w AS nx, lead(y) OVER w AS ny
+  FROM xy WINDOW w AS (PARTITION BY wid ORDER BY i)
+),
+k AS (
+  SELECT wid, i, x, y,
+         (px IS NULL OR nx IS NULL
+          OR ((x - px) * (ny - y) - (y - py) * (nx - x)) != 0) AS keep
+  FROM nb
+)
+SELECT wid, count(*) AS n_nodes,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN keep THEN CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR) END,
+                      ',' ORDER BY i)) AS kept_md5
+FROM k GROUP BY wid
+""",
+)
+def q_simplify_collinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline simplification: drop interior vertices exactly collinear
+    with their neighbours (integer cross product, one lag/lead window
+    per way — embarrassingly parallel, unlike sequential
+    Douglas-Peucker). Input: 200 synthetic zigzag ways with straight
+    runs; output per way: node census + md5 of the kept vertex string
+    (byte-level shape equality)."""
+    from .operators.simplify import drop_collinear
+
+    ways = spark.range(200).select(F.col("id").alias("wid"))
+    pts = ways.select(
+        "wid", F.explode(F.sequence(F.lit(0), 40 + F.col("wid") % 13 - 1)).alias("i")
+    )
+    xy = pts.select(
+        "wid", "i", F.col("i").alias("x"), F.abs((F.col("i") + F.col("wid")) % 8 - 4).alias("y")
+    )
+    k = drop_collinear(xy)
+    kept_xy = F.when(
+        F.col("keep"), F.concat(F.col("x").cast("string"), F.lit(":"), F.col("y").cast("string"))
+    )
+    return k.groupBy("wid").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("keep"), F.struct("i", kept_xy.alias("s")))
+                            )
+                        ),
+                        lambda t: t["s"],
+                    ),
+                    ",",
+                ),
+                "UTF-8",
+            )
+        ).alias("kept_md5"),
+    )
+
+
+@q(
+    "cell_rollup",
+    oracle=r"""
+WITH pts AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 3 THEN 448000 + doc_id % 97
+              ELSE 350000 + (doc_id * 31) % 100000 END + 900000 AS ulat,
+         CASE WHEN doc_id % 10 < 3 THEN 204000 + (doc_id * 7) % 97
+              ELSE 100000 + (doc_id * 57) % 300000 END + 1800000 AS ulon
+  FROM documents
+),
+r6 AS (SELECT ulat // 625 AS cy, ulon // 625 AS cx, count(*) AS n_pages FROM pts GROUP BY 1, 2),
+r5 AS (SELECT ulat // 1250 AS cy, ulon // 1250 AS cx, count(*) AS n_pages FROM pts GROUP BY 1, 2),
+r4 AS (SELECT ulat // 2500 AS cy, ulon // 2500 AS cx, count(*) AS n_pages FROM pts GROUP BY 1, 2)
+SELECT 6 AS res, cy, cx, n_pages FROM r6
+UNION ALL SELECT 5 AS res, cy, cx, n_pages FROM r5
+UNION ALL SELECT 4 AS res, cy, cx, n_pages FROM r4
+""",
+)
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical tile-pyramid rollup: page counts per grid cell at
+    res 6/5/4 (0.0625°/0.125°/0.25°). The ENGINE aggregates the raw
+    points ONCE (res 6), then derives each coarser level from the finer
+    AGGREGATE by integer-halving the cell indices — the hypertable-
+    rollup shape: at 100 TB the raw table shuffles once and the pyramid
+    costs only re-aggs of per-cell rows (floor(floor(v/w)/2) ==
+    floor(v/2w), so reuse is exact). The oracle computes every level
+    independently from raw."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ulat = (
+        F.when(d % 10 < 3, 448000 + d % 97).otherwise(350000 + (d * 31) % 100000) + 900000
+    )
+    ulon = (
+        F.when(d % 10 < 3, 204000 + (d * 7) % 97).otherwise(100000 + (d * 57) % 300000)
+        + 1800000
+    )
+    r6 = (
+        docs.select(F.floor(ulat / 625).alias("cy"), F.floor(ulon / 625).alias("cx"))
+        .groupBy("cy", "cx")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    # coarser levels REUSE the res-6 aggregate (index halving), not raw
+    r5 = (
+        r6.groupBy(
+            F.floor(F.col("cy") / 2).alias("cy"), F.floor(F.col("cx") / 2).alias("cx")
+        )
+        .agg(F.sum("n_pages").alias("n_pages"))
+    )
+    r4 = (
+        r5.groupBy(
+            F.floor(F.col("cy") / 2).alias("cy"), F.floor(F.col("cx") / 2).alias("cx")
+        )
+        .agg(F.sum("n_pages").alias("n_pages"))
+    )
+
+    def lvl(df, r):
+        return df.select(F.lit(r).cast("int").alias("res"), "cy", "cx", "n_pages")
+
+    return lvl(r6, 6).unionByName(lvl(r5, 5)).unionByName(lvl(r4, 4))
+
+
+@q(
+    "star_schema_sales",
+    oracle=r"""
+SELECT r_name AS region, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, year(o_orderdate)
+""",
+)
+def q_star_schema_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup (TPC-H Q5 shape): fact orders joined through
+    customer→nation→region, revenue per region-year. nation/region
+    broadcast; customer is the one shuffled dim. Money is summed in
+    integer CENTS — float summation order differs across engines, cents
+    don't (G18)."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+        )
+    )
+
+
+@q(
+    "stream_dedup",
+    oracle=r"""
+WITH corpus AS (
+  SELECT text FROM documents
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT text || ' novel batch2 suffix' AS text FROM documents WHERE doc_id % 2 = 0
+)
+SELECT DISTINCT md5(text) AS key, CAST(length(text) AS BIGINT) AS n_chars FROM corpus
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cross-batch dedup gate: batch 1 = the base corpus,
+    batch 2 = exact re-posts (must be suppressed by state carried over
+    from batch 1) + novel variants (must be emitted). One file per
+    micro-batch (maxFilesPerTrigger=1) so suppression genuinely crosses
+    the batch boundary; the parquet sink itself is the engine path. The
+    oracle is plain batch DISTINCT over the same corpus."""
+    import os
+    import tempfile
+
+    from .streaming.stream_dedup import stream_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    in_dir = os.path.join(tmp, "in")
+    batch2 = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                (F.col("doc_id") + 7000000).alias("doc_id"),
+                F.concat("text", F.lit(" novel batch2 suffix")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    batch2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = os.path.join(tmp, "out")
+    stream_dedup(spark, in_dir, out_dir, os.path.join(tmp, "ck"))
+    return spark.read.parquet(out_dir)
+
+
+@q(
     "inverted_index",
     oracle=r"""
 WITH toks AS (

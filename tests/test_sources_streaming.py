@@ -138,3 +138,33 @@ def test_stateful_stream_sessions_match_batch(spark, sf_dir, tmp_path):
     # last_event + gap; none is fabricated
     assert got - want <= finals
     assert len(want) > 0
+
+
+def test_stream_dedup_suppresses_across_batches(spark, tmp_path):
+    """A key seen in micro-batch 1 is NOT re-emitted by micro-batch 2."""
+    import pyspark.sql.functions as F
+
+    from osm_admin_boundary_conflation_spark.streaming.stream_dedup import stream_dedup
+
+    in_dir, out_dir, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta", "en", "s", 10), (2, "gamma", "en", "s", 5)], cols
+    )
+    # batch 2: one exact dup of key 'alpha beta' + one novel key
+    b2 = spark.createDataFrame(
+        [(3, "alpha beta", "en", "s", 10), (4, "delta", "en", "s", 5)], cols
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream_dedup(spark, in_dir, out_dir, ck)
+    got = {r.key for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        r.key
+        for r in b1.union(b2)
+        .select(F.md5(F.encode("text", "UTF-8")).alias("key"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) == 3
