@@ -135,3 +135,40 @@ def geotag_pages(
         .alias("verdict"),
         F.when(F.size("matches") > 1, F.array_join("matches", ",")).alias("error_context"),
     )
+
+
+def rect_overlap_join(a: DataFrame, b: DataFrame, width: int = 8) -> DataFrame:
+    """Rectangle-overlap equi-join (2-D analogue of interval_join).
+
+    a: (aid, ax0, ay0, ax1, ay1), b: (bid, bx0, ...) — half-open integer
+    boxes. Each box replicates to the grid cells it covers (JVM
+    sequence x sequence); candidates meet on the (cx, cy) cell key.
+    Duplicate suppression WITHOUT a dropDuplicates shuffle: a matched
+    pair is emitted only in the cell containing the lower corner of the
+    intersection (max of the mins) — every overlapping pair covers that
+    reference cell on both sides exactly once, so output is exact with
+    zero post-join dedup. Replication is O(area/width^2) per box; pick
+    width near the typical box edge.
+    """
+    def cover(df, x0, y0, x1, y1):
+        return df.withColumn(
+            "_cx",
+            F.explode(F.sequence(F.floor(F.col(x0) / width), F.floor((F.col(x1) - 1) / width))),
+        ).withColumn(
+            "_cy",
+            F.explode(F.sequence(F.floor(F.col(y0) / width), F.floor((F.col(y1) - 1) / width))),
+        )
+
+    ca = cover(a, "ax0", "ay0", "ax1", "ay1")
+    cb = cover(b, "bx0", "by0", "bx1", "by1")
+    overlap = (
+        (F.col("ax0") < F.col("bx1"))
+        & (F.col("bx0") < F.col("ax1"))
+        & (F.col("ay0") < F.col("by1"))
+        & (F.col("by0") < F.col("ay1"))
+    )
+    ref_cell = (
+        (F.col("_cx") == F.floor(F.greatest("ax0", "bx0") / width))
+        & (F.col("_cy") == F.floor(F.greatest("ay0", "by0") / width))
+    )
+    return ca.join(cb, ["_cx", "_cy"]).filter(overlap & ref_cell).drop("_cx", "_cy")

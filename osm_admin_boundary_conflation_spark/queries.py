@@ -3511,24 +3511,75 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cy", "cx")
         .agg(F.count("*").alias("n_pages"))
     )
-    # coarser levels REUSE the res-6 aggregate (index halving), not raw
-    r5 = (
-        r6.groupBy(
-            F.floor(F.col("cy") / 2).alias("cy"), F.floor(F.col("cx") / 2).alias("cx")
-        )
-        .agg(F.sum("n_pages").alias("n_pages"))
+    # single-pass pyramid: each res-6 cell explodes to its 3 pyramid
+    # keys, then ONE re-agg — raw scans/shuffles once, not per level
+    # (a 3-branch union would rescan the fact table per level)
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("res"),
+                F.floor(F.col("cy") / (1 << (6 - r))).alias("cy"),
+                F.floor(F.col("cx") / (1 << (6 - r))).alias("cx"),
+            )
+            for r in (6, 5, 4)
+        ]
     )
-    r4 = (
-        r5.groupBy(
-            F.floor(F.col("cy") / 2).alias("cy"), F.floor(F.col("cx") / 2).alias("cx")
-        )
+    return (
+        r6.select(F.explode(levels).alias("k"), "n_pages")
+        .groupBy("k.res", "k.cy", "k.cx")
         .agg(F.sum("n_pages").alias("n_pages"))
     )
 
-    def lvl(df, r):
-        return df.select(F.lit(r).cast("int").alias("res"), "cy", "cx", "n_pages")
 
-    return lvl(r6, 6).unionByName(lvl(r5, 5)).unionByName(lvl(r4, 4))
+@q(
+    "bbox_overlap_join",
+    oracle=r"""
+WITH a AS (
+  SELECT i AS aid, (i * 37) % 500 AS ax0, (i * 53) % 500 AS ay0,
+         (i * 37) % 500 + 1 + i % 7 AS ax1, (i * 53) % 500 + 1 + i % 5 AS ay1
+  FROM (SELECT unnest(range(1000)) AS i)
+),
+b AS (
+  SELECT j AS bid, (j * 41) % 500 AS bx0, (j * 59) % 500 AS by0,
+         (j * 41) % 500 + 1 + j % 6 AS bx1, (j * 59) % 500 + 1 + j % 4 AS by1
+  FROM (SELECT unnest(range(1000)) AS j)
+)
+SELECT aid, bid,
+       (least(ax1, bx1) - greatest(ax0, bx0)) * (least(ay1, by1) - greatest(ay0, by0))
+         AS overlap_area
+FROM a JOIN b ON ax0 < bx1 AND bx0 < ax1 AND ay0 < by1 AND by0 < ay1
+""",
+)
+def q_bbox_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-overlap spatial join: 1000x1000 synthetic integer boxes
+    matched via grid-cell cover + reference-cell dedup
+    (operators/spatial_join.rect_overlap_join) — no nested-loop, no
+    dropDuplicates shuffle. The oracle is DuckDB's native 4-way
+    inequality join; overlap area is exact integer arithmetic."""
+    from .operators.spatial_join import rect_overlap_join
+
+    i = F.col("id")
+    a = spark.range(1000).select(
+        i.alias("aid"),
+        ((i * 37) % 500).alias("ax0"),
+        ((i * 53) % 500).alias("ay0"),
+        ((i * 37) % 500 + 1 + i % 7).alias("ax1"),
+        ((i * 53) % 500 + 1 + i % 5).alias("ay1"),
+    )
+    b = spark.range(1000).select(
+        i.alias("bid"),
+        ((i * 41) % 500).alias("bx0"),
+        ((i * 59) % 500).alias("by0"),
+        ((i * 41) % 500 + 1 + i % 6).alias("bx1"),
+        ((i * 59) % 500 + 1 + i % 4).alias("by1"),
+    )
+    area = (
+        (F.least("ax1", "bx1") - F.greatest("ax0", "bx0"))
+        * (F.least("ay1", "by1") - F.greatest("ay0", "by0"))
+    )
+    return rect_overlap_join(a, b, width=8).select(
+        "aid", "bid", area.alias("overlap_area")
+    )
 
 
 @q(

@@ -48,3 +48,29 @@ def test_no_nested_loop_in_plan(spark):
     plan = interval_join(p, i, width=8)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert "Cartesian" not in plan
+
+
+def test_rect_overlap_differential(spark):
+    from osm_admin_boundary_conflation_spark.operators.spatial_join import rect_overlap_join
+
+    # boxes both smaller and larger than the cell width, incl. exact-touch
+    # (touching edges do NOT overlap under half-open semantics)
+    a_rows = [(i, (i * 7) % 40, (i * 11) % 40, (i * 7) % 40 + 1 + i % 13, (i * 11) % 40 + 1 + i % 9)
+              for i in range(60)]
+    b_rows = [(j, (j * 5) % 40, (j * 13) % 40, (j * 5) % 40 + 1 + j % 17, (j * 13) % 40 + 1 + j % 6)
+              for j in range(60)]
+    a = spark.createDataFrame(a_rows, "aid long, ax0 long, ay0 long, ax1 long, ay1 long")
+    b = spark.createDataFrame(b_rows, "bid long, bx0 long, by0 long, bx1 long, by1 long")
+    got = rect_overlap_join(a, b, width=8).select("aid", "bid").collect()
+    got_set = {(r.aid, r.bid) for r in got}
+    assert len(got) == len(got_set), "reference-cell trick must emit each pair once"
+    import pyspark.sql.functions as F
+    want = {
+        (r.aid, r.bid)
+        for r in a.join(
+            b,
+            (F.col("ax0") < F.col("bx1")) & (F.col("bx0") < F.col("ax1"))
+            & (F.col("ay0") < F.col("by1")) & (F.col("by0") < F.col("ay1")),
+        ).select("aid", "bid").collect()
+    }
+    assert got_set == want and len(want) > 50
