@@ -3532,6 +3532,61 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "attribution_join",
+    oracle=r"""
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+c AS (
+  SELECT *,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
+         last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER w AS click_us
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN us - click_us <= 1800000000 THEN click_id END AS attributed_click,
+       CASE WHEN us - click_us <= 1800000000 THEN us - click_us END AS latency_us
+FROM c WHERE side = 1
+""",
+)
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase joined to the user's most
+    recent click within 30 minutes — the as-of join with a tolerance
+    (stream-stream join shape in batch). Reuses operators/asof.py
+    (window-over-union, ONE shuffle on user_id, no range cross-join)
+    with the deterministic event_id tiebreak; the tolerance is a
+    post-filter on the carried click time."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), us.alias("tus"), "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"),
+        us.alias("tus"),
+        "event_id",
+        F.struct(us.alias("cus"), F.col("event_id").alias("cid")).alias("val"),
+    )
+    joined = asof_join(
+        purchases, clicks.select("key", "tus", "event_id", "val"),
+        key="key", ts="tus", val="val", tiebreak="event_id",
+    )
+    within = F.col("tus") - F.col("val.cus") <= 1800000000
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("key").alias("user_id"),
+        F.when(within, F.col("val.cid")).alias("attributed_click"),
+        F.when(within, F.col("tus") - F.col("val.cus")).alias("latency_us"),
+    )
+
+
+@q(
     "bbox_overlap_join",
     oracle=r"""
 WITH a AS (

@@ -74,3 +74,21 @@ def test_rect_overlap_differential(spark):
         ).select("aid", "bid").collect()
     }
     assert got_set == want and len(want) > 50
+
+
+def test_asof_tiebreak_deterministic(spark):
+    """Several right rows at the SAME (key, ts): the max-tiebreak row wins."""
+    import pyspark.sql.functions as F
+
+    from osm_admin_boundary_conflation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, 900)], "key long, tus long, event_id long")
+    right = spark.createDataFrame(
+        [(1, 100, 7, 7), (1, 100, 9, 9), (1, 100, 8, 8), (1, 50, 1, 1)],
+        "key long, tus long, event_id long, val long",
+    )
+    for _ in range(3):
+        got = asof_join(
+            left, right, key="key", ts="tus", val="val", tiebreak="event_id"
+        ).select("val").first()
+        assert got.val == 9
