@@ -3532,6 +3532,102 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "profile_table",
+    oracle=r"""
+SELECT 'o_orderkey' AS col, count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority) FROM orders
+""",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (schema-inference / data-quality pass): null
+    count, distinct count, min/max per column — computed in ONE scan
+    (all column aggregates in a single Aggregate node, then unpivoted
+    JVM-side with explode), where the naive per-column UNION rescans
+    the table N times; the oracle is exactly that naive N-scan union."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = od.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@q(
+    "zorder_encode",
+    oracle=f"""
+WITH pts AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 10 < 3 THEN 448000 + doc_id % 97
+               ELSE 350000 + (doc_id * 31) % 100000 END + 900000) // 625 AS cy,
+         (CASE WHEN doc_id % 10 < 3 THEN 204000 + (doc_id * 7) % 97
+               ELSE 100000 + (doc_id * 57) % 300000 END + 1800000) // 625 AS cx
+  FROM documents
+)
+SELECT doc_id, cy, cx,
+       CAST(list_sum(list_transform(range(16), k ->
+         (((cy >> k) & 1) << (2*k + 1)) + (((cx >> k) & 1) << (2*k)))) AS BIGINT) AS zkey
+FROM pts
+""",
+)
+def q_zorder_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key: bit-interleave of the res-6 cell indices —
+    the data-layout key for spatially-clustered writes
+    (repartitionByRange(zkey) + sortWithinPartitions gives locality-
+    preserving parquet files, so bbox scans prune to few row groups at
+    100 TB). Pure JVM bit arithmetic via aggregate over a 16-bit
+    sequence; the oracle mirrors it with list_sum/list_transform."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    cy = F.floor(
+        (F.when(d % 10 < 3, 448000 + d % 97).otherwise(350000 + (d * 31) % 100000) + 900000)
+        / 625
+    )
+    cx = F.floor(
+        (F.when(d % 10 < 3, 204000 + (d * 7) % 97).otherwise(100000 + (d * 57) % 300000)
+         + 1800000)
+        / 625
+    )
+    pts = docs.select("doc_id", cy.alias("cy"), cx.alias("cx"))
+    # bit positions are compile-time constants: unroll the interleave
+    # into one flat codegen expression (32 shift/mask terms, no loop)
+    zkey = F.lit(0).cast("long")
+    for k in range(16):
+        zkey = zkey + F.shiftleft(
+            F.shiftrightunsigned(F.col("cy"), k).bitwiseAND(F.lit(1)), 2 * k + 1
+        ) + F.shiftleft(F.shiftrightunsigned(F.col("cx"), k).bitwiseAND(F.lit(1)), 2 * k)
+    return pts.select("doc_id", "cy", "cx", zkey.alias("zkey"))
+
+
+@q(
     "attribution_join",
     oracle=r"""
 WITH u AS (

@@ -71,3 +71,29 @@ def test_chunks_roundtrip_rebuild(spark):
         .first()
     )
     assert row.t == text.lower()
+
+
+def test_zorder_roundtrip_and_profile_single_scan(spark):
+    from osm_admin_boundary_conflation_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["zorder_encode"](spark, sf).collect()
+    assert rows
+
+    def deinterleave(z):
+        cy = cx = 0
+        for k in range(16):
+            cy |= ((z >> (2 * k + 1)) & 1) << k
+            cx |= ((z >> (2 * k)) & 1) << k
+        return cy, cx
+
+    for r in rows:
+        assert deinterleave(r.zkey) == (r.cy, r.cx)
+
+    plan = (
+        QUERIES["profile_table"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, "profiler must not rescan per column"
