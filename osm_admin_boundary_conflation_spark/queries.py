@@ -3532,6 +3532,169 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "geotag_fuzzy_name",
+    oracle=r"""
+WITH names AS (SELECT n_nationkey AS nk, n_name AS nm FROM nation),
+pages AS (
+  SELECT d.doc_id, substr(n.nm, 1, 2) || substr(n.nm, 4) AS qname
+  FROM documents d JOIN names n ON n.nk = d.doc_id % 25
+  WHERE d.doc_id % 3 = 0
+),
+qg AS (
+  SELECT doc_id, qname,
+         list_distinct(list_transform(generate_series(1, len(qname) - 2),
+                                      i -> substr(qname, i, 3))) AS g
+  FROM pages WHERE len(qname) >= 3
+),
+cg AS (
+  SELECT nk, nm,
+         list_distinct(list_transform(generate_series(1, len(nm) - 2),
+                                      i -> substr(nm, i, 3))) AS g
+  FROM names
+),
+scored AS (
+  SELECT q.doc_id, c.nk AS level9_id, c.nm AS matched_name,
+         round(len(list_filter(q.g, x -> list_contains(c.g, x))) * 1.0
+             / (len(q.g) + len(c.g) - len(list_filter(q.g, x -> list_contains(c.g, x)))), 6)
+           AS jacc
+  FROM qg q JOIN cg c ON substr(q.qname, 1, 1) = substr(c.nm, 1, 1)
+)
+SELECT doc_id, level9_id, matched_name, jacc FROM scored WHERE jacc >= 0.3
+""",
+)
+def q_geotag_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY place-name geocoding: page mentions are corrupted (3rd
+    char dropped — OCR/typo model) and matched to the gazetteer by
+    character-trigram Jaccard with first-letter blocking. All JVM
+    (substr/transform/array ops — no Python in the match path); the
+    gazetteer broadcasts. At web scale the blocking key bounds the
+    candidate set exactly like the dedup prefix blocks; the reference's
+    name matching is exact/regex only (overpass.py name probes) — this
+    is the resilient variant a crawl corpus needs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    names = na.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nm"))
+    grams = lambda col: F.array_distinct(  # noqa: E731
+        F.expr(f"transform(sequence(1, greatest(length({col}) - 2, 0)), i -> substr({col}, i, 3))")
+    )
+    pages = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .join(F.broadcast(names), F.col("doc_id") % 25 == F.col("nk"))
+        .select(
+            "doc_id",
+            F.concat(F.expr("substr(nm, 1, 2)"), F.expr("substr(nm, 4)")).alias("qname"),
+        )
+        .filter(F.length("qname") >= 3)
+        .withColumn("qg", grams("qname"))
+    )
+    cand = names.withColumn("cg", grams("nm"))
+    inter = F.size(F.array_intersect("qg", "cg"))
+    jacc = F.round(inter / (F.size("qg") + F.size("cg") - inter), 6)
+    return (
+        pages.join(
+            F.broadcast(cand),
+            F.expr("substr(qname, 1, 1)") == F.expr("substr(nm, 1, 1)"),
+        )
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= 0.3)
+        .select(
+            "doc_id", F.col("nk").alias("level9_id"), F.col("nm").alias("matched_name"), "jacc"
+        )
+    )
+
+
+@q(
+    "mixture_sample",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM toks
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM ranked WHERE cum <= 4000 GROUP BY lang
+""",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (data-mixing for training sets):
+    per language, take docs in deterministic md5-shuffled order until a
+    4000-token budget is exhausted (window cumulative sum, one shuffle
+    on the stratum key). The greedy prefix rule is exactly reproducible
+    cross-engine because ordering and token counts are integers."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang")), "UTF-8")
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        ranked.filter(F.col("cum") <= 4000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@q(
+    "dedup_keep_representatives",
+    oracle=f"""
+WITH RECURSIVE {_minhash_core(_CC_CORPUS_SQL)},
+vp AS (
+  SELECT ia, ib
+  FROM (
+    SELECT ia, ib, len(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+           len(sa) AS la, len(sb) AS lb
+    FROM pairs
+    JOIN (SELECT id AS ia, s AS sa FROM shd) USING (ia)
+    JOIN (SELECT id AS ib, s AS sb FROM shd) USING (ib)
+  )
+  WHERE inter * 1.0 / (la + lb - inter) >= 0.5
+),
+e AS (SELECT ia AS u, ib AS v FROM vp UNION SELECT ib AS u, ia AS v FROM vp),
+r AS (
+  SELECT id, id AS lab FROM corpus
+  UNION
+  SELECT e.u AS id, r.lab FROM r JOIN e ON e.v = r.id
+),
+lab AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id)
+SELECT cluster_id, count(*) AS n_members, max(id) AS max_member
+FROM lab GROUP BY cluster_id
+""",
+)
+def q_dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME on top of connected components: one
+    representative (the min-id member = cluster_id) per near-dup
+    cluster with its member census — the table a training pipeline
+    anti-joins against to drop duplicates. Singletons represent
+    themselves."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    return clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"), F.max("id").alias("max_member")
+    )
+
+
+@q(
     "profile_table",
     oracle=r"""
 SELECT 'o_orderkey' AS col, count(*) - count(o_orderkey) AS n_nulls,
