@@ -3532,6 +3532,81 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sales_rollup",
+    oracle=r"""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS order_year,
+       CAST(grouping(r_name) * 2 + grouping(year(o_orderdate)) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, year(o_orderdate))
+""",
+)
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP: region/year revenue with subtotal and grand-total
+    grouping sets in ONE pass (Spark Expand — the fact table scans and
+    shuffles once for all three levels, vs three self-UNIONs). NULL
+    grouping slots are disambiguated from real NULLs via grouping()."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re = spark.read.parquet(f"{sf_dir}/region.parquet")
+    yr = F.year("o_orderdate").cast("long")
+    base = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("r_name", yr.alias("oy"), "o_totalprice")
+    )
+    return (
+        base.rollup("r_name", "oy")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("oy")).cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("oy", F.lit(-1)).alias("order_year"),
+            "gid",
+            "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+@q(
+    "lang_source_pivot",
+    oracle=r"""
+SELECT source,
+       count(*) FILTER (WHERE lang = 'en') AS en,
+       count(*) FILTER (WHERE lang = 'es') AS es,
+       count(*) FILTER (WHERE lang = 'de') AS de,
+       count(*) FILTER (WHERE lang = 'fr') AS fr,
+       count(*) FILTER (WHERE lang = 'zh') AS zh
+FROM documents GROUP BY source
+""",
+)
+def q_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: doc counts per source crosstabbed by language. The pivot
+    value list is EXPLICIT (en/es/de/fr/zh) so the plan is a single
+    aggregation — an unlisted-values pivot needs an extra distinct-
+    collect job first; never do that at 100 TB. The oracle is the
+    equivalent FILTERed aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = ["en", "es", "de", "fr", "zh"]
+    out = docs.groupBy("source").pivot("lang", langs).agg(F.count(F.lit(1)))
+    # pivot leaves NULL where a (source, lang) cell is empty; counts are 0
+    return out.select(
+        "source", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in langs]
+    )
+
+
+@q(
     "geotag_fuzzy_name",
     oracle=r"""
 WITH names AS (SELECT n_nationkey AS nk, n_name AS nm FROM nation),
