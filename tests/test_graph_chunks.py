@@ -97,3 +97,28 @@ def test_zorder_roundtrip_and_profile_single_scan(spark):
         .toString()
     )
     assert plan.count("Scan parquet") == 1, "profiler must not rescan per column"
+
+
+def test_cc_matches_union_find(spark):
+    """Differential vs a plain union-find on pseudo-random graphs."""
+    for seed in (3, 11):
+        n = 40
+        ids = list(range(n))
+        edges = [((i * seed) % n, (i * seed + seed * seed) % n) for i in range(25)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in ids}
+        got = _cc(spark, ids, edges)
+        assert got == want
