@@ -3532,6 +3532,139 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "merge_aggregates",
+    oracle=r"""
+WITH h1 AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+),
+h2 AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY source
+),
+merged AS (
+  SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+         min(min_chars) AS min_chars, max(max_chars) AS max_chars
+  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) GROUP BY source
+)
+SELECT * FROM merged
+""",
+)
+def q_merge_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance: per-source aggregates computed on
+    two snapshots independently, then MERGED by re-aggregating the
+    partial states (sum-of-sums, min-of-mins) — never touching raw rows
+    again. At 100 TB this is how a nightly rollup absorbs a new
+    partition: merge cost is O(groups), not O(rows). The oracle runs
+    the identical two-phase plan; equivalence to a direct single-pass
+    aggregate is asserted in pytest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def half(pred):
+        return (
+            docs.filter(pred)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("n_chars").alias("min_chars"),
+                F.max("n_chars").alias("max_chars"),
+            )
+        )
+
+    parts = half(F.col("doc_id") % 2 == 0).unionByName(half(F.col("doc_id") % 2 == 1))
+    return parts.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_chars").alias("sum_chars"),
+        F.min("min_chars").alias("min_chars"),
+        F.max("max_chars").alias("max_chars"),
+    )
+
+
+@q(
+    "triangle_count",
+    oracle=r"""
+WITH raw AS (
+  SELECT u, (u * 2 + 1) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 3 + 2) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 7 + 5) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+),
+e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u != v
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT count(*) AS n_triangles, (SELECT count(*) FROM e) AS n_edges FROM tri
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on a synthetic 400-node graph:
+    canonicalize edges (a<b), join wedges a-b-c on the middle vertex,
+    close them against the edge set — two equi-joins on vertex keys,
+    the standard MapReduce triangle plan (at scale, order vertices by
+    degree first so wedges pivot on low-degree middles)."""
+    u = F.col("id")
+    parts = [
+        spark.range(400).select(u.alias("u"), ((u * 2 + 1) % 400).alias("v")),
+        spark.range(400).select(u.alias("u"), ((u * 3 + 2) % 400).alias("v")),
+        spark.range(400).select(u.alias("u"), ((u * 7 + 5) % 400).alias("v")),
+    ]
+    raw = parts[0].unionByName(parts[1]).unionByName(parts[2]).filter("u != v")
+    e = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    e1 = e.select(F.col("a").alias("a"), F.col("b").alias("m"))
+    e2 = e.select(F.col("a").alias("m"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "m")
+    tri = wedges.join(
+        e.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        e.agg(F.count("*").alias("n_edges"))
+    )
+
+
+@q(
+    "quality_deciles",
+    oracle=r"""
+WITH d AS (
+  SELECT source, n_chars,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM d GROUP BY decile
+""",
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile bucketing by document length (ntile over a
+    fully tie-broken global order). NOTE the global Window here is a
+    deliberate single-sort operator — at 100 TB use
+    approxQuantile-derived cut points + a broadcast range join instead;
+    this query pins the exact semantics those cut points must
+    reproduce."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select(F.ntile(10).over(w).cast("long").alias("decile"), "n_chars")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@q(
     "sales_rollup",
     oracle=r"""
 SELECT coalesce(r_name, 'ALL') AS region,

@@ -122,3 +122,27 @@ def test_cc_matches_union_find(spark):
         want = {i: find(i) for i in ids}
         got = _cc(spark, ids, edges)
         assert got == want
+
+
+def test_merge_aggregates_equals_direct(spark):
+    """Merging partial aggregate states == one-pass aggregation."""
+    import pyspark.sql.functions as F
+
+    from osm_admin_boundary_conflation_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    merged = {r.source: (r.n_docs, r.sum_chars, r.min_chars, r.max_chars)
+              for r in QUERIES["merge_aggregates"](spark, sf).collect()}
+    direct = {
+        r.source: (r.n_docs, r.sum_chars, r.min_chars, r.max_chars)
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .collect()
+    }
+    assert merged == direct and len(merged) > 0
