@@ -3532,6 +3532,141 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cooccurrence_counts",
+    oracle=r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+pairs AS (
+  SELECT a.tok AS t1, b.tok AS t2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+)
+SELECT t1, t2, count(*) AS n_docs FROM pairs GROUP BY t1, t2 HAVING count(*) >= 50
+""",
+)
+def q_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence matrix (PMI/embedding input): distinct
+    (doc, token) pairs self-joined per doc with t1<t2, counted across
+    the corpus. The join key is doc_id (well-distributed); the
+    per-doc blow-up is quadratic in DISTINCT terms per doc, so dedup
+    happens BEFORE the self-join — at 100 TB also cap or sample very
+    long docs (the explode is the cost, not the groupBy)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    ).distinct()
+    a = toks.select("doc_id", F.col("tok").alias("t1"))
+    b = toks.select("doc_id", F.col("tok").alias("t2"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 50)
+    )
+
+
+@q(
+    "event_rolling_features",
+    oracle=r"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+feat AS (
+  SELECT user_id, event_id,
+         us - lag(us)  OVER w AS gap_us,
+         count(*) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_last3,
+         us - first_value(us) OVER (PARTITION BY user_id ORDER BY rn
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS span3_us
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id, event_id, gap_us, CAST(n_last3 AS BIGINT) AS n_last3, span3_us
+FROM feat WHERE gap_us IS NOT NULL AND gap_us <= 60000000
+""",
+)
+def q_event_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling ML features: inter-event gap (lag) and a
+    3-event trailing window (count + time span), integer microseconds
+    throughout. One shuffle on user_id serves every window; the final
+    filter keeps bursts (gap <= 60 s) — the sessionization-feature
+    shape feeding an activity model."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    base = ev.select("user_id", "event_id", us.alias("us"))
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trail = order.rowsBetween(-2, 0)
+    feat = base.select(
+        "user_id",
+        "event_id",
+        (F.col("us") - F.lag("us").over(order)).alias("gap_us"),
+        F.count("*").over(trail).cast("long").alias("n_last3"),
+        (F.col("us") - F.first("us").over(trail)).alias("span3_us"),
+    )
+    return feat.filter(F.col("gap_us").isNotNull() & (F.col("gap_us") <= 60000000))
+
+
+@q(
+    "cdc_classify",
+    oracle=r"""
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS v FROM orders WHERE o_orderkey % 3 != 0
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS v
+  FROM orders WHERE o_orderkey % 7 != 0
+),
+ops AS (
+  SELECT coalesce(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'insert'
+              WHEN n.k IS NULL THEN 'delete'
+              WHEN o.v != n.v THEN 'update'
+              ELSE 'noop' END AS op
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+)
+SELECT op, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+FROM ops GROUP BY op
+""",
+)
+def q_cdc_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture classification: keyed full-outer join of two
+    snapshot versions → insert/update/delete/noop ops (the merge
+    planner behind an incremental sink; S16's snapshot diff typed by
+    operation instead of textual). One co-partitioned shuffle on the
+    key."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = od.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("v")
+    )
+    new = od.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("v"),
+    )
+    ops = (
+        old.withColumnRenamed("v", "ov")
+        .join(new.withColumnRenamed("v", "nv").withColumnRenamed("k", "nk"),
+              F.col("k") == F.col("nk"), "full_outer")
+        .select(
+            F.coalesce("k", "nk").alias("k"),
+            F.when(F.col("k").isNull(), "insert")
+            .when(F.col("nk").isNull(), "delete")
+            .when(F.col("ov") != F.col("nv"), "update")
+            .otherwise("noop")
+            .alias("op"),
+        )
+    )
+    return ops.groupBy("op").agg(
+        F.count("*").alias("n"), F.min("k").alias("min_key"), F.max("k").alias("max_key")
+    )
+
+
+@q(
     "merge_aggregates",
     oracle=r"""
 WITH h1 AS (
