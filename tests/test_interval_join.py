@@ -92,3 +92,35 @@ def test_asof_tiebreak_deterministic(spark):
             left, right, key="key", ts="tus", val="val", tiebreak="event_id"
         ).select("val").first()
         assert got.val == 9
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Core round-3 operators: empty input → empty output, no exception."""
+    import pyspark.sql.functions as F
+
+    from osm_admin_boundary_conflation_spark.operators.graph import connected_components
+    from osm_admin_boundary_conflation_spark.operators.interval_join import interval_join
+    from osm_admin_boundary_conflation_spark.operators.simplify import drop_collinear
+    from osm_admin_boundary_conflation_spark.operators.spatial_join import rect_overlap_join
+
+    empty_nodes = spark.createDataFrame([], "id long")
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty_nodes, empty_edges).count() == 0
+
+    pts = spark.createDataFrame([], "pid long, x long")
+    ivs = spark.createDataFrame([(1, 0, 10)], "iid long, s long, e long")
+    assert interval_join(pts, ivs).count() == 0
+    assert interval_join(
+        spark.createDataFrame([(1, 5)], "pid long, x long"),
+        spark.createDataFrame([], "iid long, s long, e long"),
+    ).count() == 0
+
+    a = spark.createDataFrame([], "aid long, ax0 long, ay0 long, ax1 long, ay1 long")
+    b = spark.createDataFrame([(1, 0, 0, 2, 2)], "bid long, bx0 long, by0 long, bx1 long, by1 long")
+    assert rect_overlap_join(a, b).count() == 0
+
+    nodes = spark.createDataFrame([], "wid long, i long, x long, y long")
+    assert drop_collinear(nodes).filter(F.col("keep")).count() == 0
+    # single-node way: endpoint rule keeps it
+    one = spark.createDataFrame([(1, 0, 0, 0)], "wid long, i long, x long, y long")
+    assert drop_collinear(one).filter(F.col("keep")).count() == 1
