@@ -3532,6 +3532,86 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "prep_pipeline_v2",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 8000000 AS doc_id, text, lang FROM documents WHERE doc_id % 6 = 0
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+         CAST(len(string_split_regex(trim(any_value(text)), '\s+')) AS BIGINT) AS n_tok
+  FROM corpus GROUP BY md5(text)
+),
+quality AS (SELECT * FROM dedup WHERE n_tok >= 60),
+ranked AS (
+  SELECT *, sum(n_tok) OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || lang), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM quality
+),
+kept AS (SELECT doc_id, lang, n_tok FROM ranked WHERE cum <= 6000),
+packed AS (
+  SELECT lang, doc_id % 8 AS shard, n_tok,
+         CAST(sum(n_tok) OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start_tok
+  FROM kept
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+       count(DISTINCT (shard, start_tok // 512)) AS n_seqs
+FROM packed GROUP BY lang
+""",
+)
+def q_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 pipeline ops COMPOSED into one Catalyst plan: exact
+    dedup (md5 keep-min) → quality gate (>=60 tokens) → per-language
+    token-budget mixture (deterministic md5-shuffled greedy prefix) →
+    sharded sequence packing — the full corpus-prep path a pretraining
+    run executes, end to end. Four shuffles total (dedup groupBy, lang
+    window, shard window, final agg), each on a well-distributed key."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select("doc_id", "text", "lang").unionByName(
+        docs.filter(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 8000000).alias("doc_id"), "text", "lang"
+        )
+    )
+    dedup = (
+        corpus.groupBy(F.md5(F.encode("text", "UTF-8")).alias("k"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value("lang").alias("lang"),
+            F.size(F.split(F.trim(F.any_value("text")), r"\s+")).cast("long").alias("n_tok"),
+        )
+        .drop("k")
+    )
+    quality = dedup.filter(F.col("n_tok") >= 60)
+    h = F.md5(
+        F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang")), "UTF-8")
+    )
+    w_mix = (
+        Window.partitionBy("lang").orderBy(h, "doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = quality.withColumn("cum", F.sum("n_tok").over(w_mix)).filter(F.col("cum") <= 6000)
+    w_pack = (
+        Window.partitionBy("lang", F.col("doc_id") % 8)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = kept.select(
+        "lang",
+        (F.col("doc_id") % 8).alias("shard"),
+        "n_tok",
+        (F.sum("n_tok").over(w_pack) - F.col("n_tok")).cast("long").alias("start_tok"),
+    )
+    return packed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens_kept"),
+        F.countDistinct(F.struct("shard", F.floor(F.col("start_tok") / 512))).alias("n_seqs"),
+    )
+
+
+@q(
     "cooccurrence_counts",
     oracle=r"""
 WITH toks AS (
