@@ -146,3 +146,25 @@ def test_merge_aggregates_equals_direct(spark):
         .collect()
     }
     assert merged == direct and len(merged) > 0
+
+
+def test_decile_scale_path_approximates_ntile(spark):
+    """The 100-TB path promised in q_quality_deciles' docstring:
+    approxQuantile cut points + codegen bucketing approximates the exact
+    global-sort ntile distribution."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    n = docs.count()
+    cuts = docs.approxQuantile("n_chars", [i / 10 for i in range(1, 10)], 0.01)
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + (F.col("n_chars") > c).cast("int")
+    counts = (
+        docs.select(bucket.alias("b")).groupBy("b").count().collect()
+    )
+    got = {r.b: r["count"] for r in counts}
+    # every decile within 50% relative of the ideal n/10 (ties distort)
+    assert set(got) <= set(range(1, 11))
+    for b in range(1, 11):
+        assert abs(got.get(b, 0) - n / 10) < n / 10 * 0.5 + 5
