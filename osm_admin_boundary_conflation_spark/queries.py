@@ -3532,6 +3532,39 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "json_props_extract",
+    oracle=r"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       count(*) FILTER (WHERE json_extract(props, '$.missing') IS NULL) AS n_missing
+FROM events GROUP BY event_type
+""",
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: the events `props` JSON string
+    is schema-parsed JVM-side (from_json — vectorized, no Python) and
+    aggregated per event type; absent paths are NULL on both engines.
+    At 100 TB prefer parsing ONCE into a struct column at ingest (or a
+    variant/shredded type) over re-parsing per query — this query pins
+    the extraction semantics either way."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k bigint, missing string").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("p.k").alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        F.count(F.when(F.col("p.missing").isNull(), 1)).alias("n_missing"),
+    )
+
+
+@q(
     "prep_pipeline_v2",
     oracle=r"""
 WITH corpus AS (
