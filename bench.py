@@ -227,17 +227,51 @@ def cpu_capacity_probe() -> dict:
     return out
 
 
+def _spark_submit_path() -> str | None:
+    import shutil
+
+    for cand in (
+        os.path.join(os.path.dirname(sys.executable), "spark-submit"),
+        shutil.which("spark-submit"),
+    ):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
 def main_scaling() -> None:
     results = {}
     probe = cpu_capacity_probe()
     print(json.dumps({"cpu_capacity_probe": probe}))
+    # the north rule's deployment contract: each leg runs via
+    # spark-submit --py-files (the packaged engine zip), exactly as a
+    # cluster executor set would receive it; plain-python fallback only
+    # if no spark-submit exists on PATH
+    submit = _spark_submit_path()
+    launcher = [sys.executable]
+    if submit is not None:
+        import tempfile
+
+        from tools.build_pyfiles import build
+
+        zip_path = build(os.path.join(tempfile.mkdtemp(prefix="pyfiles_"), "engine.zip"))
+        # driver memory MUST ride the submit command line: once
+        # spark-submit has launched the JVM, build_session's
+        # spark.driver.memory is silently ignored (default 1g → OOM on
+        # the 100k-page world)
+        mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        launcher = [submit, "--driver-memory", mem, "--py-files", zip_path]
     for cores in (N_SMALL, N_BIG):
         # pin the whole process tree (JVM task threads + python workers)
         # to exactly `cores` CPUs — otherwise local[8]'s python workers
         # spill onto the other 24 cores and the N-vs-4N comparison lies
         cmd = ["taskset", "-c", f"0-{cores - 1}"] if os.path.exists("/usr/bin/taskset") else []
+        if submit is not None:
+            cmd = cmd + launcher + ["--master", f"local[{cores}]"]
+        else:
+            cmd = cmd + launcher
         out = subprocess.run(
-            cmd + [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cores)],
+            cmd + [os.path.abspath(__file__), "--scaling-child", str(cores)],
             capture_output=True,
             text=True,
             timeout=1800,
@@ -253,9 +287,10 @@ Same geo-tag job (extract text from html bytes → extract coords → cell
 hash-join vs 25 boundary polygons → point-in-polygon confirm → verdict)
 on the same input ({r8['pages']:,} pages of ~60KB html, sf dir
 `{SF_DIR}`, replicate={REPLICATE}), measured after a warm-up run, each
-leg in its own process pinned with `taskset` to exactly its core
-budget (JVM task threads + Arrow python workers share the pinned set,
-as they would per executor on a real cluster):
+leg launched via `spark-submit --py-files <engine.zip>` (the cluster
+deployment contract) in its own process pinned with `taskset` to
+exactly its core budget (JVM task threads + Arrow python workers share
+the pinned set, as they would per executor on a real cluster):
 
 | parallelism | pages | wall (s) | pages/sec |
 |---|---|---|---|
