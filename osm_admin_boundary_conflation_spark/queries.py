@@ -3532,6 +3532,96 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "compact_small_files",
+    oracle=r"""
+WITH src AS (SELECT count(*) AS n_rows FROM documents)
+SELECT n_rows,
+       CAST(37 AS BIGINT) AS n_files_before,
+       CAST(ceil(n_rows / 200.0) AS BIGINT) AS n_files_after
+FROM src
+""",
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (table maintenance): a 37-way fragmented
+    copy of documents is rewritten into ceil(rows/200) right-sized
+    files via coalesce (no shuffle — partitions merge in place; use
+    repartitionByRange(sort_key) instead when the rewrite should also
+    cluster). File counts are measured from the actual directory
+    listings, not predicted. Reference analogue:
+    refresh-osm-data.sh rewrites the whole snapshot; compaction is the
+    incremental form a 100 TB table needs."""
+    import glob
+    import os
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    frag_dir, comp_dir = os.path.join(tmp, "frag"), os.path.join(tmp, "comp")
+    docs.repartition(37).write.parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    n_rows = frag.count()
+    target = -(-n_rows // 200)  # ceil
+    frag.coalesce(target).write.parquet(comp_dir)
+
+    def n_files(d):
+        return len(glob.glob(os.path.join(d, "part-*.parquet")))
+
+    out = spark.createDataFrame(
+        [(n_rows, n_files(frag_dir), n_files(comp_dir))],
+        "n_rows long, n_files_before long, n_files_after long",
+    )
+    # sanity: the compacted table is byte-equivalent row-wise
+    assert spark.read.parquet(comp_dir).count() == n_rows
+    return out
+
+
+@q(
+    "schema_evolution_read",
+    oracle=r"""
+WITH v1 AS (
+  SELECT doc_id, source, CAST(NULL AS BIGINT) AS quality FROM documents WHERE doc_id % 2 = 0
+),
+v2 AS (
+  SELECT doc_id, source, n_chars % 5 AS quality FROM documents WHERE doc_id % 2 = 1
+),
+merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT source, count(*) AS n_rows,
+       count(quality) AS n_with_quality,
+       CAST(coalesce(sum(quality), 0) AS BIGINT) AS sum_quality
+FROM merged GROUP BY source
+""",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: snapshot v1 lacks the `quality` column that v2
+    added; a mergeSchema read unifies them (missing column → NULL) —
+    the additive-evolution contract an Iceberg/Delta table gives a
+    100 TB corpus whose schema grows over time. Aggregates prove the
+    null semantics."""
+    import os
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="schemaevo_")
+    t = os.path.join(tmp, "table")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source").write.parquet(
+        os.path.join(t, "v1")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", (F.col("n_chars") % 5).alias("quality")
+    ).write.parquet(os.path.join(t, "v2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(t, "v1"), os.path.join(t, "v2")
+    )
+    return merged.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.count("quality").alias("n_with_quality"),
+        F.coalesce(F.sum("quality"), F.lit(0)).cast("long").alias("sum_quality"),
+    )
+
+
+@q(
     "json_props_extract",
     oracle=r"""
 SELECT event_type,
