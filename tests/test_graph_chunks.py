@@ -168,3 +168,18 @@ def test_decile_scale_path_approximates_ntile(spark):
     assert set(got) <= set(range(1, 11))
     for b in range(1, 11):
         assert abs(got.get(b, 0) - n / 10) < n / 10 * 0.5 + 5
+
+
+def test_ivf_postings_probe_is_partition_pruned(spark, tmp_path):
+    """Reading one inverted list must prune to that label's partition."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "postings")
+    df = spark.createDataFrame(
+        [(i, i % 4, 0, float(i)) for i in range(40)], "vec_id long, label int, i int, v double"
+    )
+    df.write.partitionBy("label").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("label") == 2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters")[1][:80]
+    assert probe.count() == 10
