@@ -3583,6 +3583,110 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "funnel_counts",
+    oracle=r"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+v AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.us) AS t
+  FROM ev e JOIN v ON e.user_id = v.user_id AND e.us > v.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.us) AS t
+  FROM ev e JOIN c ON e.user_id = c.user_id AND e.us > c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS step_view,
+       (SELECT count(*) FROM c) AS step_click,
+       (SELECT count(*) FROM p) AS step_purchase
+""",
+)
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: users completing view → click → purchase IN
+    ORDER (each later step strictly after the earliest qualifying
+    earlier step — the standard greedy funnel). The engine detects the
+    subsequence with a single JVM `aggregate` fold (a 4-state machine)
+    over each user's time-sorted event array — ONE shuffle, no
+    self-joins; the oracle is the equivalent three-stage greedy join.
+    Tie nuance: at an identical (user, ts) the fold advances in
+    (ts, event_id) array order while the oracle requires strictly later
+    ts; the events tables have no same-user same-ts rows at any sf
+    (verified), so both rules agree on this data."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    seqs = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", F.struct(us.alias("us"), "event_id", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+    )
+    # state: 0 = nothing, 1 = view seen, 2 = click-after-view, 3 = done
+    state = F.aggregate(
+        F.col("seq"),
+        F.lit(0),
+        lambda acc, e: F.when((acc == 0) & (e["event_type"] == "view"), 1)
+        .when((acc == 1) & (e["event_type"] == "click"), 2)
+        .when((acc == 2) & (e["event_type"] == "purchase"), 3)
+        .otherwise(acc),
+    )
+    st = seqs.select(state.alias("st"))
+    return st.agg(
+        F.sum((F.col("st") >= 1).cast("long")).alias("step_view"),
+        F.sum((F.col("st") >= 2).cast("long")).alias("step_click"),
+        F.sum((F.col("st") >= 3).cast("long")).alias("step_purchase"),
+    )
+
+
+@q(
+    "name_editdist_match",
+    oracle=r"""
+WITH names AS (SELECT n_nationkey AS nk, n_name AS nm FROM nation),
+pages AS (
+  SELECT d.doc_id, substr(n.nm, 1, 2) || substr(n.nm, 4) AS qname
+  FROM documents d JOIN names n ON n.nk = d.doc_id % 25
+  WHERE d.doc_id % 4 = 1
+)
+SELECT p.doc_id, c.nk AS level9_id, c.nm AS matched_name,
+       CAST(levenshtein(p.qname, c.nm) AS BIGINT) AS dist
+FROM pages p JOIN names c ON substr(p.qname, 1, 1) = substr(c.nm, 1, 1)
+              AND abs(len(p.qname) - len(c.nm)) <= 2
+WHERE levenshtein(p.qname, c.nm) <= 2
+""",
+)
+def q_name_editdist_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance gazetteer matching: dropped-character names joined
+    with Levenshtein <= 2 under first-letter + length-band blocking (the
+    cheap filters run BEFORE the O(len²) distance — at scale the
+    blocking keys bound candidates exactly like the trigram variant).
+    Both engines implement standard Levenshtein."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    names = na.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nm"))
+    pages = (
+        docs.filter(F.col("doc_id") % 4 == 1)
+        .join(F.broadcast(names), F.col("doc_id") % 25 == F.col("nk"))
+        .select(
+            "doc_id",
+            F.concat(F.expr("substr(nm, 1, 2)"), F.expr("substr(nm, 4)")).alias("qname"),
+        )
+    )
+    cand = pages.join(
+        F.broadcast(names),
+        (F.expr("substr(qname, 1, 1)") == F.expr("substr(nm, 1, 1)"))
+        & (F.abs(F.length("qname") - F.length("nm")) <= 2),
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("qname", "nm").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("doc_id", F.col("nk").alias("level9_id"), F.col("nm").alias("matched_name"), "dist")
+    )
+
+
+@q(
     "compact_small_files",
     oracle=r"""
 WITH src AS (SELECT count(*) AS n_rows FROM documents)
