@@ -74,3 +74,40 @@ def connected_components(
             break
 
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def bfs_hops(edges: DataFrame, source: int, max_hops: int = 10) -> DataFrame:
+    """Minimum hop count from `source` to every reachable node.
+
+    edges: (src, dst) undirected. Frontier expansion: each round joins
+    the CURRENT frontier to the edge list (one shuffle), anti-joins
+    already-visited nodes, and checkpoints — the distributed BFS shape
+    (at 1000 executors the frontier join partitions by vertex; a
+    high-diameter graph wants bidirectional search or CC-style pointer
+    doubling instead).
+    """
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(source, 0)], "id long, hop int").localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.id == sym.u)
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -3583,6 +3583,45 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "bfs_hops",
+    oracle=r"""
+WITH RECURSIVE raw AS (
+  SELECT u, (u * 2 + 1) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 7 + 5) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+),
+e AS (
+  SELECT u, v FROM raw WHERE u != v
+  UNION
+  SELECT v AS u, u AS v FROM raw WHERE u != v
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS hop
+  UNION
+  SELECT e.v AS id, r.hop + 1 AS hop
+  FROM r JOIN e ON e.u = r.id WHERE r.hop < 4
+)
+SELECT id, CAST(min(hop) AS INT) AS hop FROM r GROUP BY id
+""",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BFS: minimum hop count from node 0 over a synthetic
+    400-node graph, frontier-expansion rounds capped at 4 hops
+    (operators/graph.bfs_hops). The oracle is a depth-limited recursive
+    CTE reduced with min(hop)."""
+    from .operators.graph import bfs_hops
+
+    u = F.col("id")
+    raw = (
+        spark.range(400)
+        .select(u.alias("src"), ((u * 2 + 1) % 400).alias("dst"))
+        .unionByName(spark.range(400).select(u.alias("src"), ((u * 7 + 5) % 400).alias("dst")))
+        .filter("src != dst")
+    )
+    return bfs_hops(raw, source=0, max_hops=4)
+
+
+@q(
     "funnel_counts",
     oracle=r"""
 WITH ev AS (

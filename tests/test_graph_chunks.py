@@ -183,3 +183,18 @@ def test_ivf_postings_probe_is_partition_pruned(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters")[1][:80]
     assert probe.count() == 10
+
+
+def test_bfs_hops_line_and_unreachable(spark):
+    from osm_admin_boundary_conflation_spark.operators.graph import bfs_hops
+
+    # line 0-1-2-3 plus an island 10-11
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    got = {r.id: r.hop for r in bfs_hops(edges, source=0, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # island unreachable, absent
+
+    # hop cap truncates
+    got2 = {r.id: r.hop for r in bfs_hops(edges, source=0, max_hops=2).collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2}
