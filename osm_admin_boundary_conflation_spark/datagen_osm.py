@@ -349,7 +349,10 @@ def build_strip_world(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdir = os.environ.get("SPARK_GRAFT_STRIP_DIR")
     if sdir and os.path.exists(os.path.join(sdir, "_SUCCESS")):
         return spark.read.parquet(sdir)
-    return _build_strip_world(spark, sf_dir)
+    # inline path (driver gate): materialize the tiny world once —
+    # segmentation branches re-read it dozens of times, and without the
+    # cut each branch re-executes the whole datagen subtree
+    return _build_strip_world(spark, sf_dir).localCheckpoint(eager=True)
 
 
 def _build_strip_world(spark: SparkSession, sf_dir: str) -> DataFrame:
