@@ -3583,6 +3583,48 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "linear_quality_filter",
+    oracle=r"""
+WITH w AS (
+  SELECT i, CAST(((i * 7) % 5 - 2) / 4.0 AS DOUBLE) AS wv
+  FROM (SELECT unnest(range(1, 65)) AS i)
+),
+ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id, round(sum(ev.v * w.wv), 6) AS score
+  FROM ev JOIN w USING (i) GROUP BY vec_id
+)
+SELECT vec_id, score FROM scored WHERE score > 0.5
+""",
+)
+def q_linear_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (the fasttext-filter shape):
+    a broadcast weight vector dotted against every embedding, keep
+    score > 0.5. The dot product is a JVM zip_with + aggregate fold in
+    fixed index order (bit-identical to the oracle's sequential
+    list_sum) — classifier inference at 100 TB is a map-only stage, no
+    shuffle at all before the filter."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = 64
+    weights = F.array(
+        *[F.lit(((i * 7) % 5 - 2) / 4.0).cast("double") for i in range(1, dim + 1)]
+    )
+    prods = F.zip_with(
+        F.col("embedding").cast("array<double>"), weights, lambda v, w: v * w
+    )
+    score = F.round(
+        F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
+    return (
+        emb.select("vec_id", score.alias("score")).filter(F.col("score") > 0.5)
+    )
+
+
+@q(
     "bfs_hops",
     oracle=r"""
 WITH RECURSIVE raw AS (

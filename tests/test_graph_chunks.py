@@ -198,3 +198,35 @@ def test_bfs_hops_line_and_unreachable(spark):
     # hop cap truncates
     got2 = {r.id: r.hop for r in bfs_hops(edges, source=0, max_hops=2).collect()}
     assert got2 == {0: 0, 1: 1, 2: 2}
+
+
+def test_chunks_col_matches_python_reference():
+    """Hypothesis differential: _chunks_col ≡ the plain-python chunker
+    on arbitrary word soups (spacing, case, length)."""
+    import pyspark.sql.functions as F
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osm_admin_boundary_conflation_spark.session import build_session
+    from osm_admin_boundary_conflation_spark.queries import _chunks_col
+
+    spark = build_session(app_name="hyp-chunks", master="local[2]", shuffle_partitions=2)
+
+    def ref(text, size=10):
+        words = text.strip().lower().split()
+        if not words:
+            return [""]
+        return [" ".join(words[i : i + size]) for i in range(0, len(words), size)]
+
+    word = st.text(alphabet="abcXYZ09", min_size=1, max_size=6)
+    texts = st.lists(word, min_size=1, max_size=35).map(" ".join).map(
+        lambda t: "  " + t + " "
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts)
+    def check(text):
+        got = spark.range(1).select(_chunks_col(F.lit(text)).alias("c")).first().c
+        assert got == ref(text)
+
+    check()
