@@ -3583,6 +3583,67 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "event_trailing_range",
+    oracle=r"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+)
+SELECT user_id, event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_10min,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+                           RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+         AS n_prior_10min
+FROM ev
+""",
+)
+def q_event_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): events per user
+    in the trailing 10 REAL minutes — the burst-detection feature where
+    ROWS frames lie whenever event density varies. Identical range-
+    frame semantics on both engines over exact integer microseconds.
+    (No same-user duplicate timestamps exist in the data, so the frame
+    is deterministic; with ties a range frame includes ALL peers —
+    identically on both engines.)"""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    base = ev.select("user_id", "event_id", us.alias("us"))
+    wr = Window.partitionBy("user_id").orderBy("us").rangeBetween(-600000000, 0)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(wr).cast("long").alias("n_10min"),
+        (F.count("*").over(wr) - 1).cast("long").alias("n_prior_10min"),
+    )
+
+
+@q(
+    "dense_index_assign",
+    oracle=r"""
+SELECT o_orderkey, CAST(dense_rank() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS k
+FROM (SELECT DISTINCT o_orderkey FROM orders)
+""",
+)
+def q_dense_index_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0..N-1 index assignment (plans/dense_index.py) — the
+    distributed zipWithIndex: range-bucket histogram + per-bucket
+    offsets + a PARTITIONED row_number, never a global single-task
+    window. Gates the utility the strip world and IVF index builders
+    rely on; the oracle is the single-window dense_rank definition."""
+    from .plans.dense_index import dense_index
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .distinct()
+    )
+    return dense_index(o, "o_orderkey", index_col="k_raw").select(
+        "o_orderkey", F.col("k_raw").cast("long").alias("k")
+    )
+
+
+@q(
     "linear_quality_filter",
     oracle=r"""
 WITH w AS (
