@@ -3583,6 +3583,86 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "gapfill_daily",
+    oracle=r"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+spine AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds))) AS day) d
+),
+daily AS (
+  SELECT user_id, day, count(*) AS n_events,
+         max(CASE WHEN rn = 1 THEN event_type END) AS last_type
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, day ORDER BY us DESC, event_id DESC) AS rn
+    FROM ev
+  ) GROUP BY user_id, day
+),
+joined AS (
+  SELECT s.user_id, s.day, coalesce(d.n_events, 0) AS n_events, d.last_type
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+       last_value(last_type IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+                                                ROWS UNBOUNDED PRECEDING) AS carried_type
+FROM joined
+""",
+)
+def q_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a complete user x day spine (generated
+    days, zero-filled counts) with last-observation-carried-forward of
+    the user's latest event type — the calendar scaffolding every
+    activity/retention pipeline needs. The spine is users x sequence
+    (JVM explode, no data shuffle to build it); LOCF is one partitioned
+    window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    base = ev.select(
+        "user_id", "event_id", "event_type", us.alias("us"),
+        F.floor(us / 86400000000).cast("long").alias("day"),
+    )
+    bounds = base.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        base.select("user_id").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    w_last = Window.partitionBy("user_id", "day").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        base.withColumn("rn", F.row_number().over(w_last))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("last_type"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "last_type",
+    )
+    w_locf = (
+        Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.last("last_type", ignorenulls=True).over(w_locf).alias("carried_type"),
+    )
+
+
+@q(
     "event_trailing_range",
     oracle=r"""
 WITH ev AS (
