@@ -3583,6 +3583,42 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "retention_cohorts",
+    oracle=r"""
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events
+),
+cohort AS (SELECT user_id, min(day) AS c_day FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, day FROM ev),
+offs AS (
+  SELECT c.c_day, a.day - c.c_day AS day_offset, a.user_id
+  FROM active a JOIN cohort c ON a.user_id = c.user_id
+)
+SELECT c_day AS cohort_day, day_offset, count(DISTINCT user_id) AS n_active
+FROM offs WHERE day_offset <= 7 GROUP BY c_day, day_offset
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each of their next 7 active days — the standard retention triangle.
+    Two aggregations and one equi-join on user_id; day_offset 0 is the
+    cohort size itself."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    days = ev.select("user_id", F.floor(us / 86400000000).cast("long").alias("day"))
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("c_day"))
+    active = days.distinct()
+    offs = active.join(cohort, "user_id").select(
+        "user_id", "c_day", (F.col("day") - F.col("c_day")).alias("day_offset")
+    )
+    return (
+        offs.filter(F.col("day_offset") <= 7)
+        .groupBy(F.col("c_day").alias("cohort_day"), "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@q(
     "gapfill_daily",
     oracle=r"""
 WITH ev AS (
