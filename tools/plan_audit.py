@@ -41,6 +41,8 @@ HARNESS = {
     "dedup_clusters",
     "dedup_keep_representatives",
     "bfs_hops",
+    "dense_index_assign",
+    "segment_tiles",
     "zip_csv_scan",
     "osm_xml_scan",
     "subarea_sync",
