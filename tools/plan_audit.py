@@ -72,6 +72,7 @@ NESTED_LOOP_SCALAR_OK = {
     "conflate_verdicts_unglue",
     "conflate_verdict_counts",
     "conflate_report",
+    "gapfill_daily",  # crossJoin(broadcast(1-row min/max day bounds))
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
