@@ -119,10 +119,11 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 
 def prefix_block_pairs(
-    corpus: DataFrame, prefix_len: int = 5, n_salts: int = 1
+    corpus: DataFrame, prefix_len: int = 5, n_salts: int = 1, skip_words: int = 0
 ) -> DataFrame:
     """corpus(id, t) → candidate pairs (ia, ta, ib, tb) sharing the same
-    first-``prefix_len``-token prefix bucket.
+    ``prefix_len``-token bucket starting after ``skip_words`` tokens
+    (skip past padding/prefixes when blocking for containment).
 
     n_salts > 1 enables TRIANGLE SALTING for boilerplate-heavy corpora
     where one hot prefix would funnel a quadratic block through a single
@@ -133,7 +134,9 @@ def prefix_block_pairs(
     spreads over n² reducers at the cost of n× row replication — results
     are salt-invariant (pytest-asserted)."""
     w = F.split(F.trim(F.lower(F.col("t"))), r"\s+")
-    bucketed = corpus.withColumn("bucket", F.array_join(F.slice(w, 1, prefix_len), " "))
+    bucketed = corpus.withColumn(
+        "bucket", F.array_join(F.slice(w, skip_words + 1, prefix_len), " ")
+    )
     if n_salts <= 1:
         a = bucketed.select(F.col("id").alias("ia"), F.col("t").alias("ta"), "bucket")
         b = bucketed.select(F.col("id").alias("ib"), F.col("t").alias("tb"), "bucket")
@@ -166,6 +169,20 @@ def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
             return 1.0
         u = len(sa | sb)
         return len(sa & sb) / u if u else 0.0
+
+    return pd.Series([one(a, b) for a, b in zip(ta, tb)])
+
+
+@pandas_udf(DoubleType())
+def containment3_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    """|shingles(a) ∩ shingles(b)| / |shingles(a)| — directed containment."""
+
+    def one(a, b):
+        sa = set(T.shingles(a or "", k=3))
+        sb = set(T.shingles(b or "", k=3))
+        if not sa:
+            return 0.0
+        return len(sa & sb) / len(sa)
 
     return pd.Series([one(a, b) for a, b in zip(ta, tb)])
 

@@ -3583,6 +3583,82 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_containment",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id AS id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 9000000 AS id,
+         'intro words here ' || text || ' closing words trail off now' AS t
+  FROM documents WHERE doc_id % 6 = 2
+),
+words AS (SELECT id, t, string_split_regex(trim(lower(t)), '\s+') AS w FROM corpus),
+sh AS (
+  SELECT id, t,
+         list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(generate_series(1, len(w) - 2),
+                                  i -> array_to_string(w[i:i+2], ' ')) END) AS s
+  FROM words
+),
+buck AS (SELECT id, t, s, list_min(list_transform(s, x -> md5(x))) AS bucket FROM sh)
+SELECT a.id AS contained_id, b.id AS container_id,
+       round(len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 / len(a.s), 6)
+         AS containment
+FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.id < b.id
+WHERE len(list_filter(a.s, x -> list_contains(b.s, x))) * 1.0 / len(a.s) >= 0.8
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup detection: |A∩B| / |A| >= 0.8 catches a doc
+    quoted inside a padded container — the case symmetric Jaccard
+    misses (padding shrinks the union). Blocking is CONTENT-DEFINED
+    (min md5 3-shingle — a 1-hash MinHash band), so alignment survives
+    arbitrary padding: the contained doc's min shingle exists in the
+    container, and the bucket matches unless a padding shingle hashes
+    below every content shingle. Equi self-join on the bucket, exact
+    verify on candidates only — the LSH scale shape."""
+    from .operators.dedup import containment3_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    padded = docs.filter(F.col("doc_id") % 6 == 2).select(
+        (F.col("doc_id") + 9000000).alias("id"),
+        F.concat(
+            F.lit("intro words here "), F.col("text"), F.lit(" closing words trail off now")
+        ).alias("t"),
+    )
+    corpus = base.unionByName(padded)
+    w = F.split(F.trim(F.lower("t")), r"\s+")
+    sh = F.array_distinct(
+        F.when(
+            F.size(w) < 3, F.array(F.array_join(w, " "))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.array_join(F.slice(w, i, 3), " "),
+            )
+        )
+    )
+    bucketed = corpus.select(
+        "id",
+        "t",
+        F.array_min(F.transform(sh, lambda s: F.md5(F.encode(s, "UTF-8")))).alias("bucket"),
+    )
+    a = bucketed.select(F.col("id").alias("ia"), F.col("t").alias("ta"), "bucket")
+    b = bucketed.select(F.col("id").alias("ib"), F.col("t").alias("tb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("ia") < F.col("ib"))
+    return (
+        pairs.withColumn("containment", F.round(containment3_udf("ta", "tb"), 6))
+        .filter(F.col("containment") >= 0.8)
+        .select(
+            F.col("ia").alias("contained_id"),
+            F.col("ib").alias("container_id"),
+            "containment",
+        )
+    )
+
+
+@q(
     "retention_cohorts",
     oracle=r"""
 WITH ev AS (
