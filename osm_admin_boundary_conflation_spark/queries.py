@@ -3582,6 +3582,109 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAGERANK_EDGES_SQL = r"""
+e AS (
+  SELECT u, (u * 2 + 1) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 7 + 5) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 13 + 11) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+),
+ed AS (SELECT DISTINCT u, v FROM e WHERE u != v),
+deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
+"""
+
+
+@q(
+    "pagerank_integer",
+    oracle=f"""
+WITH {_PAGERANK_EDGES_SQL},
+pr0 AS (SELECT u AS id, CAST(1000000 AS BIGINT) AS pr FROM (SELECT DISTINCT u FROM ed)),
+it1 AS (
+  SELECT ed.v AS id, CAST(150000 + (sum(pr0.pr // deg.outdeg) * 85) // 100 AS BIGINT) AS pr
+  FROM ed JOIN pr0 ON ed.u = pr0.id JOIN deg ON ed.u = deg.u GROUP BY ed.v
+),
+pr1 AS (
+  SELECT p.id, coalesce(it1.pr, 150000) AS pr FROM pr0 p LEFT JOIN it1 ON p.id = it1.id
+),
+it2 AS (
+  SELECT ed.v AS id, CAST(150000 + (sum(pr1.pr // deg.outdeg) * 85) // 100 AS BIGINT) AS pr
+  FROM ed JOIN pr1 ON ed.u = pr1.id JOIN deg ON ed.u = deg.u GROUP BY ed.v
+),
+pr2 AS (
+  SELECT p.id, coalesce(it2.pr, 150000) AS pr FROM pr0 p LEFT JOIN it2 ON p.id = it2.id
+)
+SELECT id, pr FROM pr2
+""",
+)
+def q_pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in EXACT integer arithmetic (2 iterations, damping
+    0.85): each node's rank floor-divides across its out-edges, inflow
+    sums are order-independent integers — bit-identical across engines
+    with no float-summation hazard (the reason naive float PageRank
+    can't be oracle-gated). Per iteration: one join on the source key +
+    one groupBy on the target key, the canonical distributed PR shape;
+    at 1000 executors pre-partition edges by source and reuse the
+    partitioning across iterations."""
+    u = F.col("id")
+    parts = [
+        spark.range(400).select(u.alias("u"), ((u * 2 + 1) % 400).alias("v")),
+        spark.range(400).select(u.alias("u"), ((u * 7 + 5) % 400).alias("v")),
+        spark.range(400).select(u.alias("u"), ((u * 13 + 11) % 400).alias("v")),
+    ]
+    ed = (
+        parts[0].unionByName(parts[1]).unionByName(parts[2])
+        .filter("u != v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = ed.groupBy("u").agg(F.count("*").alias("outdeg"))
+    edges = ed.join(deg, "u")
+    nodes = ed.select("u").distinct().select(F.col("u").alias("id"))
+    pr = nodes.select("id", F.lit(1000000).cast("long").alias("pr"))
+    for _ in range(2):
+        inflow = (
+            edges.join(pr.withColumnRenamed("id", "u"), "u")
+            .select("v", F.floor(F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("v")
+            .agg((F.lit(150000) + F.floor(F.sum("c") * 85 / 100)).cast("long").alias("npr"))
+        )
+        pr = (
+            nodes.join(inflow.withColumnRenamed("v", "id"), "id", "left")
+            .select("id", F.coalesce("npr", F.lit(150000)).cast("long").alias("pr"))
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+@q(
+    "rank_functions",
+    oracle=r"""
+SELECT c_custkey,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_nationkey, c_custkey)
+""",
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one partitioned window:
+    rank / dense_rank / percent_rank / cume_dist (the latter two are
+    exact small-integer ratios — deterministic doubles after round).
+    Completes the §2.5 window surface beyond row_number/ntile."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_nationkey", "c_custkey")
+    return cu.select(
+        "c_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
 @q(
     "dedup_containment",
     oracle=r"""
