@@ -3596,6 +3596,80 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "hll_distinct_sketch",
+    oracle=r"""
+WITH d AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5('h:' || text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+reg AS (
+  SELECT h % 64 AS bucket,
+         max(coalesce(list_position(list_transform(range(53), k -> (h >> (6+k)) & 1), 1), 54))
+           AS M
+  FROM d GROUP BY bucket
+),
+spine AS (SELECT unnest(range(64)) AS bucket),
+full_reg AS (
+  SELECT s.bucket, coalesce(reg.M, 0) AS M FROM spine s LEFT JOIN reg ON s.bucket = reg.bucket
+),
+agg AS (
+  SELECT CAST(sum(CAST(1 AS HUGEINT) << (54 - M)) AS BIGINT) AS sum_scaled FROM full_reg
+)
+SELECT (SELECT count(*) FROM d) AS n_true, sum_scaled,
+       round(0.7213 / (1 + 1.079 / 64) * 64 * 64 * 18014398509481984 / sum_scaled, 4)
+         AS estimate
+FROM agg
+""",
+)
+def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A HyperLogLog sketch built as a DETERMINISTIC distributed
+    operator: md5-derived 60-bit hashes → 64 registers (bucket = h mod
+    64, register = leading-one position of the remaining bits, computed
+    with unrolled literal shifts) → one groupBy max per register. The
+    register state and the scaled harmonic sum are EXACT integers —
+    bit-identical cross-engine — and only the final estimate divides
+    them once (no float accumulation). This is the mergeable-sketch
+    shape (register-wise max) that counts distincts at 100 TB with
+    64 longs of state per group; no bias/low-range corrections (pinned
+    raw estimator)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(F.substring(F.md5(F.encode(F.concat(F.lit("h:"), F.col("text")), "UTF-8")), 1, 15), 16, 10).cast("long")
+    d = docs.select(h.alias("h")).distinct()
+    bits = F.array(
+        *[
+            F.shiftrightunsigned(F.col("h"), 6 + k).bitwiseAND(F.lit(1)).cast("int")
+            for k in range(53)
+        ]
+    )
+    rho = F.array_position(bits, 1)
+    reg = (
+        d.select((F.col("h") % 64).alias("bucket"), F.when(rho == 0, 54).otherwise(rho).alias("M"))
+        .groupBy("bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    spine = spark.range(64).select(F.col("id").alias("bucket"))
+    full_reg = spine.join(reg, "bucket", "left").select(
+        F.coalesce("M", F.lit(0)).alias("M")
+    )
+    # 2^(54-M): M <= 54 so the double pow is exact (<= 2^54) before the cast
+    agg = full_reg.agg(
+        F.sum(F.pow(F.lit(2.0), 54 - F.col("M")).cast("long")).alias("sum_scaled")
+    )
+    n_true = d.agg(F.count("*").alias("n_true"))
+    alpha = 0.7213 / (1 + 1.079 / 64)
+    return (
+        n_true.crossJoin(agg)
+        .select(
+            "n_true",
+            "sum_scaled",
+            F.round(
+                F.lit(alpha * 64 * 64) * F.lit(18014398509481984.0) / F.col("sum_scaled"), 4
+            ).alias("estimate"),
+        )
+    )
+
+
+@q(
     "pagerank_integer",
     oracle=f"""
 WITH {_PAGERANK_EDGES_SQL},
