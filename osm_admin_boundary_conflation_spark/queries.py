@@ -3596,6 +3596,56 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "quarantine_lint",
+    oracle=r"""
+WITH checked AS (
+  SELECT doc_id,
+         CASE WHEN n_chars != len(text) THEN ['bad_n_chars'] ELSE [] END
+         || CASE WHEN lang NOT IN ('en','es','de','fr') THEN ['lang_not_allowed'] ELSE [] END
+         || CASE WHEN len(text) < 60 THEN ['too_short'] ELSE [] END AS reasons
+  FROM documents
+),
+rejected AS (SELECT doc_id, unnest(reasons) AS reason FROM checked WHERE len(reasons) > 0)
+SELECT reason, count(*) AS n_docs, min(doc_id) AS min_doc FROM rejected GROUP BY reason
+UNION ALL
+SELECT 'PASSED' AS reason, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM checked WHERE len(reasons) = 0
+""",
+)
+def q_quarantine_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion validation with quarantine: every row is checked
+    against a rule set and carries ALL its violation reasons (not just
+    the first); rejects explode per reason for triage counts, passes
+    are tallied — the accept/quarantine split an ingest pipeline puts
+    in front of a 100 TB table (reference analogue: translation.py's
+    tag lint warnings, here as data instead of log lines). One pass,
+    one aggregation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rule(cond, name):
+        return F.when(cond, F.array(F.lit(name))).otherwise(F.array().cast("array<string>"))
+
+    reasons = F.concat(
+        rule(F.col("n_chars") != F.length("text"), "bad_n_chars"),
+        rule(~F.col("lang").isin("en", "es", "de", "fr"), "lang_not_allowed"),
+        rule(F.length("text") < 60, "too_short"),
+    )
+    checked = docs.select("doc_id", reasons.alias("reasons"))
+    rejected = (
+        checked.filter(F.size("reasons") > 0)
+        .select("doc_id", F.explode("reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+    )
+    passed = (
+        checked.filter(F.size("reasons") == 0)
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .select(F.lit("PASSED").alias("reason"), "n_docs", "min_doc")
+    )
+    return rejected.unionByName(passed)
+
+
+@q(
     "hll_distinct_sketch",
     oracle=r"""
 WITH d AS (
