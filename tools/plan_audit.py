@@ -43,6 +43,7 @@ HARNESS = {
     "bfs_hops",
     "dense_index_assign",
     "segment_tiles",
+    "pagerank_integer",
     "zip_csv_scan",
     "osm_xml_scan",
     "subarea_sync",
@@ -73,6 +74,7 @@ NESTED_LOOP_SCALAR_OK = {
     "conflate_verdict_counts",
     "conflate_report",
     "gapfill_daily",  # crossJoin(broadcast(1-row min/max day bounds))
+    "hll_distinct_sketch",  # crossJoin of two 1-row aggregates (n_true x sum_scaled)
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
