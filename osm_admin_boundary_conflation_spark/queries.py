@@ -3596,6 +3596,87 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "cdc_apply",
+    oracle=r"""
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS v FROM orders WHERE o_orderkey % 3 != 0
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS v
+  FROM orders WHERE o_orderkey % 7 != 0
+),
+merged AS (
+  SELECT coalesce(n.k, o.k) AS k, coalesce(n.v, o.v) AS v
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+  WHERE n.k IS NOT NULL  -- absent from new snapshot = delete
+),
+-- state checksum: order-insensitive md5 xor-fold is not portable; use
+-- per-status aggregates instead (exact, order-free)
+agg AS (
+  SELECT v, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum FROM merged GROUP BY v
+)
+SELECT * FROM agg
+""",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY (MERGE INTO semantics): the new snapshot upserts over
+    the old — new value wins, keys absent from the new snapshot are
+    deletes — and the post-merge table state is checksummed with
+    order-free integer aggregates per status. Completes cdc_classify
+    (which types the ops) with the state the merge actually produces."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = od.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("ov")
+    )
+    new = od.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("nk"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("nv"),
+    )
+    merged = (
+        old.join(new, F.col("k") == F.col("nk"), "full_outer")
+        .filter(F.col("nk").isNotNull())
+        .select(F.coalesce("nk", "k").alias("k"), F.coalesce("nv", "ov").alias("v"))
+    )
+    return merged.groupBy("v").agg(
+        F.count("*").alias("n"), F.sum("k").alias("key_sum")
+    )
+
+
+@q(
+    "heavy_hitters",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT tok, count(*) AS cnt,
+       round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS share
+FROM toks GROUP BY tok HAVING count(*) * 1000 >= 35 * (SELECT n FROM tot)
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens holding >= 3.5% of all occurrences —
+    the skew-diagnosis primitive (these ARE the keys that would
+    hot-spot a shuffle; feed them to the salting paths). One
+    map-side-combined groupBy + a 1-row total broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    tot = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 1000 >= 35 * F.col("n"))
+        .select("tok", "cnt", F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("share"))
+    )
+
+
+@q(
     "quarantine_lint",
     oracle=r"""
 WITH checked AS (
