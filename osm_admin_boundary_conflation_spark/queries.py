@@ -3596,6 +3596,39 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "user_first_last",
+    oracle=r"""
+SELECT user_id,
+       arg_min(event_type, epoch_us(ts)) AS first_type,
+       arg_max(event_type, epoch_us(ts)) AS last_type,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def q_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user via min_by/max_by — the argmin
+    aggregate that replaces a sort+window for entity timelines (single
+    map-side-combining aggregation, no window state). Timestamps are
+    unique per user in this data (verified), so the scalar ordering key
+    is deterministic; with ties use a combined (us, event_id) key."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    return (
+        ev.select("user_id", "event_type", us.alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "us").alias("first_type"),
+            F.max_by("event_type", "us").alias("last_type"),
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@q(
     "cdc_apply",
     oracle=r"""
 WITH old AS (
