@@ -75,6 +75,7 @@ NESTED_LOOP_SCALAR_OK = {
     "conflate_report",
     "gapfill_daily",  # crossJoin(broadcast(1-row min/max day bounds))
     "hll_distinct_sketch",  # crossJoin of two 1-row aggregates (n_true x sum_scaled)
+    "heavy_hitters",  # crossJoin(broadcast(1-row token total))
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
