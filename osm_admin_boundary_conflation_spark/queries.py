@@ -3596,6 +3596,44 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "map_type_ops",
+    oracle=r"""
+WITH counts AS (
+  SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang
+)
+SELECT source,
+       string_agg(lang || ':' || CAST(cnt * 2 AS VARCHAR), ',' ORDER BY lang) AS doubled_map
+FROM counts GROUP BY source
+""",
+)
+def q_map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType round-trip: per-source lang→count MAP built with
+    map_from_entries, transformed value-wise (transform_values), torn
+    back down with map_entries and serialized in canonical key order —
+    gates Spark's map column plumbing end-to-end (the tag-dictionary
+    shape OSM elements carry). The oracle renders the same canonical
+    string without maps."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    m = counts.groupBy("source").agg(
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct("lang", "cnt")))).alias("m")
+    )
+    doubled = m.select(
+        "source", F.transform_values("m", lambda k, v: v * 2).alias("m2")
+    )
+    entries = F.array_sort(F.map_entries("m2"))
+    return doubled.select(
+        "source",
+        F.array_join(
+            F.transform(
+                entries, lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string"))
+            ),
+            ",",
+        ).alias("doubled_map"),
+    )
+
+
+@q(
     "user_first_last",
     oracle=r"""
 SELECT user_id,
