@@ -230,3 +230,31 @@ def test_chunks_col_matches_python_reference():
         assert got == ref(text)
 
     check()
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """Spark's HLL++ approx distinct lands within 5% of exact on the
+    documents corpus (rsd default 0.05) — the built-in approximate path
+    our deterministic sketch (hll_distinct_sketch) mirrors gateably."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    row = docs.agg(
+        F.approx_count_distinct("text").alias("approx"),
+        F.countDistinct("text").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) <= max(5, row.exact * 0.05)
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    """A global orderBy must show a rangepartitioning Exchange (the
+    distributed terasort shape), never a single-partition sort."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        docs.orderBy("n_chars", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
