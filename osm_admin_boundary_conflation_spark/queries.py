@@ -3596,6 +3596,49 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "stream_window_counts",
+    oracle=r"""
+WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+wm AS (SELECT max(us) - 600000000 AS w FROM ev),
+win AS (
+  SELECT make_timestamp((us // 3600000000) * 3600000000) AS window_start,
+         (us // 3600000000) * 3600000000 + 3600000000 AS window_end_us,
+         event_type
+  FROM ev
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM win WHERE window_end_us <= (SELECT w FROM wm)
+GROUP BY window_start, event_type
+""",
+)
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAMING tumbling-window counts, append mode
+    (streaming/stream_windows.py): events replayed as two time-split
+    micro-batches. AvailableNow runs a final no-data flush batch, so
+    the terminal watermark is max(event time) - 10 min and the emitted
+    set is every window ending at or before it — only the trailing
+    windows are withheld (they would emit when the next day's data
+    arrives). The time-ordered split means no event is ever late-
+    dropped. Exactly-once through the checkpointed parquet sink;
+    closed-form oracle."""
+    import os
+    import tempfile
+
+    from .streaming.stream_windows import stream_window_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="stream_win_")
+    in_dir = os.path.join(tmp, "in")
+    ev.filter(F.col("ts") < split).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    ev.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = os.path.join(tmp, "out")
+    stream_window_counts(spark, in_dir, out_dir, os.path.join(tmp, "ck"))
+    return spark.read.parquet(out_dir)
+
+
+@q(
     "map_type_ops",
     oracle=r"""
 WITH counts AS (

@@ -30,6 +30,7 @@ SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 # writes); their final plan is just the read-back of a materialized table
 HARNESS = {
     "stream_dedup",
+    "stream_window_counts",
     "stream_sessions",
     "stream_geotag_gate",
     "geotag_checkpointed",
