@@ -3596,6 +3596,49 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "session_window_builtin",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM gaps
+)
+SELECT user_id,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+       CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_no
+""",
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window (gap-merged event-time windows,
+    state handled by the engine) checked against the closed-form
+    lag/cumsum session definition — the parity proof that the custom
+    sessionizers (events_sessionize, stream_sessions) and the built-in
+    agree on boundaries: session end = last event + gap."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sw = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("win"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return sw.select(
+        "user_id",
+        F.unix_micros(F.col("win.start").cast("timestamp_ltz")).alias("session_start_us"),
+        F.unix_micros(F.col("win.end").cast("timestamp_ltz")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+@q(
     "stream_window_counts",
     oracle=r"""
 WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
