@@ -3596,6 +3596,63 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "sql_text_api",
+    oracle=r"""
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars >= 100 GROUP BY source, lang
+""",
+)
+def q_sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string entry path: the table registered as a temp view
+    and queried with spark.sql(...) — same Catalyst plan as the
+    DataFrame API (predicate pushdown included), gating the surface a
+    SQL-first user of the engine actually types."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents_v"
+    )
+    return spark.sql(
+        """
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents_v WHERE n_chars >= 100 GROUP BY source, lang
+        """
+    )
+
+
+@q(
+    "window_offsets",
+    oracle=r"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+)
+SELECT user_id, event_id,
+       lead(event_id, 2) OVER w AS lead2_id,
+       lag(event_id, 2)  OVER w AS lag2_id,
+       nth_value(event_id, 3) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS third_id
+FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+""",
+)
+def q_window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions — lead/lag at distance 2 and
+    nth_value(3) over a running frame — completing the window-function
+    surface (boundary rows yield NULL identically on both engines)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    base = ev.select("user_id", "event_id", us.alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    return base.select(
+        "user_id",
+        "event_id",
+        F.lead("event_id", 2).over(w).alias("lead2_id"),
+        F.lag("event_id", 2).over(w).alias("lag2_id"),
+        F.nth_value("event_id", 3).over(wf).alias("third_id"),
+    )
+
+
+@q(
     "session_window_builtin",
     oracle="""
 WITH gaps AS (
