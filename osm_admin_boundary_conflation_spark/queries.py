@@ -3596,6 +3596,57 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "sales_cube",
+    oracle=r"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping sets of (status, priority) in one Expand
+    pass — completes the grouping-set family next to ROLLUP
+    (sales_rollup). grouping() disambiguates the ALL slots."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("gid"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+        )
+    )
+
+
+@q(
+    "pivot_unpivot_roundtrip",
+    oracle=r"""
+SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY source, lang
+""",
+)
+def q_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT round-trip: the long (source, lang, count) table
+    widened to one column per language and melted back with
+    DataFrame.unpivot — identity on the occupied cells (empty cells
+    pivot to NULL and unpivot drops NULLs by filter, restoring the
+    original long table exactly). Gates the unpivot/melt API."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    langs = ["en", "es", "de", "fr", "zh"]
+    wide = docs.groupBy("source").pivot("lang", langs).agg(F.count(F.lit(1)))
+    long = wide.unpivot("source", langs, "lang", "n_docs")
+    return long.filter(F.col("n_docs").isNotNull())
+
+
+@q(
     "sql_text_api",
     oracle=r"""
 SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
