@@ -3596,6 +3596,46 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "explode_outer_semantics",
+    oracle=r"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN CAST([] AS VARCHAR[])
+              ELSE [lang, source] END AS tags
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, unnest(tags) AS tag FROM tagged WHERE len(tags) > 0
+  UNION ALL
+  SELECT doc_id, NULL AS tag FROM tagged WHERE len(tags) = 0
+)
+SELECT count(*) AS n_rows,
+       count(tag) AS n_tagged,
+       count(*) - count(tag) AS n_untagged_docs,
+       count(DISTINCT doc_id) AS n_docs
+FROM exploded
+""",
+)
+def q_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: docs with an EMPTY tag array survive as one
+    NULL-tag row instead of vanishing (plain explode drops them —
+    silently losing every untagged entity from any downstream join).
+    The oracle emulates outer semantics with a union of the empty
+    branch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tags = F.when(
+        F.col("doc_id") % 5 == 0, F.array().cast("array<string>")
+    ).otherwise(F.array("lang", "source"))
+    exploded = docs.select("doc_id", F.explode_outer(tags).alias("tag"))
+    return exploded.agg(
+        F.count("*").alias("n_rows"),
+        F.count("tag").alias("n_tagged"),
+        (F.count("*") - F.count("tag")).alias("n_untagged_docs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@q(
     "sales_cube",
     oracle=r"""
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
