@@ -3596,6 +3596,31 @@ deg AS (SELECT u, count(*) AS outdeg FROM ed GROUP BY u)
 
 
 @q(
+    "name_char_fold",
+    oracle=r"""
+SELECT n_nationkey,
+       lower(translate(n_name, ' -''.', '____')) AS folded,
+       md5(lower(translate(n_name, ' -''.', '____'))) AS folded_md5
+FROM nation
+""",
+)
+def q_name_char_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class folding for name canonicalization: separators
+    (space, hyphen, apostrophe, dot) collapse to underscore before
+    case folding — the normalization step ahead of any name join
+    (matching the reference's case-insensitive matching, hardened for
+    punctuation variance). Pure translate/lower — identical semantics
+    in both engines; md5 proves byte-level equality."""
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    folded = F.lower(F.translate("n_name", " -'.", "____"))
+    return na.select(
+        "n_nationkey",
+        folded.alias("folded"),
+        F.md5(F.encode(folded, "UTF-8")).alias("folded_md5"),
+    )
+
+
+@q(
     "explode_outer_semantics",
     oracle=r"""
 WITH tagged AS (
