@@ -104,7 +104,10 @@ def summarize(plan: str) -> dict[str, int]:
     for m in re.finditer(r"Exchange SinglePartition", plan):
         sp_total += 1
         tail = plan[m.end() : m.end() + 250]
-        if re.search(r"Aggregate\(key(?:s)?=\[\], functions=\[partial_", tail):
+        # ANY keys=[] aggregate child (partial_ or merge_+partial_distinct
+        # mixed-phase, as countDistinct plans emit) moves exactly one row
+        # per upstream partition through the exchange
+        if re.search(r"Aggregate\(key(?:s)?=\[\], functions=\[(?:partial_|merge_)", tail):
             sp_benign += 1
     return {
         "scans": plan.count("Scan parquet") + plan.count("Scan ExistingRDD"),
