@@ -8,26 +8,37 @@ single representative per identical-geometry group
 set); this generalizes that to transitive near-dup chains at corpus
 scale.
 
-Algorithm: iterative min-label propagation to a fixpoint. Each round is
-one shuffle (edge join + groupBy min); rounds needed = graph diameter.
-Near-dup graphs have tiny, shallow components (a doc and its variants),
-so diameter is small in practice — at 100 TB with adversarially long
-chains, switch to alternating large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond"), which converges in
-O(log n) rounds with the same per-round plan shape. Every round cuts
-lineage with localCheckpoint so the plan does not grow unboundedly.
+Two algorithms, same contract:
+
+- ``minlabel`` — iterative min-label propagation to a fixpoint. Each
+  round is ONE Spark job (edge join + groupBy min + eager
+  localCheckpoint; the changed-row count rides the same job via
+  ``df.observe``, so convergence costs no extra action). Rounds needed =
+  graph diameter — right for the shallow components near-dup graphs
+  produce.
+- ``star`` — alternating large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", 2014): converges in
+  O(log^2 n) rounds regardless of diameter, the scale path for
+  adversarially long chains (a 10^6-node path converges in ~log rounds
+  where min-label needs 10^6).
+
+Every round cuts lineage with localCheckpoint so the plan never grows
+unboundedly, and the input edge list is checkpointed ONCE so upstream
+producers (e.g. a whole MinHash-LSH verify pipeline) never re-execute
+per round.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 
 
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_iter: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Label every node with the MIN node id in its connected component.
 
@@ -35,12 +46,19 @@ def connected_components(
     (undirected; either orientation). Returns (id, cluster_id) —
     singletons get cluster_id = id.
 
-    Deterministic: the fixpoint of min-propagation is unique regardless
-    of iteration order or partitioning.
+    Deterministic: the fixpoint of both algorithms is unique regardless
+    of iteration order or partitioning. Raises RuntimeError if the
+    fixpoint is NOT reached within ``max_iter`` rounds — non-converged
+    labels are silently wrong, so exhaustion is an error, never a
+    result (switch to ``algorithm='star'`` for high-diameter graphs).
     """
+    if algorithm == "star":
+        return _cc_star(nodes, edges, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+
     # materialize the symmetric edge list ONCE — upstream edge producers
-    # (e.g. the whole MinHash-LSH verify pipeline) must not re-execute on
-    # every propagation round
+    # must not re-execute on every propagation round
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
@@ -49,6 +67,7 @@ def connected_components(
     )
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
 
+    changed = None
     for _ in range(max_iter):
         # min label among neighbours (one shuffle: join on v + groupBy u)
         neigh = (
@@ -56,24 +75,131 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # the changed-row count is observed on the SAME job that
+        # materializes the checkpoint — one Spark job per round total
+        obs = Observation()
         new = (
-            labels.join(neigh.select(F.col("u").alias("id"), "nlabel"), "id", "left")
+            labels.select("id", F.col("label").alias("old"))
+            .join(neigh.select(F.col("u").alias("id"), "nlabel"), "id", "left")
             .select(
                 "id",
-                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+                "old",
+                F.least("old", F.coalesce("nlabel", "old")).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old")).cast("long")).alias("changed"),
+            )
+            .select("id", "label")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(labels.select("id", F.col("label").alias("old")), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        changed = obs.get["changed"] or 0
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components(minlabel) did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing) — the component "
+            "diameter exceeds max_iter; raise max_iter or use "
+            "algorithm='star'"
+        )
 
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def _orient(e: DataFrame) -> DataFrame:
+    """(u, v) with u > v, self-loops dropped, deduplicated."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-larger
+    neighbours to the min of its neighbourhood (including itself)."""
+    sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return _orient(
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node re-points its smaller neighbours
+    (and itself) at the neighbourhood min. Input must be oriented
+    u > v (which _orient and _large_star both guarantee)."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    repointed = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return _orient(repointed.union(self_edges))
+
+
+def _cc_star(nodes: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al. 2014).
+
+    Per round: one large-star + one small-star (two shuffle stages) and
+    ONE materializing job whose ``observe`` carries an exact edge count
+    plus an order-independent hash fingerprint of the edge set. Two
+    consecutive identical (count, fingerprint) pairs mean the edge set
+    reached its fixpoint: a forest of stars whose centers are the
+    component minima. The fingerprint is bit_xor(xxhash64(u, v)) —
+    order-independent, overflow-free (XOR never overflows, unlike a
+    modular sum), exact on a distinct edge set — and a collision can
+    only DELAY detection by a round, never produce wrong labels,
+    because the edge set evolves monotonically toward the fixpoint.
+    """
+    cur = _orient(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    prev_fp = None
+    converged = False
+    for _ in range(max_iter):
+        obs = Observation()
+        nxt = (
+            _small_star(_large_star(cur))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        fp = (obs.get["n"], obs.get["fp"])
+        cur = nxt
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter} rounds"
+        )
+
+    # at the fixpoint every non-center node carries exactly one edge to
+    # its component min; groupBy-min is a no-op safety net
+    centers = cur.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    return (
+        nodes.select("id")
+        .join(centers.select(F.col("u").alias("id"), "cluster_id"), "id", "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+    )
 
 
 def bfs_hops(edges: DataFrame, source: int, max_hops: int = 10) -> DataFrame:
@@ -84,7 +210,8 @@ def bfs_hops(edges: DataFrame, source: int, max_hops: int = 10) -> DataFrame:
     already-visited nodes, and checkpoints — the distributed BFS shape
     (at 1000 executors the frontier join partitions by vertex; a
     high-diameter graph wants bidirectional search or CC-style pointer
-    doubling instead).
+    doubling instead). The frontier size rides the checkpoint job via
+    ``observe`` — one Spark job per hop, no extra isEmpty scan.
     """
     sym = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -98,16 +225,73 @@ def bfs_hops(edges: DataFrame, source: int, max_hops: int = 10) -> DataFrame:
     )
     frontier = visited
     for hop in range(1, max_hops + 1):
+        obs = Observation()
         nxt = (
             frontier.join(sym, frontier.id == sym.u)
             .select(F.col("v").alias("id"))
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .select("id", F.lit(hop).cast("int").alias("hop"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if (obs.get["n"] or 0) == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def orient_by_degree(e: DataFrame) -> DataFrame:
+    """Orient each canonical edge (a < b) from lower (degree, id) rank
+    to higher. Returns (src, dst, ddst) where ddst is dst's degree.
+
+    This is the Schank-Wagner / node-iterator++ preprocessing: after
+    orientation every vertex has out-degree <= O(sqrt(m)), so wedge
+    generation is Sum d_out(v)^2 = O(m^1.5) TOTAL — bounded even on a
+    power-law graph where the raw Sum d(v)^2 of an id-ordered pivot
+    explodes on the hub vertices (a celebrity node with d=10^7 would
+    otherwise emit 10^14 wedges from one key).
+    """
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    edr = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # rank = (deg, id); a < b always, so ties break toward a
+    a_low = (F.col("da") < F.col("db")) | (F.col("da") == F.col("db"))
+    return edr.select(
+        F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_low, F.col("db")).otherwise(F.col("da")).alias("ddst"),
+    )
+
+
+def degree_ordered_wedges(o: DataFrame) -> DataFrame:
+    """Wedges (x; y, z) pivoting on the LOW-rank vertex x of each
+    oriented edge pair, with rank(y) < rank(z). One self-join on src."""
+    w1 = o.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    w2 = o.select("src", F.col("dst").alias("z"), F.col("ddst").alias("dz"))
+    return w1.join(w2, "src").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+
+
+def count_triangles(e: DataFrame) -> DataFrame:
+    """Exact triangle count over canonical edges (a < b): degree-orient,
+    generate O(m^1.5) wedges, close each wedge against the oriented edge
+    set (the closing edge y-z is oriented y->z precisely because
+    rank(y) < rank(z)). Two equi-joins, both on vertex keys; every
+    triangle is counted exactly once at its lowest-rank vertex."""
+    o = orient_by_degree(e)
+    wedges = degree_ordered_wedges(o)
+    closed = wedges.join(
+        o.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"]
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -3166,7 +3166,8 @@ marked AS (
 )
 SELECT id, count(*) AS n_chunks,
        CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
-       md5(string_agg(CASE WHEN is_bp THEN NULL ELSE chunk END, ' ' ORDER BY idx)) AS clean_md5
+       md5(coalesce(string_agg(CASE WHEN is_bp THEN NULL ELSE chunk END, ' ' ORDER BY idx),
+                    '')) AS clean_md5
 FROM marked GROUP BY id
 """,
 )
@@ -4689,7 +4690,14 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag = spark.read.parquet(frag_dir)
     n_rows = frag.count()
     target = -(-n_rows // 200)  # ceil
-    frag.coalesce(target).write.parquet(comp_dir)
+    # coalesce cannot RAISE the partition count above the source's (37
+    # fragments here) — at a larger sf where ceil(n/200) > 37 it would
+    # silently emit 37 files while the oracle expects more. Shuffle-free
+    # merge when shrinking; full repartition when the table must split.
+    if target > frag.rdd.getNumPartitions():
+        frag.repartition(target).write.parquet(comp_dir)
+    else:
+        frag.coalesce(target).write.parquet(comp_dir)
 
     def n_files(d):
         return len(glob.glob(os.path.join(d, "part-*.parquet")))
@@ -4878,14 +4886,38 @@ SELECT t1, t2, count(*) AS n_docs FROM pairs GROUP BY t1, t2 HAVING count(*) >= 
 def q_cooccurrence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token co-occurrence matrix (PMI/embedding input): distinct
     (doc, token) pairs self-joined per doc with t1<t2, counted across
-    the corpus. The join key is doc_id (well-distributed); the
-    per-doc blow-up is quadratic in DISTINCT terms per doc, so dedup
-    happens BEFORE the self-join — at 100 TB also cap or sample very
-    long docs (the explode is the cost, not the groupBy)."""
+    the corpus.
+
+    Skew/scale shape, in order of what actually matters at 100 TB:
+
+    - SEMANTIC frequency prune (Catalyst cannot infer this): a pair can
+      only reach n_docs >= 50 if BOTH tokens have df >= 50, so the
+      hapax-dominated long tail — which generates most DISTINCT pairs
+      and thus most partial-aggregate hash-map pressure — is semi-joined
+      away before the quadratic self-join. AQE skew-join handles the
+      stop-word hot keys inside that semi join.
+    - The self-join key is doc_id (well-distributed); dedup happens
+      BEFORE the join so the blow-up is quadratic in DISTINCT terms per
+      doc. At 100 TB also cap or sample very long docs.
+    - The final groupBy(t1, t2) needs NO explicit salting: count(*) is
+      combiner-friendly — partial HashAggregate runs map-side, so the
+      reducer owning a hot pair receives at most one partial row per
+      map task, not one row per occurrence (plan-asserted in
+      tests/test_skew_shapes.py). An explicit salt->partial->merge
+      stage would add a full extra shuffle of the pair stream for
+      nothing.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     ).distinct()
+    frequent = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 50)
+        .select("tok")
+    )
+    toks = toks.join(frequent, "tok", "left_semi")
     a = toks.select("doc_id", F.col("tok").alias("t1"))
     b = toks.select("doc_id", F.col("tok").alias("t2"))
     return (
@@ -5070,11 +5102,18 @@ SELECT count(*) AS n_triangles, (SELECT count(*) FROM e) AS n_edges FROM tri
 """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed triangle counting on a synthetic 400-node graph:
-    canonicalize edges (a<b), join wedges a-b-c on the middle vertex,
-    close them against the edge set — two equi-joins on vertex keys,
-    the standard MapReduce triangle plan (at scale, order vertices by
-    degree first so wedges pivot on low-degree middles)."""
+    """Distributed triangle counting on a synthetic 400-node graph via
+    DEGREE-ORDERED wedges (Schank-Wagner node-iterator++): orient each
+    edge from lower (degree, id) rank to higher, generate wedges only
+    at the low-rank pivot (out-degree <= O(sqrt(m)) after orientation,
+    so wedge volume is O(m^1.5) even on power-law graphs — an id-ordered
+    pivot would emit d(hub)^2 wedges from a single celebrity vertex),
+    close each wedge against the oriented edge set. Two equi-joins on
+    vertex keys; count is orientation-invariant (each triangle counted
+    once at its lowest-rank vertex). Star-graph wedge bound pytest:
+    tests/test_graph_chunks.py."""
+    from .operators.graph import count_triangles
+
     u = F.col("id")
     parts = [
         spark.range(400).select(u.alias("u"), ((u * 2 + 1) % 400).alias("v")),
@@ -5085,15 +5124,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = raw.select(
         F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
     ).distinct()
-    e1 = e.select(F.col("a").alias("a"), F.col("b").alias("m"))
-    e2 = e.select(F.col("a").alias("m"), F.col("b").alias("c"))
-    wedges = e1.join(e2, "m")
-    tri = wedges.join(
-        e.select(F.col("a").alias("a"), F.col("b").alias("c")), ["a", "c"]
-    )
-    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
-        e.agg(F.count("*").alias("n_edges"))
-    )
+    return count_triangles(e).crossJoin(e.agg(F.count("*").alias("n_edges")))
 
 
 @q(
@@ -5671,20 +5702,41 @@ FROM toks GROUP BY term
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build: term → document frequency, total term
-    frequency, and the head of the sorted posting list. One explode +
-    one groupBy on the term key (map-side combine); posting lists are
-    capped (12) so no group's state is unbounded — at 100 TB the full
-    posting list would go to a bucketed sink instead of a string."""
+    frequency, and the head of the sorted posting list.
+
+    Skew shape: df (count-distinct rewrites to an internal aggregate
+    keyed on (term, doc_id) — well-distributed) and tf_total (map-side
+    combine caps reducer input at one partial per map task) are
+    structurally skew-safe. The skewed piece was the posting
+    collect_set: ONE reducer task owned a stop-word's group and its
+    buffer accumulated every doc id of that term. Two-phase fix:
+    salt = doc_id % 32 spreads each hot term over 32 (term, salt)
+    groups — per-task posting state drops to df/32 (size the salt
+    space to the executor count at 100 TB) and each partial emits only
+    its 12 smallest ids, so the final per-term merge handles <= 32
+    arrays of <= 12 ids instead of the full posting set (skew pytest:
+    tests/test_skew_shapes.py). Exact because doc ids partition
+    disjointly by salt: distinct counts add, and the global min-12 is
+    contained in the union of per-salt min-12s. At 100 TB the FULL
+    posting list would go to a bucketed sink instead of a string
+    column."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
     )
-    return toks.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"),
-        F.count("*").alias("tf_total"),
+    per_salt = toks.groupBy("term", (F.col("doc_id") % 32).alias("salt")).agg(
+        F.countDistinct("doc_id").alias("df_part"),
+        F.count("*").alias("tf_part"),
+        F.slice(F.array_sort(F.collect_set("doc_id")), 1, 12).alias("post_part"),
+    )
+    return per_salt.groupBy("term").agg(
+        F.sum("df_part").alias("df"),
+        F.sum("tf_part").alias("tf_total"),
         F.array_join(
             F.transform(
-                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 12),
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("post_part"))), 1, 12
+                ),
                 lambda x: x.cast("string"),
             ),
             ",",

@@ -258,3 +258,107 @@ def test_global_sort_uses_range_partitioning(spark):
     )
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_cc_star_agrees_with_minlabel_random(spark):
+    """Differential: large-star/small-star vs min-label on a random
+    graph — identical labels (the fixpoint is unique)."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(200))
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    a = {r.id: r.cluster_id for r in connected_components(nodes, edf).collect()}
+    b = {
+        r.id: r.cluster_id
+        for r in connected_components(nodes, edf, algorithm="star").collect()
+    }
+    assert a == b
+
+
+def test_cc_star_deep_path_converges_fast(spark):
+    """A depth-50 path: min-label needs ~50 rounds (raises at
+    max_iter=10); star finishes well inside 10 rounds."""
+    nodes = spark.createDataFrame([(i,) for i in range(51)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=10)
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            nodes, edges, max_iter=10, algorithm="star"
+        ).collect()
+    }
+    assert set(got.values()) == {0}
+
+
+def test_cc_fixpoint_needs_no_extra_driver_action(spark, monkeypatch):
+    """The convergence check rides the checkpoint job via observe — CC
+    and BFS must issue NO separate count()/isEmpty() driver action per
+    round (absolute job counts are AQE/broadcast-noisy; this asserts
+    the action shape directly)."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):  # pragma: no cover - should never run
+        raise AssertionError("driver-side count/isEmpty inside fixpoint loop")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "isEmpty", _boom)
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    out = connected_components(nodes, edges, max_iter=10)
+    got = {r.id: r.cluster_id for r in out.collect()}
+    assert set(got.values()) == {0}
+
+    from osm_admin_boundary_conflation_spark.operators.graph import bfs_hops
+
+    hops = {r.id: r.hop for r in bfs_hops(edges, source=0, max_hops=10).collect()}
+    assert hops == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_triangle_wedges_degree_bounded_on_star(spark):
+    """Star graph K_{1,n}: degree-ordered orientation points every leaf
+    at the hub, so the hub generates ZERO wedges — wedge volume stays
+    O(E), where an id-ordered pivot on a hub with id 0 would emit
+    (n choose 2). Also: no triangles."""
+    from osm_admin_boundary_conflation_spark.operators.graph import (
+        count_triangles,
+        degree_ordered_wedges,
+        orient_by_degree,
+    )
+
+    n = 60
+    # hub id 0 (the adversarial case for id-ordering: lowest id, highest degree)
+    e = spark.createDataFrame([(0, i) for i in range(1, n + 1)], "a long, b long")
+    o = orient_by_degree(e)
+    # every edge must point leaf -> hub
+    assert o.filter(F.col("src") == 0).count() == 0
+    assert degree_ordered_wedges(o).count() == 0
+    assert count_triangles(e).first().n_triangles == 0
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Differential on a random graph: degree-ordered count equals the
+    O(n^3) python reference."""
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    pairs = set()
+    while len(pairs) < 80:
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    expect = sum(
+        1
+        for x, y, z in itertools.combinations(range(40), 3)
+        if (x, y) in pairs and (y, z) in pairs and (x, z) in pairs
+    )
+    from osm_admin_boundary_conflation_spark.operators.graph import count_triangles
+
+    e = spark.createDataFrame(sorted(pairs), "a long, b long")
+    assert count_triangles(e).first().n_triangles == expect
