@@ -137,6 +137,7 @@ def main_bench() -> None:
 
     qs = Q.queries()
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
@@ -146,13 +147,17 @@ def main_bench() -> None:
         # between minutes; the min is the stable engine cost (runs 2-3
         # also benefit from operator-level persists, as a long-lived
         # deployment would)
-        best = None
+        runs = []
         for _ in range(3):
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        # max/min ratio of the 3 runs: how noisy the host was DURING
+        # this reading — a 24s round-total against a 21s baseline is
+        # self-explaining when the spreads read 1.3-2.0 (VERDICT r03
+        # adjudicated exactly that by hand; now the JSON carries it)
+        spread[name] = round(max(runs) / max(min(runs), 1e-9), 2)
         total += timings[name]
     print(
         json.dumps(
@@ -161,6 +166,7 @@ def main_bench() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

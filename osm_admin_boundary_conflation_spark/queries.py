@@ -5742,3 +5742,386 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("postings_head"),
     )
+
+
+@q(
+    "snapshot_time_travel",
+    oracle=r"""
+WITH v1 AS (
+  SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 != 0
+),
+v2 AS (
+  SELECT doc_id, source,
+         n_chars + CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 0 END AS n_chars
+  FROM documents
+),
+j AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         a.doc_id AS id1, b.doc_id AS id2,
+         a.n_chars AS c1, b.n_chars AS c2
+  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+)
+SELECT source,
+       count(id1) AS n_v1,
+       count(id2) AS n_v2,
+       CAST(sum(CASE WHEN id1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN id1 IS NOT NULL AND id2 IS NOT NULL AND c1 != c2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+FROM j GROUP BY source
+""",
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 as a RUNTIME, not a seam: two commits to the from-scratch
+    snapshot table layer (sources/snapshot_table.py — atomic manifest
+    rename, time travel, history), then a time-travel read of v1
+    against latest, full-outer diffed into per-source added/changed
+    counts. This is the reference's daily refresh-and-diff
+    (refresh-osm-data.sh:22-53 + send_notification.py:41-73) expressed
+    against a versioned table instead of two loose files. The diff
+    itself is one full-outer join on the table key — same shape as
+    snapshot_diff, but the inputs come from the format's own manifest
+    resolution, which is what this query gates."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    loc = tempfile.mkdtemp(prefix="snaptbl_")
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 3 != 0), loc, commit_ms=1000)
+    v2 = docs.withColumn(
+        "n_chars",
+        F.col("n_chars") + F.when(F.col("doc_id") % 5 == 0, 10).otherwise(0),
+    )
+    ST.write_snapshot(v2, loc, commit_ms=2000)
+    assert [h["version"] for h in ST.snapshot_history(loc)] == [1, 2]
+
+    a = ST.read_snapshot(spark, loc, version=1).select(
+        F.col("doc_id").alias("id1"), F.col("source").alias("s1"), F.col("n_chars").alias("c1")
+    )
+    b = ST.read_snapshot(spark, loc).select(
+        F.col("doc_id").alias("id2"), F.col("source").alias("s2"), F.col("n_chars").alias("c2")
+    )
+    j = a.join(b, a.id1 == b.id2, "full_outer")
+    return (
+        j.select(
+            F.coalesce("s1", "s2").alias("source"), "id1", "id2", "c1", "c2"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("id1").alias("n_v1"),
+            F.count("id2").alias("n_v2"),
+            F.sum(F.col("id1").isNull().cast("long")).alias("n_added"),
+            F.sum(
+                (
+                    F.col("id1").isNotNull()
+                    & F.col("id2").isNotNull()
+                    & (F.col("c1") != F.col("c2"))
+                ).cast("long")
+            ).alias("n_changed"),
+        )
+    )
+
+
+@q(
+    "winnow_fingerprints",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+),
+hs AS (
+  SELECT id, list_transform(range(len(w) - 3),
+          i -> CAST('0x' || substr(md5(array_to_string(w[i+1:i+4], ' ')), 1, 15) AS BIGINT)) AS hh
+  FROM words
+),
+hsi AS (
+  SELECT id, list_transform(range(len(hh)), i -> {'h': hh[i+1], 'ni': -i}) AS hi, hh
+  FROM hs
+),
+sel AS (
+  SELECT id, list_distinct(list_transform(
+           list_transform(range(2, len(hi)), e -> list_sort(hi[e-1:e+1])[1]),
+           s -> CAST(s.h AS VARCHAR) || '@' || CAST(-s.ni AS VARCHAR))) AS fps,
+         len(hh) AS ng
+  FROM hsi
+)
+SELECT id, CAST(ng AS BIGINT) AS n_grams, CAST(len(fps) AS BIGINT) AS n_fps,
+       md5(coalesce(array_to_string(list_sort(fps), ','), '')) AS fp_digest
+FROM sel
+""",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by WINNOWING (Schleimer, Wilkerson,
+    Aiken, SIGMOD 2003 — the rolling-hash fingerprint scheme): hash
+    every 4-word shingle, slide a 3-hash window, keep the minimum hash
+    per window with rightmost tie-break, dedup identical (hash, pos)
+    selections across adjacent windows. Guarantees any shared run of
+    >= k+w-1 words between two docs shares at least one fingerprint —
+    the plagiarism/overlap-detection primitive SimHash (global
+    similarity) cannot provide. Output: per-doc gram/fingerprint census
+    + an order-canonical digest of the selected set.
+
+    Scale shape: pure map — every doc computes its fingerprints from
+    its own words via JVM higher-order functions (transform/slice/
+    array_min); no shuffle at all until a downstream join groups docs
+    by shared fingerprints (that join is the bucketed-candidate shape
+    dedup_* already implements). Hash = first 60 bits of md5, the
+    engine's cross-engine-exact hash family."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.trim(F.lower("text")), r"\s+")
+    ng = F.greatest(F.size(w) - 3, F.lit(0))
+    grams = F.when(ng > 0, F.transform(
+        F.sequence(F.lit(0), ng - 1),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(w, i + 1, 4), " ")), 1, 15),
+            16, 10,
+        ).cast("long"),
+    )).otherwise(F.array().cast("array<long>"))
+    d = docs.select(F.col("doc_id").alias("id"), grams.alias("hh"))
+    hsi = F.transform(
+        F.col("hh"),
+        lambda h, i: F.struct(h.alias("h"), (-i).cast("long").alias("ni")),
+    )
+    sels = F.when(
+        F.size("hh") >= 3,
+        F.transform(
+            F.sequence(F.lit(2), F.size("hh") - 1),
+            lambda e: F.array_min(F.slice(hsi, e - 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<struct<h:long,ni:long>>"))
+    fps = F.array_distinct(
+        F.transform(
+            sels,
+            lambda s: F.concat(
+                s["h"].cast("string"), F.lit("@"), (-s["ni"]).cast("string")
+            ),
+        )
+    )
+    return d.select(
+        "id",
+        F.size("hh").cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fps"),
+        F.md5(F.encode(F.array_join(F.array_sort(fps), ","), "UTF-8")).alias(
+            "fp_digest"
+        ),
+    )
+
+
+@q(
+    "group_quantiles",
+    oracle=r"""
+SELECT source,
+       round(median(n_chars), 4) AS med,
+       round(quantile_cont(n_chars, 0.25), 4) AS q25,
+       round(quantile_cont(n_chars, 0.90), 4) AS q90,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+""",
+)
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (doc-length distribution per source):
+    Spark's exact `percentile`/`median` aggregates vs DuckDB's
+    quantile_cont — both implement the R-7 linear-interpolation
+    estimator, so results agree to rounding. Per-group exact
+    percentile keeps the FULL group in one aggregation buffer (OK for
+    bounded group counts like per-source stats); the unbounded-cardinality
+    path is approx_percentile / the approxQuantile cut-point flow
+    already tested for quality_deciles. One shuffle (groupBy source),
+    map-side partials."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("source").agg(
+        F.round(F.expr("median(n_chars)"), 4).alias("med"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(n_chars, 0.90)"), 4).alias("q90"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@q(
+    "dataset_split",
+    oracle=r"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT source,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS h
+    FROM documents
+  )
+)
+SELECT source, split, count(*) AS n_docs
+FROM assigned GROUP BY source, split
+""",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10): the
+    split is a pure function of the stable doc id — reproducible across
+    runs, clusters, and engine versions, and new docs never reshuffle
+    old assignments (the property random() splits lack). Map-only plus
+    one census groupBy; at 100 TB the assignment column is written once
+    and every downstream reader filters on it (partition-prunable if
+    written as a partition column)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@q(
+    "snapshot_merge_upsert",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 != 0
+),
+changes AS (
+  SELECT doc_id, 'U' AS op, n_chars + 1000 AS n_chars, source
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id, 'I' AS op, n_chars, source FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'D' AS op, NULL, NULL FROM documents
+  WHERE doc_id % 5 = 0 AND doc_id % 3 != 0 AND doc_id % 7 != 0
+),
+merged AS (
+  SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+         coalesce(c.source, b.source) AS source,
+         CASE WHEN c.op IN ('U', 'I') THEN c.n_chars ELSE b.n_chars END AS n_chars,
+         c.op
+  FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+),
+v2 AS (SELECT doc_id, source, n_chars FROM merged WHERE op IS DISTINCT FROM 'D')
+SELECT source, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM v2 GROUP BY source
+""",
+)
+def q_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO against the snapshot table layer: commit a base
+    snapshot, apply a changeset of upserts (U), inserts (I) and
+    deletes (D) as ONE full-outer merge (copy-on-write, the
+    Delta/Iceberg MERGE shape), commit the result as v2, then verify
+    from a TIME-TRAVEL READ of v2 — the gate reads what the format
+    persisted, not the in-flight DataFrame. History afterward:
+    v1 -> v2 with parent lineage. One shuffle for the merge join
+    (both sides keyed on doc_id), one for the census."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    loc = tempfile.mkdtemp(prefix="snapmerge_")
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    ST.write_snapshot(base, loc, commit_ms=1000)
+
+    upd = (
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 != 0))
+        .select("doc_id", F.lit("U").alias("op"), (F.col("n_chars") + 1000).alias("n_chars"), "source")
+    )
+    ins = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit("I").alias("op"), "n_chars", "source"
+    )
+    dele = (
+        docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 != 0) & (F.col("doc_id") % 7 != 0)
+        )
+        .select("doc_id", F.lit("D").alias("op"), F.lit(None).cast("long").alias("n_chars"),
+                F.lit(None).cast("string").alias("source"))
+    )
+    changes = upd.unionByName(ins).unionByName(dele)
+
+    b = ST.read_snapshot(spark, loc).select(
+        F.col("doc_id").alias("b_id"), F.col("source").alias("b_src"), F.col("n_chars").alias("b_nc")
+    )
+    c = changes.select(
+        F.col("doc_id").alias("c_id"), "op", F.col("source").alias("c_src"), F.col("n_chars").alias("c_nc")
+    )
+    merged = (
+        b.join(c, b.b_id == c.c_id, "full_outer")
+        .select(
+            F.coalesce("c_id", "b_id").alias("doc_id"),
+            F.coalesce("c_src", "b_src").alias("source"),
+            F.when(F.col("op").isin("U", "I"), F.col("c_nc")).otherwise(F.col("b_nc")).alias("n_chars"),
+            "op",
+        )
+        .filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .drop("op")
+    )
+    ST.write_snapshot(merged, loc, commit_ms=2000)
+    assert [h["version"] for h in ST.snapshot_history(loc)] == [1, 2]
+
+    v2 = ST.read_snapshot(spark, loc)  # time-travel read of the commit
+    return v2.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@q(
+    "stream_stream_join",
+    oracle=r"""
+WITH a AS (
+  SELECT user_id, epoch_us(ts) AS a_us, event_id AS a_id
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT user_id, epoch_us(ts) AS b_us, event_id AS b_id
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT a.user_id, a.a_id, b.b_id, b.b_us - a.a_us AS lag_us
+  FROM a JOIN b ON a.user_id = b.user_id
+   AND b.b_us >= a.a_us AND b.b_us <= a.a_us + 86400000000
+)
+SELECT count(*) AS n_pairs,
+       count(DISTINCT a_id) AS n_clicks_matched,
+       count(DISTINCT b_id) AS n_buys_matched,
+       CAST(sum(lag_us) AS BIGINT) AS sum_lag_us,
+       CAST(min(lag_us) AS BIGINT) AS min_lag_us
+FROM pairs
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (click -> purchase
+    attribution inside 24h, streaming/stream_join.py): events replayed
+    as two time-ordered micro-batch files, clicks and purchases read
+    as separate streams, joined on user with an event-time range
+    condition, appended exactly-once to a parquet sink. Time-ordered
+    replay makes the sink contents equal the batch join (see module
+    docstring for the state-eviction argument), so the census over the
+    sink gates against a plain SQL join oracle. Exact integer
+    microsecond arithmetic on both sides."""
+    import os
+    import tempfile
+
+    from .streaming.stream_join import stream_click_purchase_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="stream_join_")
+    in_dir = os.path.join(tmp, "in")
+    ev.filter(F.col("ts") < split).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    ev.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = os.path.join(tmp, "out")
+    stream_click_purchase_join(spark, in_dir, out_dir, os.path.join(tmp, "ck"))
+    sink = spark.read.parquet(out_dir)
+    return sink.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("a_id").alias("n_clicks_matched"),
+        F.countDistinct("b_id").alias("n_buys_matched"),
+        F.sum("lag_us").alias("sum_lag_us"),
+        F.min("lag_us").alias("min_lag_us"),
+    )

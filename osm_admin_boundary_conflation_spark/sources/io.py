@@ -1,14 +1,19 @@
-"""Table IO seam (SURVEY.md §7 'not needed' note): the engine reads and
-writes through these two functions only, so switching the storage layer
-to Iceberg on a real cluster is a config change, not a code change.
+"""Table IO seam (SURVEY.md §7): the engine reads and writes through
+these two functions only, so the storage layer is swappable at ONE
+point.
 
-- format='parquet' (default here): plain parquet directories; atomic via
+- format='parquet' (default): plain parquet directories; atomic via
   Spark's output committer (the analogue of the reference's
   atomic_write.py tmp+rename).
-- format='iceberg': `spark.read.table` / `writeTo(...).createOrReplace`
-  against a configured catalog; snapshot isolation + time travel give
-  the daily-diff capability (refresh-osm-data.sh's today/yesterday PBF
-  pair) natively.
+- format='snapshot': the from-scratch snapshot-versioned layer in
+  sources/snapshot_table.py — atomic manifest commits, time travel,
+  history; the daily-diff capability (refresh-osm-data.sh's
+  today/yesterday PBF pair) as a real, tested runtime. This replaces
+  the former dangling `format='iceberg'` branch: no Iceberg runtime
+  jar exists in this environment, so that code path could never
+  execute or be tested (VERDICT r03 item 7) — on a real cluster with a
+  configured catalog, swapping snapshot_table calls for
+  spark.read.table / writeTo is confined to this module.
 """
 
 from __future__ import annotations
@@ -17,23 +22,33 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import snapshot_table
+
 TABLE_FORMAT = os.environ.get("ENGINE_TABLE_FORMAT", "parquet")
 
 
-def read_table(spark: SparkSession, location: str, fmt: str | None = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    location: str,
+    fmt: str | None = None,
+    version: int | None = None,
+) -> DataFrame:
     fmt = fmt or TABLE_FORMAT
-    if fmt == "iceberg":
-        return spark.read.table(location)
+    if fmt == "snapshot":
+        return snapshot_table.read_snapshot(spark, location, version=version)
     return spark.read.parquet(location)
 
 
-def write_table(df: DataFrame, location: str, mode: str = "overwrite", fmt: str | None = None, partition_by: list[str] | None = None) -> None:
+def write_table(
+    df: DataFrame,
+    location: str,
+    mode: str = "overwrite",
+    fmt: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
     fmt = fmt or TABLE_FORMAT
-    if fmt == "iceberg":
-        w = df.writeTo(location)
-        if partition_by:
-            w = w.partitionedBy(*partition_by)
-        w.createOrReplace()
+    if fmt == "snapshot":
+        snapshot_table.write_snapshot(df, location)
         return
     w = df.write.mode(mode)
     if partition_by:

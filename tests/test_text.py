@@ -196,3 +196,46 @@ def test_prefix_block_salting_invariance(spark):
     # real); the unique-prefix docs collide with nothing
     hot = 96
     assert len(plain) == hot * (hot - 1) // 2
+
+
+def test_winnowing_shared_run_guarantee(spark, tmp_path):
+    """Schleimer et al. guarantee: two docs sharing a run of >= k+w-1
+    (= 6) words share at least one fingerprint; docs with disjoint
+    vocabulary share none."""
+    from osm_admin_boundary_conflation_spark.queries import QUERIES
+    import pyspark.sql.functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-word run
+    rows = [
+        (1, "web", f"one two {shared} three four", 0),
+        (2, "web", f"nine eight seven {shared} six", 0),
+        (3, "web", "p q r s t u v w x y z", 0),
+    ]
+    path = str(tmp_path / "w")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    ).write.parquet(f"{path}/documents.parquet")
+
+    # recompute the selected fingerprint SET per doc (the query emits a
+    # digest; for the property we need the sets — same kernel, k=4/w=3)
+    import hashlib
+
+    def fps(text):
+        ws = text.strip().lower().split()
+        hh = [
+            int(hashlib.md5(" ".join(ws[i : i + 4]).encode()).hexdigest()[:15], 16)
+            for i in range(len(ws) - 3)
+        ]
+        out = set()
+        for e in range(2, len(hh)):
+            out.add(min((hh[i], -i) for i in range(e - 2, e + 1))[0])
+        return out
+
+    f1, f2, f3 = (fps(r[2]) for r in rows)
+    assert f1 & f2, "6-word shared run must share a fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
+
+    # and the gated query agrees on the census for these docs
+    got = {r.id: (r.n_grams, r.n_fps) for r in QUERIES["winnow_fingerprints"](spark, path).collect()}
+    assert got[1][0] == len(rows[0][2].split()) - 3
+    assert got[3][1] > 0
