@@ -6116,7 +6116,16 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(in_dir)
 
     out_dir = os.path.join(tmp, "out")
-    stream_click_purchase_join(spark, in_dir, out_dir, os.path.join(tmp, "ck"))
+    # a stream-stream join keeps TWO keyed state stores per shuffle
+    # partition per micro-batch; at this input size 8 partitions cut
+    # fixed state-store overhead ~4x (runtime conf, scoped + restored —
+    # on a cluster this is sized to executor count like any shuffle)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_click_purchase_join(spark, in_dir, out_dir, os.path.join(tmp, "ck"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     sink = spark.read.parquet(out_dir)
     return sink.agg(
         F.count("*").alias("n_pairs"),
@@ -6124,4 +6133,140 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("b_id").alias("n_buys_matched"),
         F.sum("lag_us").alias("sum_lag_us"),
         F.min("lag_us").alias("min_lag_us"),
+    )
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+@q(
+    "geohash_encode",
+    oracle=r"""
+WITH pts AS (
+  SELECT doc_id,
+         (doc_id * 37) % 180000 AS lat_md,
+         (doc_id * 91) % 360000 AS lon_md
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, lat_md, lon_md,
+         (lat_md * 1048576) // 180000 AS lat_b,
+         (lon_md * 1048576) // 360000 AS lon_b
+  FROM pts
+),
+z AS (
+  SELECT doc_id, lat_md, lon_md,
+         (
+           -- DuckDB/Postgres give all bitwise ops EQUAL left-assoc
+           -- precedence: every term fully parenthesized
+           (((lon_b >> 0) & 1) << 1) | (((lat_b >> 0) & 1) << 0) |
+           (((lon_b >> 1) & 1) << 3) | (((lat_b >> 1) & 1) << 2) |
+           (((lon_b >> 2) & 1) << 5) | (((lat_b >> 2) & 1) << 4) |
+           (((lon_b >> 3) & 1) << 7) | (((lat_b >> 3) & 1) << 6) |
+           (((lon_b >> 4) & 1) << 9) | (((lat_b >> 4) & 1) << 8) |
+           (((lon_b >> 5) & 1) << 11) | (((lat_b >> 5) & 1) << 10) |
+           (((lon_b >> 6) & 1) << 13) | (((lat_b >> 6) & 1) << 12) |
+           (((lon_b >> 7) & 1) << 15) | (((lat_b >> 7) & 1) << 14) |
+           (((lon_b >> 8) & 1) << 17) | (((lat_b >> 8) & 1) << 16) |
+           (((lon_b >> 9) & 1) << 19) | (((lat_b >> 9) & 1) << 18) |
+           (((lon_b >> 10) & 1) << 21) | (((lat_b >> 10) & 1) << 20) |
+           (((lon_b >> 11) & 1) << 23) | (((lat_b >> 11) & 1) << 22) |
+           (((lon_b >> 12) & 1) << 25) | (((lat_b >> 12) & 1) << 24) |
+           (((lon_b >> 13) & 1) << 27) | (((lat_b >> 13) & 1) << 26) |
+           (((lon_b >> 14) & 1) << 29) | (((lat_b >> 14) & 1) << 28) |
+           (((lon_b >> 15) & 1) << 31) | (((lat_b >> 15) & 1) << 30) |
+           (((lon_b >> 16) & 1) << 33) | (((lat_b >> 16) & 1) << 32) |
+           (((lon_b >> 17) & 1) << 35) | (((lat_b >> 17) & 1) << 34) |
+           (((lon_b >> 18) & 1) << 37) | (((lat_b >> 18) & 1) << 36) |
+           (((lon_b >> 19) & 1) << 39) | (((lat_b >> 19) & 1) << 38)
+         ) AS zz
+  FROM bits
+),
+gh AS (
+  SELECT doc_id, lat_md, lon_md, zz,
+         array_to_string(list_transform(range(8),
+           j -> substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                       CAST(((zz >> (35 - 5*j)) & 31) AS INT) + 1, 1)), '') AS geohash
+  FROM z
+)
+SELECT substr(geohash, 1, 4) AS gh4, count(*) AS n_docs,
+       min(geohash) AS min_gh, max(geohash) AS max_gh
+FROM gh GROUP BY gh4
+""",
+)
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (base-32 interleaved lat/lon, the third cell
+    family next to the H3-style grid in functions/cells.py and the
+    Z-order key in zorder_encode): synthetic millidegree points derived
+    closed-form from doc_id, quantized to 20 bits per axis in PURE
+    INTEGER arithmetic (md * 2^20 // range — no float anywhere, so the
+    oracle is bit-exact by construction), interleaved lon-first into a
+    40-bit code, emitted as 8 base-32 chars, then censused at prefix
+    length 4 (the prefix IS the containment hierarchy — same property
+    the adaptive covering exploits). All JVM expressions: unrolled
+    literal shifts (F.shiftleft needs python-int distances — same
+    lesson as zorder_encode) + element_at on a literal alphabet array.
+    Differential pytest vs a successive-halving reference
+    implementation: tests/test_cells.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lat_md = (F.col("doc_id") * 37) % 180000
+    lon_md = (F.col("doc_id") * 91) % 360000
+    lat_b = (lat_md * 1048576) / F.lit(180000)
+    lon_b = (lon_md * 1048576) / F.lit(360000)
+    lat_b = F.floor(lat_b).cast("long")
+    lon_b = F.floor(lon_b).cast("long")
+    z = F.lit(0).cast("long")
+    for k in range(20):
+        # Column `|` is boolean OR; bitwiseOR is the integer one
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(lon_b, k) % 2, 2 * k + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(lat_b, k) % 2, 2 * k))
+    alpha = F.array(*[F.lit(c) for c in _GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(alpha, (F.shiftright(z, 35 - 5 * j) % 32).cast("int") + 1)
+        for j in range(8)
+    ]
+    gh = F.concat(*chars)
+    return (
+        docs.select(gh.alias("geohash"))
+        .groupBy(F.substring("geohash", 1, 4).alias("gh4"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("geohash").alias("min_gh"),
+            F.max("geohash").alias("max_gh"),
+        )
+    )
+
+
+@q(
+    "grouping_sets_census",
+    oracle=r"""
+SELECT source, lang,
+       CAST(grouping(source) AS BIGINT) AS g_source,
+       CAST(grouping(lang) AS BIGINT) AS g_lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+""",
+)
+def q_grouping_sets_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of which sales_rollup /
+    sales_cube are the fixed shapes): per-(source,lang), per-source,
+    per-lang and grand-total censuses in ONE pass — Spark expands the
+    sets with a single Expand node over one scan, one shuffle; the
+    grouping() flags disambiguate NULL-as-total from NULL-as-value.
+    Both engines run the identical ANSI SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        """
+        SELECT source, lang,
+               CAST(grouping(source) AS BIGINT) AS g_source,
+               CAST(grouping(lang) AS BIGINT) AS g_lang,
+               count(*) AS n_docs,
+               sum(n_chars) AS sum_chars
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        """
     )

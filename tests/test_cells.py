@@ -63,3 +63,57 @@ def test_determinism():
     a = C.encode_cells(np.linspace(-179, 179, 100), np.linspace(-89, 89, 100), res=7)
     b = C.encode_cells(np.linspace(-179, 179, 100), np.linspace(-89, 89, 100), res=7)
     assert list(a) == list(b)
+
+
+def test_geohash_matches_successive_halving():
+    """The closed-form integer geohash (quantize to 20 bits/axis,
+    interleave, base-32) must equal the textbook successive-halving
+    encoder on the same millidegree grid points."""
+    from osm_admin_boundary_conflation_spark.queries import _GEOHASH_ALPHABET
+
+    def ref_geohash(lat, lon, chars=8):
+        lat_lo, lat_hi = -90.0, 90.0
+        lon_lo, lon_hi = -180.0, 180.0
+        bits, out, even = 0, [], True
+        val = 0
+        for _ in range(chars * 5):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if lon >= mid:
+                    val = (val << 1) | 1
+                    lon_lo = mid
+                else:
+                    val = val << 1
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if lat >= mid:
+                    val = (val << 1) | 1
+                    lat_lo = mid
+                else:
+                    val = val << 1
+                    lat_hi = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(_GEOHASH_ALPHABET[val])
+                bits, val = 0, 0
+        return "".join(out)
+
+    ids = [0, 1, 17, 999, 123456, 7777777]
+    for i in ids:
+        lat_md = (i * 37) % 180000
+        lon_md = (i * 91) % 360000
+        lat_b = lat_md * 1048576 // 180000
+        lon_b = lon_md * 1048576 // 360000
+        z = 0
+        for k in range(20):
+            z |= ((lon_b >> k) & 1) << (2 * k + 1)
+            z |= ((lat_b >> k) & 1) << (2 * k)
+        gh = "".join(
+            _GEOHASH_ALPHABET[(z >> (35 - 5 * j)) & 31] for j in range(8)
+        )
+        # successive halving on the exact millidegree coordinates: the
+        # first 20 halvings of each axis reproduce the 20-bit quantization
+        want = ref_geohash(lat_md / 1000.0 - 90.0, lon_md / 1000.0 - 180.0)
+        assert gh == want, (i, gh, want)
