@@ -6270,3 +6270,286 @@ def q_grouping_sets_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         """
     )
+
+
+@q(
+    "geotag_incremental",
+    oracle=f"""
+WITH {datagen.PAGES_CTE}, {datagen.BOUNDARIES_CTE},
+m AS (
+  SELECT g.url, count(b.level9_id) AS n
+  FROM pages_geo g LEFT JOIN boundaries b
+    ON g.lon >= b.min_lon AND g.lon < b.max_lon
+   AND g.lat >= b.min_lat AND g.lat < b.max_lat
+  GROUP BY g.url
+),
+census AS (
+  SELECT CASE WHEN n = 0 THEN 'NO_MATCH' WHEN n = 1 THEN 'MATCHED'
+              ELSE 'MULTIPLE_MATCH' END AS verdict,
+         count(*) AS n_pages
+  FROM m GROUP BY 1
+),
+delta AS (
+  SELECT count(*) AS n_delta FROM documents
+  WHERE doc_id % 4 = 0 OR doc_id % 6 = 0
+)
+SELECT verdict, n_pages, n_delta FROM census CROSS JOIN delta
+""",
+)
+def q_geotag_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL geo-tagging over snapshot-versioned tables — the
+    daily-refresh shape the north rule's checkpoint/lineage contract
+    exists for (reference: refresh-osm-data.sh re-tags the whole
+    snapshot daily; at 10^12 pages only the delta is affordable):
+
+    1. v1 of the pages table (3/4 of the corpus; pages with
+       doc_id%6==0 carry STALE html whose old crawl had no coordinates)
+       is committed with its geotag results.
+    2. The new crawl (full corpus, fresh html) arrives. The delta =
+       anti-join on (url, md5(html)) — new urls plus changed content.
+       ONLY the delta runs the extract→cell-join→PiP pipeline; results
+       for unchanged pages are carried from v1 by a semi join.
+    3. The merged table is committed as v2 and the verdict census is
+       gated against a FULL recompute (the oracle) — proving the
+       incremental path reproduces the from-scratch answer exactly
+       while re-processing only n_delta pages (emitted as a column:
+       every stale v1 verdict is NO_MATCH, so carrying one forward
+       would shift the census and redden the gate).
+
+    Plan: both snapshot reads are plain parquet scans; the anti/semi
+    joins key on url (well-distributed); the delta pipeline is the
+    flagship geotag plan on a fraction of the input."""
+    import tempfile
+
+    from .operators import spatial_join as SJ2
+    from .sources import snapshot_table as ST
+
+    pages = datagen.build_pages(spark, sf_dir)
+    boundaries = datagen.build_boundaries(spark, sf_dir)
+
+    ploc = tempfile.mkdtemp(prefix="inc_pages_")
+    rloc = tempfile.mkdtemp(prefix="inc_results_")
+
+    stale_html = F.encode(
+        F.concat(
+            F.lit("<html><body><p>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" from the old crawl, no geo yet</p></body></html>"),
+        ),
+        "UTF-8",
+    )
+    v1_pages = pages.filter(F.col("doc_id") % 4 != 0).withColumn(
+        "html",
+        F.when(F.col("doc_id") % 6 == 0, stale_html).otherwise(F.col("html")),
+    )
+    ST.write_snapshot(v1_pages.select("url", "html"), ploc, commit_ms=1000)
+
+    v1p = ST.read_snapshot(spark, ploc)
+    v1_results = SJ2.geotag_pages(v1p, boundaries).select("url", "verdict")
+    ST.write_snapshot(v1_results, rloc, commit_ms=1000)
+
+    # --- the incremental job: new crawl vs committed v1 ---
+    v1_keyed = ST.read_snapshot(spark, ploc, version=1).select(
+        "url", F.md5("html").alias("h")
+    )
+    v2_keyed = pages.withColumn("h", F.md5("html"))
+    delta = v2_keyed.join(v1_keyed, ["url", "h"], "left_anti")
+    unchanged = v2_keyed.join(v1_keyed, ["url", "h"], "left_semi").select("url")
+
+    carried = (
+        ST.read_snapshot(spark, rloc, version=1).join(unchanged, "url", "left_semi")
+    )
+    delta_tagged = SJ2.geotag_pages(delta, boundaries).select("url", "verdict")
+    final = carried.unionByName(delta_tagged)
+    ST.write_snapshot(final, rloc, commit_ms=2000)
+
+    out = ST.read_snapshot(spark, rloc)  # v2 of the results table
+    n_delta = delta.agg(F.count("*").alias("n_delta"))
+    return (
+        out.groupBy("verdict")
+        .agg(F.count("*").alias("n_pages"))
+        .crossJoin(F.broadcast(n_delta))
+    )
+
+
+@q(
+    "bm25_retrieval",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM toks) AS n_toks
+),
+q AS (SELECT unnest(['spark', 'query', 'window', 'join']) AS tok),
+dfreq AS (
+  SELECT tok, count(*) AS df FROM tf WHERE tok IN (SELECT tok FROM q) GROUP BY tok
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(
+           (((2 * (c.n_docs - d.df) + 1) * 100000) // (2 * d.df + 1))
+           * (44 * t.tf * c.n_toks)
+           // (20 * t.tf * c.n_toks + 6 * c.n_toks + 18 * l.dl * c.n_docs)
+         AS BIGINT) AS s
+  FROM tf t
+  JOIN dfreq d ON t.tok = d.tok
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN corpus c
+)
+SELECT doc_id, CAST(sum(s) AS BIGINT) AS score, count(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (k1=1.2, b=0.75) in EXACT integer
+    arithmetic: with T = corpus token count and N = doc count, the
+    per-term score tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) multiplied
+    through by its rational denominators becomes
+    44*tf*T / (20*tf*T + 6*T + 18*dl*N), and the Robertson idf ratio
+    (N-df+0.5)/(df+0.5) becomes (2(N-df)+1)/(2df+1), scaled by 1e5 and
+    floor-divided — every intermediate a BIGINT (bounded ~8e17 at
+    sf0.1; float BM25 is ungateable because log/summation order differ
+    across engines, the pagerank_integer lesson). Plan: tf/dl are
+    groupBys on (doc, tok); the 4-term query vector and its df are
+    broadcast; corpus scalars ride a 1-row crossJoin; top-10 is
+    orderBy().limit() = TakeOrderedAndProject."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = docs.agg(F.count("*").alias("n_docs")).crossJoin(
+        toks.agg(F.count("*").alias("n_toks"))
+    )
+    qterms = ["spark", "query", "window", "join"]
+    dfreq = (
+        tf.filter(F.col("tok").isin(qterms))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_s",
+            F.expr("((2 * (n_docs - df) + 1) * 100000) div (2 * df + 1)"),
+        )
+        .withColumn(
+            "s",
+            F.expr(
+                "(idf_s * (44 * tf * n_toks)) div "
+                "(20 * tf * n_toks + 6 * n_toks + 18 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").alias("score"), F.count("*").alias("n_terms_hit"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+@q(
+    "hll_merge_rollup",
+    oracle=r"""
+WITH d AS (
+  SELECT DISTINCT source, CAST(('0x' || substr(md5('h:' || text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+reg AS (
+  SELECT source, h % 64 AS bucket,
+         max(coalesce(list_position(list_transform(range(53), k -> (h >> (6+k)) & 1), 1), 54))
+           AS M
+  FROM d GROUP BY source, bucket
+),
+spine AS (
+  SELECT s.source, b.bucket
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(range(64)) AS bucket) b
+),
+full_reg AS (
+  SELECT sp.source, sp.bucket, coalesce(reg.M, 0) AS M
+  FROM spine sp LEFT JOIN reg ON sp.source = reg.source AND sp.bucket = reg.bucket
+),
+per_source AS (
+  SELECT source AS scope, CAST(sum(CAST(1 AS HUGEINT) << (54 - M)) AS BIGINT) AS sum_scaled
+  FROM full_reg GROUP BY source
+),
+-- ground truth for the merged sketch: registers of the UNION of all
+-- hashes, computed directly (not from the per-source registers) — the
+-- engine side must reproduce this BY MERGING, register-wise max
+gd AS (SELECT DISTINCT h FROM d),
+greg AS (
+  SELECT h % 64 AS bucket,
+         max(coalesce(list_position(list_transform(range(53), k -> (h >> (6+k)) & 1), 1), 54))
+           AS M
+  FROM gd GROUP BY bucket
+),
+gfull AS (
+  SELECT s.bucket, coalesce(greg.M, 0) AS M
+  FROM (SELECT unnest(range(64)) AS bucket) s LEFT JOIN greg ON s.bucket = greg.bucket
+),
+merged AS (
+  SELECT '__merged__' AS scope, CAST(sum(CAST(1 AS HUGEINT) << (54 - M)) AS BIGINT) AS sum_scaled
+  FROM gfull
+)
+SELECT scope, sum_scaled FROM per_source
+UNION ALL
+SELECT scope, sum_scaled FROM merged
+""",
+)
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA, the property that makes HLL usable at 100 TB:
+    per-source sketches are built independently (64 integer registers
+    each), then the global sketch is obtained by REGISTER-WISE MAX of
+    the per-source sketches — never re-reading the data. The oracle
+    computes the global registers directly from the union of hashes, so
+    a green row proves merge(per-source sketches) == sketch(union)
+    exactly (register states are deterministic integers, the
+    hll_distinct_sketch hash family). Output: scaled harmonic sum per
+    source plus the merged scope. Plan: one groupBy (source, bucket),
+    one 64-row re-agg for the merge — the rollup tree a 1000-executor
+    deployment would push partial sketches through."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.concat(F.lit("h:"), F.col("text")), "UTF-8")), 1, 15),
+        16, 10,
+    ).cast("long")
+    d = docs.select("source", h.alias("h")).distinct()
+    bits = F.array(
+        *[
+            F.shiftrightunsigned(F.col("h"), 6 + k).bitwiseAND(F.lit(1)).cast("int")
+            for k in range(53)
+        ]
+    )
+    rho = F.array_position(bits, 1)
+    reg = (
+        d.select("source", (F.col("h") % 64).alias("bucket"),
+                 F.when(rho == 0, 54).otherwise(rho).alias("M"))
+        .groupBy("source", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    sources = docs.select("source").distinct()
+    spine = sources.crossJoin(spark.range(64).select(F.col("id").alias("bucket")))
+    full_reg = spine.join(reg, ["source", "bucket"], "left").select(
+        "source", "bucket", F.coalesce("M", F.lit(0)).alias("M")
+    )
+    pow_term = F.pow(F.lit(2.0), 54 - F.col("M")).cast("long")
+    per_source = full_reg.groupBy("source").agg(
+        F.sum(pow_term).alias("sum_scaled")
+    ).select(F.col("source").alias("scope"), "sum_scaled")
+    # the MERGE: register-wise max across sources, then one 64-row sum
+    merged_reg = full_reg.groupBy("bucket").agg(F.max("M").alias("M"))
+    merged = merged_reg.agg(F.sum(pow_term).alias("sum_scaled")).select(
+        F.lit("__merged__").alias("scope"), "sum_scaled"
+    )
+    return per_source.unionByName(merged)

@@ -51,6 +51,10 @@ HARNESS = {
     "kmeans_clusters",
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
+    "snapshot_time_travel",
+    "snapshot_merge_upsert",
+    "stream_stream_join",
+    "geotag_incremental",
 }
 
 
@@ -77,6 +81,9 @@ NESTED_LOOP_SCALAR_OK = {
     "gapfill_daily",  # crossJoin(broadcast(1-row min/max day bounds))
     "hll_distinct_sketch",  # crossJoin of two 1-row aggregates (n_true x sum_scaled)
     "heavy_hitters",  # crossJoin(broadcast(1-row token total))
+    "geotag_incremental",  # crossJoin(broadcast(1-row delta count))
+    "bm25_retrieval",  # crossJoin(broadcast(1-row corpus N/T scalars))
+    "hll_merge_rollup",  # crossJoin = #sources x 64 register spine (bounded)
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
