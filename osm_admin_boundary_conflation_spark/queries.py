@@ -6553,3 +6553,127 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__merged__").alias("scope"), "sum_scaled"
     )
     return per_source.unionByName(merged)
+
+
+@q(
+    "markov_transitions",
+    oracle=r"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*) AS n_transitions
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    journeys (the sequence-model / session-embedding input): one
+    window pass per user ordered by (ts, event_id) — the unique
+    tiebreak every window ORDER BY in this repo carries — then a
+    global census of (prev, next) pairs. One shuffle for the window
+    (partition by user), one combiner-friendly groupBy for the 5x5
+    transition matrix."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+@q(
+    "countmin_sketch",
+    oracle=r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents
+),
+cells AS (
+  SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS r)
+),
+counters AS (
+  SELECT r, bucket, count(*) AS c FROM cells GROUP BY r, bucket
+),
+probes AS (
+  SELECT q.tok, r.r,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || q.tok), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM (SELECT unnest(['spark', 'query', 'window', 'zzz_absent']) AS tok) q
+  CROSS JOIN (SELECT unnest(range(4)) AS r) r
+),
+est AS (
+  SELECT p.tok, min(coalesce(c.c, 0)) AS cm_estimate
+  FROM probes p LEFT JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+  GROUP BY p.tok
+),
+truth AS (
+  SELECT tok, count(*) AS true_count FROM toks
+  WHERE tok IN ('spark', 'query', 'window', 'zzz_absent') GROUP BY tok
+)
+SELECT e.tok, e.cm_estimate, coalesce(t.true_count, 0) AS true_count,
+       (e.cm_estimate >= coalesce(t.true_count, 0)) AS never_undercounts
+FROM est e LEFT JOIN truth t ON e.tok = t.tok
+""",
+)
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (4 rows x 64 counters, md5-derived
+    hashes — deterministic integers, same family as the HLL sketch):
+    point estimates for three present tokens and one absent token,
+    alongside exact truth and the one-sided error guarantee
+    (estimate >= truth, always). The counter table is 256 BIGINTs of
+    mergeable state (counter-wise SUM merges shards — the CMS analogue
+    of hll_merge_rollup's register max): the fixed-size frequency
+    summary a 100 TB stream keeps when exact heavy_hitters state would
+    be unbounded. Plan: one explode + one (r, bucket) groupBy with
+    map-side combine; probes broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+
+    def bucket(r_col, tok_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(r_col.cast("string"), F.lit(":"), tok_col)), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+            % 64
+        )
+
+    cells = toks.select(
+        F.posexplode(F.array(*[bucket(F.lit(r), F.col("tok")) for r in range(4)]))
+        .alias("r", "bucket")
+    )
+    counters = cells.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+
+    qtoks = ["spark", "query", "window", "zzz_absent"]
+    probes = (
+        spark.createDataFrame([(t,) for t in qtoks], "tok string")
+        .crossJoin(spark.range(4).select(F.col("id").cast("int").alias("r")))
+        .select("tok", "r", bucket(F.col("r"), F.col("tok")).alias("bucket"))
+    )
+    est = (
+        F.broadcast(probes)
+        .join(counters, ["r", "bucket"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cm_estimate"))
+    )
+    truth = (
+        toks.filter(F.col("tok").isin(qtoks))
+        .groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return est.join(truth, "tok", "left").select(
+        "tok",
+        "cm_estimate",
+        F.coalesce("true_count", F.lit(0)).alias("true_count"),
+        (F.col("cm_estimate") >= F.coalesce("true_count", F.lit(0))).alias(
+            "never_undercounts"
+        ),
+    )

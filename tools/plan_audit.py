@@ -84,6 +84,7 @@ NESTED_LOOP_SCALAR_OK = {
     "geotag_incremental",  # crossJoin(broadcast(1-row delta count))
     "bm25_retrieval",  # crossJoin(broadcast(1-row corpus N/T scalars))
     "hll_merge_rollup",  # crossJoin = #sources x 64 register spine (bounded)
+    "countmin_sketch",  # crossJoin = 4-token probe x 4 hash rows (bounded)
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
