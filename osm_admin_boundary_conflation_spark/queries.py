@@ -6677,3 +6677,280 @@ def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_undercounts"
         ),
     )
+
+
+@q(
+    "shipping_priority",
+    oracle=r"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp,
+         l_shipdate
+  FROM lineitem
+)
+SELECT l.l_orderkey,
+       CAST(sum(l.rev_cp) AS BIGINT) AS revenue_cp,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN li l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cp DESC, l_orderkey LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to this dataset: top-10
+    unshipped BUILDING-segment orders by revenue. Money is integer
+    CENT-PERCENT units — cents x (100 - discount%), both recovered by
+    round(double*100) from the 2-decimal source values — so the
+    aggregate is a BIGINT sum (float revenue sums are
+    order-dependent and ungateable). Plan: customer filter broadcast
+    into orders, the orders->lineitem join shuffles on orderkey,
+    date predicates push to both scans, top-10 is
+    TakeOrderedAndProject with an orderkey tiebreak."""
+    sd = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < sd)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > sd)
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_cp"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum("rev_cp").alias("revenue_cp"))
+        .select("l_orderkey", "revenue_cp", "o_orderdate")
+        .orderBy(F.desc("revenue_cp"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "order_priority_check",
+    oracle=r"""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking) adapted: orders from 1996H1
+    with at least one LATE line item (shipped >60 days after the order
+    date), counted per priority. The EXISTS is a LEFT SEMI join on
+    orderkey — the dedup-free existence test (an inner join would
+    multiply-count orders with several late lines); the date window
+    pushes into the orders scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@q(
+    "customer_distribution",
+    oracle=r"""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): orders-per-customer histogram
+    with a join-level predicate (non-urgent only) — the predicate MUST
+    live in the outer join's ON clause, not a WHERE (a WHERE would drop
+    order-less customers and silently lose the zero bucket). Two
+    combiner-friendly groupBys; the second aggregates the tiny
+    histogram domain."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "large_volume_orders",
+    oracle=r"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 140
+)
+SELECT o.o_orderkey, c.c_name, o.o_orderdate, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds a threshold, enriched with the customer. The
+    HAVING aggregate runs FIRST and shrinks the join input to the few
+    qualifying orderkeys (aggregate-before-join — joining first would
+    shuffle the whole lineitem table against orders for rows that are
+    then thrown away); quantities are whole numbers recovered as
+    BIGINTs so the sum is exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.round("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 140)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_name", "o_orderdate", "total_qty")
+    )
+
+
+@q(
+    "variant_json_ops",
+    oracle=r"""
+WITH j AS (
+  SELECT event_type,
+         '{"p": ' || props || ', "meta": {"u": ' || CAST(user_id AS VARCHAR)
+           || ', "ty": "' || event_type || '"}, "tags": ['
+           || CAST(event_id % 5 AS VARCHAR) || ', ' || CAST(event_id % 7 AS VARCHAR)
+           || ']}' AS doc
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract(doc, '$.p.k') AS BIGINT)) AS BIGINT) AS sum_pk,
+       CAST(sum(CAST(json_extract(doc, '$.meta.u') AS BIGINT)) AS BIGINT) AS sum_u,
+       CAST(sum(CAST(json_extract(doc, '$.tags[1]') AS BIGINT)) AS BIGINT) AS sum_tag1,
+       count(TRY_CAST(json_extract_string(doc, '$.meta.ty') AS BIGINT)) AS n_ty_numeric
+FROM j GROUP BY event_type
+""",
+)
+def q_variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT handling (Spark 4 VariantType — the
+    shredded successor to from_json that json_props_extract pins): a
+    nested document (object-in-object + array) is built
+    deterministically per event, parsed ONCE with parse_json, and read
+    with typed variant_get paths — nested field, array index, and a
+    try_variant_get whose string->bigint cast fails to NULL instead of
+    erroring (counted: always 0). DuckDB mirrors with json_extract /
+    TRY_CAST. The parse and every path read are JVM-vectorized."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    doc = F.concat(
+        F.lit('{"p": '), F.col("props"),
+        F.lit(', "meta": {"u": '), F.col("user_id").cast("string"),
+        F.lit(', "ty": "'), F.col("event_type"),
+        F.lit('"}, "tags": ['), (F.col("event_id") % 5).cast("string"),
+        F.lit(", "), (F.col("event_id") % 7).cast("string"), F.lit("]}"),
+    )
+    v = ev.select("event_type", F.parse_json(doc).alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.variant_get("v", "$.p.k", "bigint")).alias("sum_pk"),
+        F.sum(F.variant_get("v", "$.meta.u", "bigint")).alias("sum_u"),
+        F.sum(F.variant_get("v", "$.tags[1]", "bigint")).alias("sum_tag1"),
+        F.count(F.try_variant_get("v", "$.meta.ty", "bigint")).alias("n_ty_numeric"),
+    )
+
+
+@q(
+    "snapshot_delete_vector",
+    oracle=r"""
+WITH v3 AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id % 9 != 0 AND doc_id % 11 != 0
+)
+SELECT source, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id
+FROM v3 GROUP BY source
+""",
+)
+def q_snapshot_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletes on the snapshot table: v1 commits the full
+    table, v2 and v3 each commit only a DELETED-KEY list
+    (write_delete_snapshot — O(keys) write, no rewrite); the reader
+    folds the delete chain with anti-joins at scan time. The gate reads
+    the latest version through that chain and must match a direct
+    double-filter oracle; the pytest additionally proves v1 time travel
+    still sees every row and that compaction (write_snapshot of the
+    merged read) folds the chain. This is the deletion-vector
+    capability a 10^12-row corpus needs for takedown/robots removals
+    where copy-on-write would rewrite petabytes."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    loc = tempfile.mkdtemp(prefix="snapdel_")
+    ST.write_snapshot(docs, loc, commit_ms=1000)
+    ST.write_delete_snapshot(
+        docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"), loc, "doc_id",
+        commit_ms=2000,
+    )
+    ST.write_delete_snapshot(
+        docs.filter(F.col("doc_id") % 11 == 0).select("doc_id"), loc, "doc_id",
+        commit_ms=3000,
+    )
+    types = [h["type"] for h in ST.snapshot_history(loc)]
+    assert types == ["data", "delete", "delete"], types
+
+    v3 = ST.read_snapshot(spark, loc)
+    return v3.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+    )

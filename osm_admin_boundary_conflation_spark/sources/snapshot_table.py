@@ -106,6 +106,13 @@ def read_snapshot(
         raise ValueError(f"snapshot v{version} not in {vs} at {location}")
     with open(_manifest_path(location, version)) as f:
         manifest = json.load(f)
+    if manifest.get("type") == "delete":
+        # merge-on-read: parent snapshot minus the persisted key list
+        # (recursion folds an arbitrary delete chain; each level is one
+        # anti-join, and the key sides are small by construction)
+        base = read_snapshot(spark, location, version=manifest["parent"])
+        keys = spark.read.parquet(os.path.join(location, manifest["data_dir"]))
+        return base.join(keys, manifest["key_col"], "left_anti")
     return spark.read.parquet(os.path.join(location, manifest["data_dir"]))
 
 
@@ -116,7 +123,45 @@ def snapshot_history(location: str) -> list[dict]:
     for v in _versions(location):
         with open(_manifest_path(location, v)) as f:
             m = json.load(f)
-        out.append(
-            {k: m[k] for k in ("version", "parent", "committed_at_ms", "n_rows")}
-        )
+        row = {k: m[k] for k in ("version", "parent", "committed_at_ms", "n_rows")}
+        row["type"] = m.get("type", "data")
+        out.append(row)
     return out
+
+
+def write_delete_snapshot(
+    keys: DataFrame, location: str, key_col: str, commit_ms: int | None = None
+) -> int:
+    """MERGE-ON-READ delete commit (the deletion-vector/equality-delete
+    idea): persist only the deleted KEYS; readers anti-join them
+    against the parent snapshot at scan time. The write cost is
+    O(deleted keys) instead of a full copy-on-write rewrite — the right
+    trade when a 10^12-row table loses a few thousand urls a day — and
+    compaction is just `write_snapshot(read_snapshot(...))`, which
+    folds the whole delete chain back into a data snapshot. Same
+    data-then-manifest atomic commit as write_snapshot."""
+    vs = _versions(location)
+    if not vs:
+        raise FileNotFoundError(f"cannot delete from empty table {location}")
+    version = vs[-1] + 1
+    ddir = _data_dir(location, version)
+    keys.select(key_col).distinct().write.mode("overwrite").parquet(ddir)
+    n_deleted = keys.sparkSession.read.parquet(ddir).count()
+    manifest = {
+        "version": version,
+        "parent": vs[-1],
+        "type": "delete",
+        "key_col": key_col,
+        "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
+        "n_rows": None,  # logical rows = parent minus matches, resolved at read
+        "n_deleted_keys": n_deleted,
+        "data_dir": os.path.relpath(ddir, location),
+    }
+    os.makedirs(_meta_dir(location), exist_ok=True)
+    tmp = _manifest_path(location, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, _manifest_path(location, version))
+    return version

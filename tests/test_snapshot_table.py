@@ -71,3 +71,37 @@ def test_pushdown_survives_snapshot_read(spark, tmp_path):
     df = ST.read_snapshot(spark, loc).filter("id > 90")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,90)]" in plan
+
+
+def test_delete_vectors_merge_on_read_and_compaction(spark, tmp_path):
+    """Delete commits store only keys; readers fold the chain; time
+    travel to the base is unaffected; compaction folds the chain back
+    into a data snapshot with identical contents."""
+    loc = str(tmp_path / "tbl")
+    base = spark.range(20).withColumnRenamed("id", "k")
+    ST.write_snapshot(base, loc, commit_ms=1)
+    ST.write_delete_snapshot(base.filter("k % 4 = 0").select("k"), loc, "k", commit_ms=2)
+    ST.write_delete_snapshot(base.filter("k % 5 = 0").select("k"), loc, "k", commit_ms=3)
+
+    expect = {k for k in range(20) if k % 4 != 0 and k % 5 != 0}
+    got = {r.k for r in ST.read_snapshot(spark, loc).collect()}
+    assert got == expect
+    # intermediate version applies only the first delete
+    got_v2 = {r.k for r in ST.read_snapshot(spark, loc, version=2).collect()}
+    assert got_v2 == {k for k in range(20) if k % 4 != 0}
+    # time travel to the base sees everything
+    assert ST.read_snapshot(spark, loc, version=1).count() == 20
+    # history carries the commit types
+    assert [h["type"] for h in ST.snapshot_history(loc)] == ["data", "delete", "delete"]
+
+    # compaction: materialize the merged view as a data snapshot
+    ST.write_snapshot(ST.read_snapshot(spark, loc), loc, commit_ms=4)
+    hist = ST.snapshot_history(loc)
+    assert hist[-1]["type"] == "data" and hist[-1]["n_rows"] == len(expect)
+    assert {r.k for r in ST.read_snapshot(spark, loc).collect()} == expect
+
+
+def test_delete_from_empty_table_errors(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ST.write_delete_snapshot(spark.range(1).withColumnRenamed("id", "k"),
+                                 str(tmp_path / "none"), "k")
