@@ -6954,3 +6954,148 @@ def q_snapshot_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.min("doc_id").alias("min_id"),
     )
+
+
+@q(
+    "url_canonicalize",
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTP://ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.CoM'
+           || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE ':80' END
+           || '/Path/' || CAST(doc_id AS VARCHAR)
+           || '?b=2&a=' || CAST(doc_id % 3 AS VARCHAR) || '#frag' AS u
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'http://example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+           || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END
+           || '/Path/' || CAST(doc_id AS VARCHAR)
+           || '?a=' || CAST(doc_id % 3 AS VARCHAR) || '&b=2' AS u
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+         lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+         regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(u, '\?([^#]*)', 1) AS query
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || regexp_extract(hostport, '^([^:]+)', 1)
+         || CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = '' THEN ''
+                 WHEN scheme = 'http'  AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80'  THEN ''
+                 WHEN scheme = 'https' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443' THEN ''
+                 ELSE ':' || regexp_extract(hostport, ':([0-9]+)$', 1) END
+         || path
+         || CASE WHEN query = '' THEN ''
+                 ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+           AS canon_url
+  FROM parts
+)
+SELECT canon_url, count(*) AS n_variants, min(doc_id) AS min_doc
+FROM canon GROUP BY canon_url
+""",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization, the prerequisite of every url-keyed dedup
+    and crawl-frontier merge: lowercase scheme+host, strip default
+    ports (http:80, https:443 — non-default ports kept), drop the
+    fragment, sort query parameters. Two deliberately-different messy
+    variants of each doc's url (case noise + default port + shuffled
+    params + fragment vs plain) must collapse to ONE canonical form —
+    every output group has exactly 2 variants, value-hash-checked.
+    Pure JVM regexp/string expressions; map-side + one census groupBy."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = (F.col("doc_id") % 7).cast("string")
+    k = (F.col("doc_id") % 3).cast("string")
+    i = F.col("doc_id").cast("string")
+    port_a = F.when(F.col("doc_id") % 5 == 0, ":8080").otherwise(":80")
+    port_b = F.when(F.col("doc_id") % 5 == 0, ":8080").otherwise("")
+    ua = F.concat(
+        F.lit("HTTP://ExAmple"), m, F.lit(".CoM"), port_a,
+        F.lit("/Path/"), i, F.lit("?b=2&a="), k, F.lit("#frag"),
+    )
+    ub = F.concat(
+        F.lit("http://example"), m, F.lit(".com"), port_b,
+        F.lit("/Path/"), i, F.lit("?a="), k, F.lit("&b=2"),
+    )
+    raw = docs.select("doc_id", ua.alias("u")).unionByName(
+        docs.select("doc_id", ub.alias("u"))
+    )
+    scheme = F.lower(F.regexp_extract("u", r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract("u", r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract("u", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("u", r"\?([^#]*)", 1)
+    host = F.regexp_extract(hostport, r"^([^:]+)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port_part = (
+        F.when(port == "", "")
+        .when((scheme == "http") & (port == "80"), "")
+        .when((scheme == "https") & (port == "443"), "")
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    query_part = F.when(query == "", "").otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    )
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    return (
+        raw.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_variants"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+@q(
+    "stream_snapshot_ingest",
+    oracle=r"""
+WITH census AS (
+  SELECT event_type, count(*) AS n_events,
+         CAST(sum(epoch_us(ts) % 1000) AS BIGINT) AS checksum
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_events, checksum, CAST(3 AS BIGINT) AS n_commits
+FROM census
+""",
+)
+def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGEST into the versioned table: events replayed as 3
+    time-split files, drained AvailableNow with one APPEND COMMIT per
+    micro-batch (streaming/stream_ingest.py); the gate reads the final
+    table THROUGH the append chain and must reproduce the batch census
+    exactly — plus the history must show exactly 3 append commits
+    (emitted as a column), proving per-batch lineage landed. Exactly-
+    once at the table level: Spark's checkpoint makes batch replay
+    idempotent, and every batch is a time-travelable commit."""
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as ST
+    from .streaming.stream_ingest import stream_ingest_to_snapshot_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s1 = F.lit("2024-01-11 00:00:00").cast("timestamp")
+    s2 = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="stream_ingest_")
+    in_dir = os.path.join(tmp, "in")
+    ev.filter(F.col("ts") < s1).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    ev.filter((F.col("ts") >= s1) & (F.col("ts") < s2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    ev.filter(F.col("ts") >= s2).coalesce(1).write.mode("append").parquet(in_dir)
+
+    tbl = os.path.join(tmp, "tbl")
+    stream_ingest_to_snapshot_table(spark, in_dir, tbl, os.path.join(tmp, "ck"))
+
+    hist = ST.snapshot_history(tbl)
+    n_commits = len([h for h in hist if h["type"] == "append"])
+    out = ST.read_snapshot(spark, tbl)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")) % 1000
+        ).alias("checksum"),
+        F.lit(n_commits).cast("long").alias("n_commits"),
+    )

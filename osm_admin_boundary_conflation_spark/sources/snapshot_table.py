@@ -106,6 +106,13 @@ def read_snapshot(
         raise ValueError(f"snapshot v{version} not in {vs} at {location}")
     with open(_manifest_path(location, version)) as f:
         manifest = json.load(f)
+    if manifest.get("type") == "append":
+        batch = spark.read.parquet(os.path.join(location, manifest["data_dir"]))
+        if manifest["parent"] is None:
+            return batch
+        return read_snapshot(spark, location, version=manifest["parent"]).unionByName(
+            batch
+        )
     if manifest.get("type") == "delete":
         # merge-on-read: parent snapshot minus the persisted key list
         # (recursion folds an arbitrary delete chain; each level is one
@@ -156,6 +163,69 @@ def write_delete_snapshot(
         "n_rows": None,  # logical rows = parent minus matches, resolved at read
         "n_deleted_keys": n_deleted,
         "data_dir": os.path.relpath(ddir, location),
+    }
+    os.makedirs(_meta_dir(location), exist_ok=True)
+    tmp = _manifest_path(location, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, _manifest_path(location, version))
+    return version
+
+
+def vacuum(location: str) -> list[str]:
+    """Remove orphaned data directories — snap dirs no manifest
+    references (crashed writes that lost the race to the manifest
+    rename, or dirs whose .tmp manifest never landed). Never touches a
+    referenced dir, so readers of ANY committed version are unaffected.
+    Returns the removed paths."""
+    import shutil
+
+    referenced = set()
+    for v in _versions(location):
+        with open(_manifest_path(location, v)) as f:
+            referenced.add(json.load(f)["data_dir"])
+    droot = os.path.join(location, "data")
+    removed = []
+    if os.path.isdir(droot):
+        for d in sorted(os.listdir(droot)):
+            rel = os.path.join("data", d)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(droot, d))
+                removed.append(rel)
+    # sweep half-written manifests too
+    md = _meta_dir(location)
+    if os.path.isdir(md):
+        for f in os.listdir(md):
+            if f.endswith(".tmp"):
+                os.remove(os.path.join(md, f))
+    return removed
+
+
+def write_append_snapshot(
+    df: DataFrame, location: str, commit_ms: int | None = None
+) -> int:
+    """APPEND commit: persist only the NEW rows; readers union the
+    chain (parent ∪ batch). The streaming-ingest commit type — each
+    micro-batch lands as one append, giving exactly-once table commits
+    with per-batch lineage in the history; compaction
+    (write_snapshot(read_snapshot(...))) folds the chain. First commit
+    on an empty table is allowed (parent None = empty)."""
+    vs = _versions(location)
+    version = (vs[-1] if vs else 0) + 1
+    ddir = _data_dir(location, version)
+    df.write.mode("overwrite").parquet(ddir)
+    n_new = df.sparkSession.read.parquet(ddir).count()
+    manifest = {
+        "version": version,
+        "parent": vs[-1] if vs else None,
+        "type": "append",
+        "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
+        "n_rows": None,  # logical rows resolved through the chain
+        "n_appended": n_new,
+        "data_dir": os.path.relpath(ddir, location),
+        "schema": df.schema.jsonValue(),
     }
     os.makedirs(_meta_dir(location), exist_ok=True)
     tmp = _manifest_path(location, version) + ".tmp"

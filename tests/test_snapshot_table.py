@@ -105,3 +105,41 @@ def test_delete_from_empty_table_errors(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         ST.write_delete_snapshot(spark.range(1).withColumnRenamed("id", "k"),
                                  str(tmp_path / "none"), "k")
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    ST.write_snapshot(spark.range(5), loc, commit_ms=1)
+    ST.write_snapshot(spark.range(6), loc, commit_ms=2)
+    # orphan: crashed v3 (data dir + .tmp manifest, no manifest)
+    spark.range(9).write.parquet(ST._data_dir(loc, 3))
+    with open(ST._manifest_path(loc, 3) + ".tmp", "w") as f:
+        f.write("{}")
+
+    removed = ST.vacuum(loc)
+    assert removed == ["data/snap-000003"]
+    # every committed version still readable
+    assert ST.read_snapshot(spark, loc, version=1).count() == 5
+    assert ST.read_snapshot(spark, loc, version=2).count() == 6
+    assert not any(f.endswith(".tmp") for f in os.listdir(ST._meta_dir(loc)))
+    # idempotent
+    assert ST.vacuum(loc) == []
+
+
+def test_append_chain_and_compaction(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    ST.write_append_snapshot(spark.range(0, 3), loc, commit_ms=1)
+    ST.write_append_snapshot(spark.range(3, 7), loc, commit_ms=2)
+    ST.write_append_snapshot(spark.range(7, 8), loc, commit_ms=3)
+    assert {r.id for r in ST.read_snapshot(spark, loc).collect()} == set(range(8))
+    # time travel mid-chain
+    assert ST.read_snapshot(spark, loc, version=2).count() == 7
+    hist = ST.snapshot_history(loc)
+    assert [h["type"] for h in hist] == ["append"] * 3
+    # appends compose with deletes, then compaction folds everything
+    ST.write_delete_snapshot(
+        spark.range(2).withColumnRenamed("id", "id"), loc, "id", commit_ms=4
+    )
+    assert {r.id for r in ST.read_snapshot(spark, loc).collect()} == set(range(2, 8))
+    ST.write_snapshot(ST.read_snapshot(spark, loc), loc, commit_ms=5)
+    assert ST.snapshot_history(loc)[-1]["n_rows"] == 6

@@ -55,6 +55,8 @@ HARNESS = {
     "snapshot_merge_upsert",
     "stream_stream_join",
     "geotag_incremental",
+    "snapshot_delete_vector",
+    "stream_snapshot_ingest",
 }
 
 
