@@ -7099,3 +7099,82 @@ def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("checksum"),
         F.lit(n_commits).cast("long").alias("n_commits"),
     )
+
+
+@q(
+    "lsh_recall_eval",
+    oracle=f"""
+WITH {_MINHASH_SQL_CORE},
+verified AS (
+  SELECT ia, ib
+  FROM (
+    SELECT ia, ib, sa, sb, len(list_filter(sa, x -> list_contains(sb, x))) AS inter
+    FROM pairs
+    JOIN (SELECT id AS ia, s AS sa FROM shd) USING (ia)
+    JOIN (SELECT id AS ib, s AS sb FROM shd) USING (ib)
+  ) WHERE inter * 1.0 / (len(sa) + len(sb) - inter) >= 0.5
+),
+planted AS (
+  SELECT doc_id AS ia, doc_id + 2000000 AS ib FROM documents WHERE doc_id % 7 = 0
+),
+pj AS (
+  SELECT p.ia, p.ib, len(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+         len(sa) AS la, len(sb) AS lb
+  FROM planted p
+  JOIN (SELECT id AS ia, s AS sa FROM shd) USING (ia)
+  JOIN (SELECT id AS ib, s AS sb FROM shd) USING (ib)
+),
+ptrue AS (SELECT ia, ib FROM pj WHERE 2 * inter >= la + lb - inter)
+SELECT (SELECT count(*) FROM planted) AS n_planted,
+       (SELECT count(*) FROM ptrue) AS n_true,
+       (SELECT count(*) FROM ptrue JOIN verified USING (ia, ib)) AS n_detected,
+       (SELECT count(*) FROM verified) AS n_verified_total
+""",
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL EVALUATION of the MinHash-LSH pipeline on planted
+    duplicates — the measurement every production dedup needs before
+    trusting its parameters at 10^12 docs: of the planted (base,
+    base+' extra') pairs whose TRUE shingle Jaccard >= 0.5 (decided by
+    the exact integer test 2*inter >= union, no float edge), how many
+    does the banded pipeline detect? All four counts are integers; the
+    detected/true ratio is the 16-hash/4-band recall at threshold 0.5
+    (the S-curve makes it high but not 1.0 — pairs hashing entirely
+    below the band boundary are the documented misses). Ground truth
+    needs exact Jaccard only on the O(planted) pairs, never the
+    quadratic cross product."""
+    from .operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("id"),
+        F.concat("text", F.lit(" extra")).alias("t"),
+    )
+    corpus = base.unionByName(dups)
+    verified = DD.minhash_dedup_pairs(corpus, threshold=0.5).select("ia", "ib")
+
+    sh = corpus.select("id", F.array_distinct(DD.shingle_expr(F.col("t"))).alias("s"))
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("ia"), (F.col("doc_id") + 2000000).alias("ib")
+    )
+    pj = (
+        planted.join(sh.select(F.col("id").alias("ia"), F.col("s").alias("sa")), "ia")
+        .join(sh.select(F.col("id").alias("ib"), F.col("s").alias("sb")), "ib")
+        .select(
+            "ia", "ib",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size("sa").alias("la"), F.size("sb").alias("lb"),
+        )
+    )
+    ptrue = pj.filter(2 * F.col("inter") >= F.col("la") + F.col("lb") - F.col("inter"))
+    return (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(F.broadcast(ptrue.agg(F.count("*").alias("n_true"))))
+        .crossJoin(
+            F.broadcast(
+                ptrue.join(verified, ["ia", "ib"]).agg(F.count("*").alias("n_detected"))
+            )
+        )
+        .crossJoin(F.broadcast(verified.agg(F.count("*").alias("n_verified_total"))))
+    )

@@ -87,6 +87,7 @@ NESTED_LOOP_SCALAR_OK = {
     "bm25_retrieval",  # crossJoin(broadcast(1-row corpus N/T scalars))
     "hll_merge_rollup",  # crossJoin = #sources x 64 register spine (bounded)
     "countmin_sketch",  # crossJoin = 4-token probe x 4 hash rows (bounded)
+    "lsh_recall_eval",  # crossJoin chain of four 1-row count aggregates
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
