@@ -7178,3 +7178,41 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(verified.agg(F.count("*").alias("n_verified_total"))))
     )
+
+
+@q(
+    "skyline_frontier",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         n_chars AS a,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS b
+  FROM documents
+)
+SELECT p.doc_id, p.a, p.b
+FROM d p
+WHERE NOT EXISTS (
+  SELECT 1 FROM d q
+  WHERE q.a >= p.a AND q.b >= p.b AND (q.a > p.a OR q.b > p.b)
+)
+""",
+)
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline over (doc length in chars, doc length in tokens):
+    the non-dominated frontier a curation pass keeps when two quality
+    axes trade off. The oracle is the quadratic NOT-EXISTS definition;
+    the engine runs the salted two-phase operator
+    (operators/skyline.py skyline_salted): per-salt local frontiers via
+    a partitioned running-max window — no single-partition stage over
+    raw data — then the exact finish over the tiny candidate union.
+    Differential pytest: salted == plain window skyline on random
+    data."""
+    from .operators.skyline import skyline_salted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("a"),
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("b"),
+    )
+    return skyline_salted(d, "a", "b", key_col="doc_id")

@@ -94,3 +94,31 @@ def test_inverted_index_plan_salted_exchange(spark):
     # the salt key (and, via the fused count-distinct, doc_id too)
     m = re.search(r"hashpartitioning\(term#\d+, (?:salt|_groupingexpression)", plan)
     assert m, "expected a (term, salt) exchange in:\n" + plan
+
+
+def test_skyline_salted_equals_plain(spark):
+    """Differential: salted two-phase frontier == single-window frontier
+    on pseudo-random points (with deliberate ties on both axes)."""
+    from osm_admin_boundary_conflation_spark.operators.skyline import (
+        skyline,
+        skyline_salted,
+    )
+
+    rows = [(i, (i * 37) % 50, (i * 61) % 40) for i in range(300)]
+    # plant exact ties at the corner so tied frontier points both survive
+    rows += [(1000, 49, 39), (1001, 49, 39)]
+    df = spark.createDataFrame(rows, "doc_id long, a long, b long")
+    plain = {(r.doc_id) for r in skyline(df, "a", "b").collect()}
+    salted = {(r.doc_id) for r in skyline_salted(df, "a", "b", "doc_id").collect()}
+    assert plain == salted and {1000, 1001} <= plain
+
+    # python quadratic reference
+    def dominated(p):
+        return any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in rows
+            if q is not p
+        )
+
+    want = {p[0] for p in rows if not dominated(p)}
+    assert plain == want

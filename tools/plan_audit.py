@@ -162,7 +162,7 @@ def main() -> None:
         for r in rows
         if r.get("python_row")
         or (r.get("nested_loop") and r["name"] not in NESTED_LOOP_SCALAR_OK)
-        or (r.get("single_part") and r["name"] not in ("quality_deciles",))
+        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier"))
     ]
     out = [
         "# PLAN AUDIT — every registry query's executed plan, summarized",
@@ -193,6 +193,11 @@ def main() -> None:
             notes.append("nested-loop = 1-row scalar crossJoin (hand-audited)")
         if r["name"] == "quality_deciles" and r["single_part"]:
             notes.append("pinned ntile semantics (scale path tested separately)")
+        if r["name"] == "skyline_frontier" and r["single_part"]:
+            notes.append(
+                "1-part = exact finish over the bounded salted-frontier "
+                "candidate union (TakeOrdered-style)"
+            )
         note = "; ".join(notes)
         out.append(
             f"| {r['name']} | {r['scans']} | {r['shuffles']} | {r['bcast']} | {r['smj']} |"
