@@ -92,11 +92,26 @@ def write_snapshot(df: DataFrame, location: str, commit_ms: int | None = None) -
     return version
 
 
+MAX_CHAIN_DEPTH = 100
+
+
 def read_snapshot(
-    spark: SparkSession, location: str, version: int | None = None
+    spark: SparkSession, location: str, version: int | None = None, _depth: int = 0
 ) -> DataFrame:
     """Read snapshot `version` (latest when None). Plain parquet scan of
-    the manifest's data dir — pushdown and pruning intact."""
+    the manifest's data dir — pushdown and pruning intact. Append and
+    delete commits resolve through their parent chain; the chain depth
+    is capped at MAX_CHAIN_DEPTH because every link adds a union or
+    anti-join to the read plan — past that the table needs compaction
+    (`write_snapshot(read_snapshot(...))` folds the chain to one data
+    snapshot), and failing loudly beats silently building a 10k-node
+    plan."""
+    if _depth > MAX_CHAIN_DEPTH:
+        raise RuntimeError(
+            f"snapshot chain at {location} exceeds {MAX_CHAIN_DEPTH} "
+            "append/delete links — compact it: "
+            "write_snapshot(read_snapshot(spark, location), location)"
+        )
     vs = _versions(location)
     if not vs:
         raise FileNotFoundError(f"no snapshots at {location}")
@@ -110,14 +125,16 @@ def read_snapshot(
         batch = spark.read.parquet(os.path.join(location, manifest["data_dir"]))
         if manifest["parent"] is None:
             return batch
-        return read_snapshot(spark, location, version=manifest["parent"]).unionByName(
-            batch
-        )
+        return read_snapshot(
+            spark, location, version=manifest["parent"], _depth=_depth + 1
+        ).unionByName(batch)
     if manifest.get("type") == "delete":
         # merge-on-read: parent snapshot minus the persisted key list
         # (recursion folds an arbitrary delete chain; each level is one
         # anti-join, and the key sides are small by construction)
-        base = read_snapshot(spark, location, version=manifest["parent"])
+        base = read_snapshot(
+            spark, location, version=manifest["parent"], _depth=_depth + 1
+        )
         keys = spark.read.parquet(os.path.join(location, manifest["data_dir"]))
         return base.join(keys, manifest["key_col"], "left_anti")
     return spark.read.parquet(os.path.join(location, manifest["data_dir"]))
