@@ -239,3 +239,40 @@ def test_winnowing_shared_run_guarantee(spark, tmp_path):
     got = {r.id: (r.n_grams, r.n_fps) for r in QUERIES["winnow_fingerprints"](spark, path).collect()}
     assert got[1][0] == len(rows[0][2].split()) - 3
     assert got[3][1] > 0
+
+
+def test_raw_media_codecs_strict_and_padded():
+    """The BMP/WAV parsers are real: they honor header offsets, row
+    padding, bottom-up order and chunk walking, and REJECT malformed
+    input rather than slicing blindly."""
+    import struct
+
+    import pytest as _pytest
+
+    from osm_admin_boundary_conflation_spark.operators import multimodal as M
+
+    b = M.build_bmp(77)
+    assert M.decode_bmp(b)[:2] == (6, 5)
+    # row padding is physically present (width 6 -> 18-byte rows pad to 20)
+    assert (len(b) - 54) == 20 * 5
+
+    w = M.build_wav(77)
+    n, rate, sa, mx = M.decode_wav(w)
+    assert (n, rate) == (40, 8000)
+    # the junk LIST chunk really sits between fmt and data
+    assert w.index(b"LIST") < w.index(b"data")
+
+    with _pytest.raises(ValueError, match="bad magic"):
+        M.decode_bmp(b"XX" + b[2:])
+    with _pytest.raises(ValueError, match="unsupported BMP"):
+        # flip bpp to 8
+        bad = bytearray(b)
+        struct.pack_into("<H", bad, 14 + 14, 8)
+        M.decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        M.decode_wav(b"JUNK" + w[4:])
+    with _pytest.raises(ValueError, match="not PCM"):
+        bad = bytearray(w)
+        fmt_at = w.index(b"fmt ") + 8
+        struct.pack_into("<H", bad, fmt_at, 3)  # IEEE float tag
+        M.decode_wav(bytes(bad))
