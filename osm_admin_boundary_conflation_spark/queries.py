@@ -7266,3 +7266,96 @@ def q_media_decode_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = build_raw_media(docs)
     return decode_raw_media(media)
+
+
+@q(
+    "partitioned_sink_overwrite",
+    oracle=r"""
+WITH final AS (
+  SELECT event_type, user_id FROM events WHERE event_type <> 'click'
+  UNION ALL
+  SELECT event_type, user_id FROM events WHERE event_type = 'click' AND user_id % 2 = 0
+)
+SELECT event_type, count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+FROM final GROUP BY event_type
+""",
+)
+def q_partitioned_sink_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (the daily-repartition maintenance
+    op): the events table lands partitioned by event_type; a second
+    write overwrites ONLY the 'click' partition (with its even-user
+    half) under partitionOverwriteMode=dynamic — static mode would
+    silently truncate the four untouched partitions, exactly the
+    disaster this query pins against. The gate reads the final
+    directory back; the oracle states the expected post-overwrite
+    contents. Partition pruning on the read side comes free from the
+    layout."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id", "event_id"
+    )
+    out = tempfile.mkdtemp(prefix="dynpart_") + "/t"
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+        (
+            ev.filter((F.col("event_type") == "click") & (F.col("user_id") % 2 == 0))
+            .write.partitionBy("event_type")
+            .mode("overwrite")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"), F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@q(
+    "corrupt_json_handling",
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN '{"k": ' || CAST(doc_id % 100 AS VARCHAR) || ''
+              WHEN doc_id % 10 = 3 THEN 'not json at all'
+              ELSE '{"k": ' || CAST(doc_id % 100 AS VARCHAR) || '}' END AS j
+  FROM documents
+)
+SELECT count(*) AS n_rows,
+       count(CASE WHEN json_valid(j) THEN 1 END) AS n_valid,
+       count(CASE WHEN NOT json_valid(j) THEN 1 END) AS n_corrupt,
+       CAST(sum(CASE WHEN json_valid(j) THEN CAST(json_extract(j, '$.k') AS BIGINT) END)
+            AS BIGINT) AS sum_k
+FROM raw
+""",
+)
+def q_corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record ingestion semantics (every real crawl feed has
+    them): 20% of rows carry broken JSON (truncated object / free
+    text). PERMISSIVE from_json yields NULL for unparsable rows instead
+    of failing the job — the census splits valid vs corrupt and sums a
+    field only over valid rows. The quarantine pattern
+    (quarantine_lint) routes the corrupt split; this query pins the
+    parse semantics that feeds it."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    j = (
+        F.when(
+            F.col("doc_id") % 10 == 7,
+            F.concat(F.lit('{"k": '), (F.col("doc_id") % 100).cast("string")),
+        )
+        .when(F.col("doc_id") % 10 == 3, F.lit("not json at all"))
+        .otherwise(
+            F.concat(F.lit('{"k": '), (F.col("doc_id") % 100).cast("string"), F.lit("}"))
+        )
+    )
+    parsed = docs.select(F.from_json(j, "k BIGINT").alias("p"))
+    valid = F.col("p").isNotNull() & F.col("p.k").isNotNull()
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(valid, 1)).alias("n_valid"),
+        F.count(F.when(~valid, 1)).alias("n_corrupt"),
+        F.sum(F.when(valid, F.col("p.k"))).alias("sum_k"),
+    )

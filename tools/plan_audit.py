@@ -57,6 +57,7 @@ HARNESS = {
     "geotag_incremental",
     "snapshot_delete_vector",
     "stream_snapshot_ingest",
+    "partitioned_sink_overwrite",
 }
 
 
