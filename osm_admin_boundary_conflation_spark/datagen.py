@@ -88,11 +88,15 @@ EXTRACTED_TEXT_SQL = (
 
 
 def build_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet → pages(url, warc_ts, html, lang [, doc_id]).
+    """documents.parquet → pages(doc_id, url, warc_ts, html, text, lang)
+    — the exact input_hint column set (url, warc_ts, html:binary,
+    text:string, lang:string).
 
-    html is real utf-8 bytes; the engine must run extract_text/extract_geo
-    to recover coordinates. Column `text` is intentionally NOT provided
-    here — extraction is the engine's job (G20).
+    html is real utf-8 bytes; the engine still runs extract_text /
+    extract_geo against the BYTES (G20) — the provided `text` column is
+    the upstream extraction the north rule's per-row invariant compares
+    against ("byte-identical extracted text per url"), gated engine-side
+    by `pages_text_invariant`.
     """
     docs = _read(spark, sf_dir, "documents")
     d = docs.select(
@@ -133,6 +137,16 @@ def build_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("body_text"),
         F.lit("</p></body></html>"),
     )
+    extracted = F.concat(
+        F.lit("Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" geo: lat "),
+        F.col("lat_str"),
+        F.lit(" lon "),
+        F.col("lon_str"),
+        F.lit(" "),
+        F.col("body_text"),
+    )
     return d.select(
         "doc_id",
         "url",
@@ -140,6 +154,7 @@ def build_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "warc_ts"
         ),
         F.encode(html, "UTF-8").alias("html"),
+        extracted.alias("text"),
         "lang",
     )
 

@@ -7359,3 +7359,32 @@ def q_corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~valid, 1)).alias("n_corrupt"),
         F.sum(F.when(valid, F.col("p.k"))).alias("sum_k"),
     )
+
+
+@q(
+    "pages_text_invariant",
+    oracle=f"""
+WITH {datagen.PAGES_CTE}
+SELECT count(*) AS n_rows, count(*) AS n_match FROM pages_geo
+""",
+)
+def q_pages_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-row invariant, gated directly: the input
+    table now carries the upstream `text` column (input_hint schema:
+    url, warc_ts, html, text, lang), and the engine's own
+    byte-extraction from `html` must equal it for EVERY url —
+    n_match is computed engine-side as a strict string equality count,
+    while the oracle pins n_match = n_rows. Any drift in the html
+    parser (or a non-byte-identical re-extraction) reds this row.
+    Complements extract_text_md5 (engine vs closed-form md5) and the
+    parallelism-invariance pytest."""
+    from .functions.udfs import extract_text_udf
+
+    pages = datagen.build_pages(spark, sf_dir)
+    checked = pages.select(
+        (extract_text_udf("html") == F.col("text")).alias("ok")
+    )
+    return checked.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("ok"), 1)).alias("n_match"),
+    )
