@@ -7388,3 +7388,115 @@ def q_pages_text_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count(F.when(F.col("ok"), 1)).alias("n_match"),
     )
+
+
+@q(
+    "per_group_ols",
+    oracle=r"""
+WITH d AS (
+  SELECT source, n_chars AS y,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS x
+  FROM documents
+),
+s AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY source
+)
+SELECT source, n,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       sy * sxx - sx * sxy AS intercept_num
+FROM s
+""",
+)
+def q_per_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression (chars-per-token line per
+    source) carried as EXACT INTEGER numerators/denominators:
+    slope = (nΣxy - ΣxΣy) / (nΣxx - Σx²), intercept likewise over the
+    same denominator — the closed-form OLS solution is a pure
+    aggregate, so per-group model fitting needs no pandas, no solver,
+    and no float accumulation (divide once at the consumer). One
+    combiner-friendly groupBy; the distributed-ML shape for the
+    embarrassingly-grouped case (one small model per key)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "source",
+        F.col("n_chars").alias("y"),
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("x"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "source",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias(
+            "intercept_num"
+        ),
+    )
+
+
+@q(
+    "bitmap_index_ops",
+    oracle=r"""
+WITH lb AS (
+  SELECT lang, doc_id // 32 AS block,
+         bit_or(CAST(1 AS BIGINT) << CAST(doc_id % 32 AS INT)) AS w
+  FROM documents GROUP BY lang, block
+),
+sb AS (
+  SELECT source, doc_id // 32 AS block,
+         bit_or(CAST(1 AS BIGINT) << CAST(doc_id % 32 AS INT)) AS w
+  FROM documents GROUP BY source, block
+),
+via_bitmap AS (
+  SELECT l.lang, s.source, CAST(sum(bit_count(l.w & s.w)) AS BIGINT) AS n_bitmap
+  FROM lb l JOIN sb s ON l.block = s.block
+  GROUP BY l.lang, s.source
+),
+direct AS (
+  SELECT lang, source, count(*) AS n_direct FROM documents GROUP BY lang, source
+)
+SELECT b.lang, b.source, b.n_bitmap, coalesce(d.n_direct, 0) AS n_direct
+FROM via_bitmap b LEFT JOIN direct d ON b.lang = d.lang AND b.source = d.source
+WHERE b.n_bitmap > 0
+""",
+)
+def q_bitmap_index_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index algebra (the roaring-bitmap idea as aggregates):
+    build per-lang and per-source bitmaps over 32-bit doc-id blocks
+    (bit_or of 1<<bit — one BIGINT word per populated block), then
+    answer the conjunctive query lang AND source purely by word-wise
+    AND + popcount — and prove it exact by carrying the direct count
+    alongside. The bitmap form is O(populated blocks) state per
+    predicate value and intersections never touch the base table: the
+    secondary-index pattern for high-selectivity conjunctions over
+    10^12 rows. Shuffles: two bitmap groupBys, one block-keyed join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # F.shiftleft takes a PYTHON-int shift only (the zorder_encode
+    # lesson); a column-valued shift needs the SQL expression form
+    word = F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 32 as int))"))
+    lb = docs.groupBy("lang", (F.col("doc_id") / 32).cast("long").alias("block")).agg(
+        word.alias("lw")
+    )
+    sb = docs.groupBy("source", (F.col("doc_id") / 32).cast("long").alias("block")).agg(
+        word.alias("sw")
+    )
+    via_bitmap = (
+        lb.join(sb, "block")
+        .groupBy("lang", "source")
+        .agg(F.sum(F.bit_count(F.col("lw").bitwiseAND(F.col("sw")))).alias("n_bitmap"))
+        .filter(F.col("n_bitmap") > 0)
+    )
+    direct = docs.groupBy("lang", "source").agg(F.count("*").alias("n_direct"))
+    return via_bitmap.join(direct, ["lang", "source"], "left").select(
+        "lang", "source", "n_bitmap", F.coalesce("n_direct", F.lit(0)).alias("n_direct")
+    )
