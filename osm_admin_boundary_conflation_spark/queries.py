@@ -7500,3 +7500,51 @@ def q_bitmap_index_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return via_bitmap.join(direct, ["lang", "source"], "left").select(
         "lang", "source", "n_bitmap", F.coalesce("n_direct", F.lit(0)).alias("n_direct")
     )
+
+
+@q(
+    "embedding_quantized_norms",
+    oracle=r"""
+WITH qn AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(embedding,
+               c -> CAST(round(CAST(c AS DOUBLE) * 1000) AS BIGINT)
+                    * CAST(round(CAST(c AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)
+           AS qnorm2,
+         len(embedding) AS dim
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs, min(dim) AS min_dim, max(dim) AS max_dim,
+       CAST(sum(qnorm2) AS BIGINT) AS sum_qnorm2,
+       min(qnorm2) AS min_qnorm2, max(qnorm2) AS max_qnorm2
+FROM qn GROUP BY label
+""",
+)
+def q_embedding_quantized_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table profiling with EXACT integer arithmetic: each
+    float32 component is widened to double (exact), scaled to
+    milli-units and rounded to a BIGINT, and the squared norm
+    accumulates as integers — the int8/int16 quantization-calibration
+    census an ANN index build runs first (scale ranges, detect
+    truncated vectors), gateable where float norm sums are
+    order-dependent. Higher-order transform + aggregate, all JVM; one
+    groupBy on label."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qc = F.transform(
+        F.col("embedding"),
+        lambda c: F.round(c.cast("double") * 1000).cast("long")
+        * F.round(c.cast("double") * 1000).cast("long"),
+    )
+    qn = emb.select(
+        "label",
+        F.aggregate(qc, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("qnorm2"),
+        F.size("embedding").alias("dim"),
+    )
+    return qn.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum("qnorm2").alias("sum_qnorm2"),
+        F.min("qnorm2").alias("min_qnorm2"),
+        F.max("qnorm2").alias("max_qnorm2"),
+    )
