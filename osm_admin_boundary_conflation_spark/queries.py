@@ -7548,3 +7548,90 @@ def q_embedding_quantized_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("qnorm2").alias("min_qnorm2"),
         F.max("qnorm2").alias("max_qnorm2"),
     )
+
+
+@q(
+    "radius_join_planar",
+    oracle=r"""
+WITH pts AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 3
+              THEN 448000 + doc_id % 97
+              ELSE 350000 + (doc_id * 31) % 100000 END AS lat_e4,
+         CASE WHEN doc_id % 10 < 3
+              THEN 204000 + (doc_id * 7) % 97
+              ELSE 100000 + (doc_id * 57) % 300000 END AS lon_e4
+  FROM documents
+),
+cent AS (
+  SELECT CAST(n_nationkey AS VARCHAR) AS level9_id,
+         (10 + (n_nationkey % 5) * 6 + 3) * 10000 AS c_lon_e4,
+         (35 + (n_nationkey // 5) * 2 + 1) * 10000 AS c_lat_e4
+  FROM nation
+),
+hits AS (
+  SELECT c.level9_id, p.doc_id,
+         (p.lon_e4 - c.c_lon_e4) * (p.lon_e4 - c.c_lon_e4)
+         + (p.lat_e4 - c.c_lat_e4) * (p.lat_e4 - c.c_lat_e4) AS d2
+  FROM pts p CROSS JOIN cent c
+  WHERE (p.lon_e4 - c.c_lon_e4) * (p.lon_e4 - c.c_lon_e4)
+        + (p.lat_e4 - c.c_lat_e4) * (p.lat_e4 - c.c_lat_e4) <= 400000000
+)
+SELECT level9_id, count(*) AS n_within, min(d2) AS min_d2
+FROM hits GROUP BY level9_id
+""",
+)
+def q_radius_join_planar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (within-distance) spatial join, the third join geometry
+    next to containment (geotag) and kNN: every page point within 2
+    degrees of a boundary centroid, in an EXACT integer metric
+    (squared planar distance in 1e-4-degree units — closed-form
+    synthetic coords, so no float trigonometry to de-align engines).
+    Scale shape: GRID BLOCKING at cell size == radius — points key to
+    their cell, each centroid explodes to its 3x3 neighbor cells, the
+    join is an equi join on cell, and the exact distance predicate
+    touches only blocked candidates (the oracle is the quadratic
+    definition). At 10^12 pages this is the shape that keeps a radius
+    join off the cross product; skewed hot cells get the same AQE/salt
+    treatment as geotag's cell join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hot = F.col("doc_id") % 10 < 3
+    lat = F.when(hot, 448000 + F.col("doc_id") % 97).otherwise(
+        350000 + (F.col("doc_id") * 31) % 100000
+    )
+    lon = F.when(hot, 204000 + (F.col("doc_id") * 7) % 97).otherwise(
+        100000 + (F.col("doc_id") * 57) % 300000
+    )
+    pts = docs.select(
+        "doc_id", lat.alias("lat_e4"), lon.alias("lon_e4"),
+        F.floor(lat / 20000).alias("cy"), F.floor(lon / 20000).alias("cx"),
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cent = nation.select(
+        F.col("n_nationkey").cast("string").alias("level9_id"),
+        ((10 + (F.col("n_nationkey") % 5) * 6 + 3) * 10000).alias("c_lon_e4"),
+        ((35 + F.floor(F.col("n_nationkey") / 5) * 2 + 1) * 10000).alias("c_lat_e4"),
+    )
+    probe = cent.select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("c_lat_e4") / 20000) - 1,
+                       F.floor(F.col("c_lat_e4") / 20000) + 1)
+        ).alias("cy"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("c_lon_e4") / 20000) - 1,
+                       F.floor(F.col("c_lon_e4") / 20000) + 1)
+        ).alias("cx"),
+    )
+    dx = F.col("lon_e4") - F.col("c_lon_e4")
+    dy = F.col("lat_e4") - F.col("c_lat_e4")
+    hits = (
+        pts.join(F.broadcast(probe), ["cy", "cx"])
+        .withColumn("d2", dx * dx + dy * dy)
+        .filter(F.col("d2") <= 400000000)
+    )
+    return hits.groupBy("level9_id").agg(
+        F.count("*").alias("n_within"), F.min("d2").alias("min_d2")
+    )
