@@ -160,9 +160,12 @@ def _cc_star(nodes: DataFrame, edges: DataFrame, max_iter: int) -> DataFrame:
     reached its fixpoint: a forest of stars whose centers are the
     component minima. The fingerprint is bit_xor(xxhash64(u, v)) —
     order-independent, overflow-free (XOR never overflows, unlike a
-    modular sum), exact on a distinct edge set — and a collision can
-    only DELAY detection by a round, never produce wrong labels,
-    because the edge set evolves monotonically toward the fixpoint.
+    modular sum), exact on a distinct edge set. The residual risk is a
+    (count, fingerprint) collision between two DIFFERENT consecutive
+    edge sets, which would stop the loop EARLY with wrong labels — not
+    a delayed stop (ADVICE r04 item 2). Accepted as negligible: the
+    count must match exactly AND the 64-bit xor must collide,
+    ~2^-64 per round.
     """
     cur = _orient(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))

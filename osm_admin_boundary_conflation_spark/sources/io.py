@@ -48,7 +48,20 @@ def write_table(
 ) -> None:
     fmt = fmt or TABLE_FORMAT
     if fmt == "snapshot":
-        snapshot_table.write_snapshot(df, location)
+        # Honor the caller's intent instead of silently full-replacing
+        # (ADVICE r04 item 3): append routes to an append commit,
+        # anything else unsupported fails loudly.
+        if partition_by:
+            raise ValueError(
+                "partition_by is not supported for fmt='snapshot' "
+                "(the snapshot layer tracks whole data dirs per commit)"
+            )
+        if mode == "overwrite":
+            snapshot_table.write_snapshot(df, location)
+        elif mode == "append":
+            snapshot_table.write_append_snapshot(df, location)
+        else:
+            raise ValueError(f"unsupported mode {mode!r} for fmt='snapshot'")
         return
     w = df.write.mode(mode)
     if partition_by:

@@ -220,15 +220,68 @@ def vacuum(location: str) -> list[str]:
     return removed
 
 
+def chain_length(location: str, version: int | None = None) -> int:
+    """Number of append/delete links between `version` (latest when
+    None) and its nearest full data snapshot. 0 for a data snapshot."""
+    vs = _versions(location)
+    if not vs:
+        return 0
+    v = vs[-1] if version is None else version
+    links = 0
+    while True:
+        with open(_manifest_path(location, v)) as f:
+            m = json.load(f)
+        if m.get("type") not in ("append", "delete") or m["parent"] is None:
+            return links
+        links += 1
+        v = m["parent"]
+
+
+def maybe_compact(
+    spark: SparkSession, location: str, max_links: int = 20
+) -> int | None:
+    """Fold the append/delete chain into a single data snapshot when it
+    exceeds `max_links` links — the table-maintenance job a long-running
+    streaming ingest needs (every link adds a union or anti-join to the
+    read plan; MAX_CHAIN_DEPTH fails reads outright past 100). History
+    and time travel are unaffected: old manifests stay on disk, so
+    earlier versions remain readable and the streaming batch_id
+    watermark (latest_batch_id scans ALL manifests) survives the fold.
+    Returns the new compacted version, or None if under the threshold."""
+    if chain_length(location) <= max_links:
+        return None
+    return write_snapshot(read_snapshot(spark, location), location)
+
+
+def latest_batch_id(location: str) -> int | None:
+    """Highest `batch_id` recorded by any committed append manifest, or
+    None if no commit carries one. The idempotence watermark for
+    streaming ingest: a replayed foreachBatch batch whose id is <= this
+    has already committed and must be skipped (foreachBatch is
+    at-least-once; the table commit makes it exactly-once)."""
+    best = None
+    for v in _versions(location):
+        with open(_manifest_path(location, v)) as f:
+            b = json.load(f).get("batch_id")
+        if b is not None and (best is None or b > best):
+            best = b
+    return best
+
+
 def write_append_snapshot(
-    df: DataFrame, location: str, commit_ms: int | None = None
+    df: DataFrame,
+    location: str,
+    commit_ms: int | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """APPEND commit: persist only the NEW rows; readers union the
     chain (parent ∪ batch). The streaming-ingest commit type — each
     micro-batch lands as one append, giving exactly-once table commits
     with per-batch lineage in the history; compaction
     (write_snapshot(read_snapshot(...))) folds the chain. First commit
-    on an empty table is allowed (parent None = empty)."""
+    on an empty table is allowed (parent None = empty). `batch_id`
+    records the streaming micro-batch that produced this commit so
+    replays can be detected (see latest_batch_id)."""
     vs = _versions(location)
     version = (vs[-1] if vs else 0) + 1
     ddir = _data_dir(location, version)
@@ -241,6 +294,7 @@ def write_append_snapshot(
         "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
         "n_rows": None,  # logical rows resolved through the chain
         "n_appended": n_new,
+        "batch_id": batch_id,
         "data_dir": os.path.relpath(ddir, location),
         "schema": df.schema.jsonValue(),
     }

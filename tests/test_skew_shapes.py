@@ -49,13 +49,15 @@ def test_cooccurrence_exact_on_skewed_corpus(spark, tmp_path):
     assert any("the" in pair for pair in got), "hot token must appear in output"
 
 
-def test_cooccurrence_plan_partial_agg_and_semantic_prune(spark):
+def test_cooccurrence_plan_partial_agg_and_semantic_prune(spark, tmp_path):
     """The final pair groupBy must run a map-side partial aggregate
     (reducer input is one partial per map task per key, the reason no
     explicit salt stage is needed for count(*)), and the df>=50
-    semantic prune must appear as a semi join before the self-join."""
+    semantic prune must appear as a semi join before the self-join.
+    Plan shape only — input built under tmp_path so the test has no
+    dependence on any machine-specific dataset path (ADVICE r04)."""
     plan = (
-        QUERIES["cooccurrence_counts"](spark, "/root/testdata/sf0.001")
+        QUERIES["cooccurrence_counts"](spark, _skew_docs(spark, tmp_path))
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -77,12 +79,12 @@ def test_inverted_index_exact_on_skewed_corpus(spark, tmp_path):
     assert got["w0"][2] == ",".join(str(i) for i in w0_docs[:12])
 
 
-def test_inverted_index_plan_salted_exchange(spark):
+def test_inverted_index_plan_salted_exchange(spark, tmp_path):
     """The first exchange must partition on (term, salt) — the hot
     term's posting state is spread across 32 tasks, none of which owns
     the full posting set."""
     plan = (
-        QUERIES["inverted_index"](spark, "/root/testdata/sf0.001")
+        QUERIES["inverted_index"](spark, _skew_docs(spark, tmp_path))
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

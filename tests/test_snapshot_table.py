@@ -143,3 +143,63 @@ def test_append_chain_and_compaction(spark, tmp_path):
     assert {r.id for r in ST.read_snapshot(spark, loc).collect()} == set(range(2, 8))
     ST.write_snapshot(ST.read_snapshot(spark, loc), loc, commit_ms=5)
     assert ST.snapshot_history(loc)[-1]["n_rows"] == 6
+
+
+def test_streaming_commit_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after a crash
+    that happened post-commit/pre-checkpoint must NOT append twice
+    (ADVICE r04 item 1). The batch_id watermark in the manifests makes
+    the table commit exactly-once."""
+    from osm_admin_boundary_conflation_spark.streaming.stream_ingest import (
+        commit_batch_idempotent,
+    )
+
+    loc = str(tmp_path / "tbl")
+    assert commit_batch_idempotent(spark.range(3), 0, loc) == 1
+    # replay of batch 0 (crash between table commit and checkpoint)
+    assert commit_batch_idempotent(spark.range(3), 0, loc) is None
+    assert commit_batch_idempotent(spark.range(3, 8), 1, loc) == 2
+    # replay of an OLDER batch after a newer one committed
+    assert commit_batch_idempotent(spark.range(3), 0, loc) is None
+
+    assert ST.read_snapshot(spark, loc).count() == 8
+    hist = ST.snapshot_history(loc)
+    assert len(hist) == 2 and ST.latest_batch_id(loc) == 1
+    # empty trailing batch: skipped too
+    assert commit_batch_idempotent(spark.range(0), 2, loc) is None
+    assert len(ST.snapshot_history(loc)) == 2
+
+
+def test_maybe_compact_folds_long_chains(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    for i in range(5):
+        ST.write_append_snapshot(spark.range(i * 2, i * 2 + 2), loc, commit_ms=i)
+    assert ST.chain_length(loc) == 4
+    # under threshold: no-op
+    assert ST.maybe_compact(spark, loc, max_links=4) is None
+    # over threshold: folds to one data snapshot, contents unchanged
+    v = ST.maybe_compact(spark, loc, max_links=3)
+    assert v == 6 and ST.chain_length(loc) == 0
+    assert {r.id for r in ST.read_snapshot(spark, loc).collect()} == set(range(10))
+    # history and time travel survive the fold
+    assert ST.read_snapshot(spark, loc, version=2).count() == 4
+    assert [h["type"] for h in ST.snapshot_history(loc)] == ["append"] * 5 + ["data"]
+
+
+def test_io_seam_snapshot_append_and_rejections(spark, tmp_path):
+    """ADVICE r04 item 3: write_table must honor mode='append' for
+    fmt='snapshot' and reject unsupported mode/partition_by instead of
+    silently full-replacing."""
+    import pytest as _pytest
+
+    from osm_admin_boundary_conflation_spark.sources.io import read_table, write_table
+
+    loc = str(tmp_path / "tbl")
+    write_table(spark.range(4), loc, fmt="snapshot")
+    write_table(spark.range(4, 9), loc, mode="append", fmt="snapshot")
+    assert read_table(spark, loc, fmt="snapshot").count() == 9
+    assert ST.snapshot_history(loc)[-1]["type"] == "append"
+    with _pytest.raises(ValueError, match="partition_by"):
+        write_table(spark.range(2), loc, fmt="snapshot", partition_by=["id"])
+    with _pytest.raises(ValueError, match="unsupported mode"):
+        write_table(spark.range(2), loc, mode="error", fmt="snapshot")
