@@ -163,32 +163,38 @@ BMP_W, BMP_H = 6, 5  # width 6 => 18-byte rows padded to 20: real padding
 WAV_N, WAV_RATE = 40, 8000
 
 
-def build_bmp(doc_id: int) -> bytes:
+def build_bmp(doc_id: int, w: int = BMP_W, h: int = BMP_H) -> bytes:
     """24-bit uncompressed bottom-up BMP; pixel (x, y):
-    r=(doc_id+x+y)%256, g=(doc_id*2+x)%256, b=(doc_id*3+y)%256."""
-    row_raw = BMP_W * 3
+    r=(doc_id+x+y)%256, g=(doc_id*2+x)%256, b=(doc_id*3+y)%256.
+    Pixel synthesis is vectorized (a 4K frame is 8.3M pixels — a
+    per-pixel Python loop would dominate the Arrow batch)."""
+    import numpy as np
+
+    row_raw = w * 3
     row_padded = (row_raw + 3) // 4 * 4
-    pixel_bytes = row_padded * BMP_H
+    pixel_bytes = row_padded * h
     off = 14 + 40
     header = struct.pack("<2sIHHI", b"BM", off + pixel_bytes, 0, 0, off)
-    dib = struct.pack("<IiiHHIIiiII", 40, BMP_W, BMP_H, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
-    rows = []
-    for y in range(BMP_H - 1, -1, -1):  # bottom-up storage
-        row = bytearray()
-        for x in range(BMP_W):
-            r = (doc_id + x + y) % 256
-            g = (doc_id * 2 + x) % 256
-            b = (doc_id * 3 + y) % 256
-            row += bytes((b, g, r))  # BMP stores BGR
-        row += b"\x00" * (row_padded - row_raw)
-        rows.append(bytes(row))
-    return header + dib + b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    ys = np.arange(h - 1, -1, -1, dtype=np.int64)[:, None]  # bottom-up storage
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    px = np.zeros((h, row_padded), dtype=np.uint8)  # zero => row padding
+    px[:, 0 : row_raw : 3] = (doc_id * 3 + ys + 0 * xs) % 256  # B
+    px[:, 1 : row_raw : 3] = (doc_id * 2 + xs + 0 * ys) % 256  # G
+    px[:, 2 : row_raw : 3] = (doc_id + xs + ys) % 256  # R (BMP stores BGR)
+    return header + dib + px.tobytes()
 
 
 def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
     """Parse a 24-bit uncompressed BMP: validate magic/bpp/compression,
     honor the header's data offset, strip row padding, un-reverse the
-    bottom-up row order. Returns (w, h, sum_r, sum_g, sum_b)."""
+    bottom-up row order. Returns (w, h, sum_r, sum_g, sum_b). The
+    pixel pass is pure numpy — frombuffer + reshape + strided channel
+    views — so decoding stays vectorized inside the Arrow batch
+    (VERDICT r04 item 1: the per-pixel Python loop was fine at the
+    6x5 gate blobs but would dominate at real frame sizes)."""
+    import numpy as np
+
     magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", blob, 0)
     if magic != b"BM":
         raise ValueError("not a BMP: bad magic")
@@ -196,23 +202,24 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int, int]:
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
     row_padded = (w * 3 + 3) // 4 * 4
-    sum_r = sum_g = sum_b = 0
-    for stored_row in range(abs(h)):
-        base = off + stored_row * row_padded
-        for x in range(w):
-            b, g, r = blob[base + 3 * x : base + 3 * x + 3]
-            sum_r += r
-            sum_g += g
-            sum_b += b
-    return w, abs(h), sum_r, sum_g, sum_b
+    n_rows = abs(h)
+    if len(blob) < off + row_padded * n_rows:
+        raise ValueError("truncated BMP pixel data")
+    px = np.frombuffer(
+        blob, dtype=np.uint8, count=row_padded * n_rows, offset=off
+    ).reshape(n_rows, row_padded)[:, : w * 3]
+    sums = px.reshape(n_rows, w, 3).sum(axis=(0, 1), dtype=np.int64)
+    return w, n_rows, int(sums[2]), int(sums[1]), int(sums[0])  # BGR -> RGB
 
 
-def build_wav(doc_id: int) -> bytes:
+def build_wav(doc_id: int, n: int = WAV_N) -> bytes:
     """PCM16 mono RIFF/WAVE with a junk LIST chunk BEFORE data, so the
     decoder must genuinely walk chunks; sample[i] =
-    ((doc_id*7 + i*13) % 65536) - 32768."""
-    samples = [((doc_id * 7 + i * 13) % 65536) - 32768 for i in range(WAV_N)]
-    data = struct.pack(f"<{WAV_N}h", *samples)
+    ((doc_id*7 + i*13) % 65536) - 32768. Sample synthesis vectorized."""
+    import numpy as np
+
+    samples = (doc_id * 7 + np.arange(n, dtype=np.int64) * 13) % 65536 - 32768
+    data = samples.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
     junk = b"INFOfake metadata to skip"
     chunks = (
@@ -244,9 +251,11 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int]:
                 raise ValueError("data chunk before fmt chunk")
             if bits != 16 or n_ch != 1:
                 raise ValueError(f"unsupported PCM layout bits={bits} ch={n_ch}")
+            import numpy as np
+
             n = clen // 2
-            samples = struct.unpack_from(f"<{n}h", body, 0)
-            return n, rate, sum(abs(s) for s in samples), max(samples)
+            samples = np.frombuffer(body, dtype="<i2", count=n).astype(np.int64)
+            return n, rate, int(np.abs(samples).sum()), int(samples.max())
         pos += 8 + clen + (clen % 2)  # chunks are word-aligned
     raise ValueError("no data chunk")
 

@@ -276,3 +276,52 @@ def test_raw_media_codecs_strict_and_padded():
         fmt_at = w.index(b"fmt ") + 8
         struct.pack_into("<H", bad, fmt_at, 3)  # IEEE float tag
         M.decode_wav(bytes(bad))
+
+
+def test_raw_media_decoders_are_vectorized_at_frame_scale():
+    """VERDICT r04 item 1: the decode kernels must be numpy-vectorized,
+    not per-pixel Python — gate it with a wall-time bound at real media
+    scale (a ~2 MP frame, a ~5 s audio clip) that the loop versions
+    cannot meet, plus exact-sum checks against closed forms."""
+    import time
+
+    import numpy as np
+
+    from osm_admin_boundary_conflation_spark.operators import multimodal as M
+
+    w, h = 1602, 1250  # ~2 MP, width chosen so rows genuinely pad (4806->4808)
+    blob = M.build_bmp(123, w=w, h=h)
+    assert (len(blob) - 54) == ((w * 3 + 3) // 4 * 4) * h
+
+    t0 = time.perf_counter()
+    got = M.decode_bmp(blob)
+    bmp_secs = time.perf_counter() - t0
+
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    want = (
+        w,
+        h,
+        int(((123 + xs + ys) % 256).sum()),
+        int((((123 * 2 + xs) % 256).sum()) * h),
+        int((((123 * 3 + ys) % 256).sum()) * w),
+    )
+    assert got == want
+
+    n = 40_000  # 5 s @ 8 kHz
+    wav = M.build_wav(123, n=n)
+    t0 = time.perf_counter()
+    n_got, rate, sa, mx = M.decode_wav(wav)
+    wav_secs = time.perf_counter() - t0
+    samples = (123 * 7 + np.arange(n, dtype=np.int64) * 13) % 65536 - 32768
+    assert (n_got, rate, sa, mx) == (
+        n,
+        8000,
+        int(np.abs(samples).sum()),
+        int(samples.max()),
+    )
+
+    # the former per-pixel/per-sample loops took seconds at this scale;
+    # vectorized kernels finish in milliseconds (generous noisy-host bound)
+    assert bmp_secs < 0.5, f"decode_bmp too slow for 2 MP: {bmp_secs:.3f}s"
+    assert wav_secs < 0.5, f"decode_wav too slow for 40k samples: {wav_secs:.3f}s"
