@@ -38,7 +38,19 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
+
+
+def _write_counted(df: DataFrame, ddir: str) -> int:
+    """Write `df` as parquet and return its row count WITHOUT a second
+    scan (VERDICT r04 item 3: re-reading the just-written files to
+    count doubles every commit's write cost at scale). An Observation
+    folded into the write job harvests the exact count as a side
+    effect of the single pass."""
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(ddir)
+    return int(obs.get["n"])
 
 
 def _meta_dir(location: str) -> str:
@@ -72,8 +84,7 @@ def write_snapshot(df: DataFrame, location: str, commit_ms: int | None = None) -
     vs = _versions(location)
     version = (vs[-1] if vs else 0) + 1
     ddir = _data_dir(location, version)
-    df.write.mode("overwrite").parquet(ddir)
-    n_rows = df.sparkSession.read.parquet(ddir).count()
+    n_rows = _write_counted(df, ddir)
     manifest = {
         "version": version,
         "parent": vs[-1] if vs else None,
@@ -169,8 +180,7 @@ def write_delete_snapshot(
         raise FileNotFoundError(f"cannot delete from empty table {location}")
     version = vs[-1] + 1
     ddir = _data_dir(location, version)
-    keys.select(key_col).distinct().write.mode("overwrite").parquet(ddir)
-    n_deleted = keys.sparkSession.read.parquet(ddir).count()
+    n_deleted = _write_counted(keys.select(key_col).distinct(), ddir)
     manifest = {
         "version": version,
         "parent": vs[-1],
@@ -285,8 +295,7 @@ def write_append_snapshot(
     vs = _versions(location)
     version = (vs[-1] if vs else 0) + 1
     ddir = _data_dir(location, version)
-    df.write.mode("overwrite").parquet(ddir)
-    n_new = df.sparkSession.read.parquet(ddir).count()
+    n_new = _write_counted(df, ddir)
     manifest = {
         "version": version,
         "parent": vs[-1] if vs else None,
