@@ -10,11 +10,11 @@ module IS the runtime: a from-scratch micro table format with the three
 properties the pipeline actually uses, each implemented with the same
 mechanics the big formats use:
 
-- **Atomic commit**: data files land under `data/snap-<v>/` first, then
-  a manifest `metadata/v<v>.json` is os.rename()d into place — readers
+- **Atomic commit**: data files land under `data/` first, then a
+  manifest `metadata/v<v>.json` is os.link()ed into place — readers
   either see the complete new snapshot or the previous one, never a
-  partial write (rename is atomic on POSIX; the reference's
-  atomic_write.py tmp+rename, generalized to a table).
+  partial write (link is atomic fail-or-win on POSIX; the reference's
+  atomic_write.py tmp+rename, generalized to a table with contention).
 - **Time travel**: `read_snapshot(..., version=k)` resolves manifest k
   and reads exactly the files it lists; `version=None` means latest.
 - **History**: `snapshot_history()` lists (version, committed_at_ms,
@@ -28,8 +28,12 @@ write_snapshot / read_snapshot / snapshot_history.
 Scale notes: the manifest holds file PATHS, not row data — O(#files)
 JSON, independent of table size; reads go through spark.read.parquet on
 the listed directory so predicate pushdown / partition pruning / AQE
-all apply unchanged; concurrent writers are out of scope (single-writer
-per table, as the reference's cron refresh is).
+all apply unchanged. Concurrent writers use OPTIMISTIC CONCURRENCY
+(the same protocol as the big table formats): data lands in a
+uniquely-named dir, then the writer claims the next version by
+hard-linking its manifest into place — os.link fails atomically if the
+version is taken, and the loser re-resolves the new parent and retries
+with the next number. No lock, no lost updates (see _commit_manifest).
 """
 
 from __future__ import annotations
@@ -61,6 +65,47 @@ def _data_dir(location: str, version: int) -> str:
     return os.path.join(location, "data", f"snap-{version:06d}")
 
 
+def _new_data_dir(location: str) -> str:
+    """Uniquely-named data dir for one commit attempt. Unique (not
+    version-numbered) so two writers racing for the same version can
+    never clobber each other's files — the manifest records the actual
+    dir, and losers keep their data and just re-claim a later version.
+    Orphans from crashed attempts are reclaimed by vacuum()."""
+    import uuid
+
+    return os.path.join(location, "data", f"snap-{uuid.uuid4().hex[:12]}")
+
+
+def _commit_manifest(location: str, build) -> int:
+    """Optimistic-concurrency commit: claim the next version number by
+    hard-linking a fully-fsynced manifest to metadata/v<N>.json.
+    os.link is atomic fail-or-win on POSIX (unlike os.rename, which
+    silently overwrites), so exactly one writer owns each version; the
+    loser re-resolves the latest parent and retries with the next
+    number. `build(version, parent)` returns the manifest dict for one
+    attempt — data files are already on disk and version-independent,
+    so a retry costs one small JSON write, never a data rewrite."""
+    os.makedirs(_meta_dir(location), exist_ok=True)
+    while True:
+        vs = _versions(location)
+        version = (vs[-1] if vs else 0) + 1
+        parent = vs[-1] if vs else None
+        manifest = build(version, parent)
+        final = _manifest_path(location, version)
+        tmp = f"{final}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race — re-resolve parent, retry
+            continue
+        os.unlink(tmp)
+        return version
+
+
 def _manifest_path(location: str, version: int) -> str:
     return os.path.join(_meta_dir(location), f"v{version:06d}.json")
 
@@ -81,26 +126,21 @@ def write_snapshot(df: DataFrame, location: str, commit_ms: int | None = None) -
     Returns the new version number. Data first, manifest rename last —
     a crash between the two leaves the table at its previous version
     (the orphaned data dir is invisible to readers and reclaimable)."""
-    vs = _versions(location)
-    version = (vs[-1] if vs else 0) + 1
-    ddir = _data_dir(location, version)
+    ddir = _new_data_dir(location)
     n_rows = _write_counted(df, ddir)
-    manifest = {
-        "version": version,
-        "parent": vs[-1] if vs else None,
-        "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
-        "n_rows": n_rows,
-        "data_dir": os.path.relpath(ddir, location),
-        "schema": df.schema.jsonValue(),
-    }
-    os.makedirs(_meta_dir(location), exist_ok=True)
-    tmp = _manifest_path(location, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, _manifest_path(location, version))
-    return version
+    schema = df.schema.jsonValue()
+
+    def build(version: int, parent: int | None) -> dict:
+        return {
+            "version": version,
+            "parent": parent,
+            "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
+            "n_rows": n_rows,
+            "data_dir": os.path.relpath(ddir, location),
+            "schema": schema,
+        }
+
+    return _commit_manifest(location, build)
 
 
 MAX_CHAIN_DEPTH = 100
@@ -175,30 +215,24 @@ def write_delete_snapshot(
     compaction is just `write_snapshot(read_snapshot(...))`, which
     folds the whole delete chain back into a data snapshot. Same
     data-then-manifest atomic commit as write_snapshot."""
-    vs = _versions(location)
-    if not vs:
+    if not _versions(location):
         raise FileNotFoundError(f"cannot delete from empty table {location}")
-    version = vs[-1] + 1
-    ddir = _data_dir(location, version)
+    ddir = _new_data_dir(location)
     n_deleted = _write_counted(keys.select(key_col).distinct(), ddir)
-    manifest = {
-        "version": version,
-        "parent": vs[-1],
-        "type": "delete",
-        "key_col": key_col,
-        "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
-        "n_rows": None,  # logical rows = parent minus matches, resolved at read
-        "n_deleted_keys": n_deleted,
-        "data_dir": os.path.relpath(ddir, location),
-    }
-    os.makedirs(_meta_dir(location), exist_ok=True)
-    tmp = _manifest_path(location, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, _manifest_path(location, version))
-    return version
+
+    def build(version: int, parent: int | None) -> dict:
+        return {
+            "version": version,
+            "parent": parent,
+            "type": "delete",
+            "key_col": key_col,
+            "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
+            "n_rows": None,  # logical rows = parent minus matches, resolved at read
+            "n_deleted_keys": n_deleted,
+            "data_dir": os.path.relpath(ddir, location),
+        }
+
+    return _commit_manifest(location, build)
 
 
 def vacuum(location: str) -> list[str]:
@@ -292,26 +326,21 @@ def write_append_snapshot(
     on an empty table is allowed (parent None = empty). `batch_id`
     records the streaming micro-batch that produced this commit so
     replays can be detected (see latest_batch_id)."""
-    vs = _versions(location)
-    version = (vs[-1] if vs else 0) + 1
-    ddir = _data_dir(location, version)
+    ddir = _new_data_dir(location)
     n_new = _write_counted(df, ddir)
-    manifest = {
-        "version": version,
-        "parent": vs[-1] if vs else None,
-        "type": "append",
-        "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
-        "n_rows": None,  # logical rows resolved through the chain
-        "n_appended": n_new,
-        "batch_id": batch_id,
-        "data_dir": os.path.relpath(ddir, location),
-        "schema": df.schema.jsonValue(),
-    }
-    os.makedirs(_meta_dir(location), exist_ok=True)
-    tmp = _manifest_path(location, version) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, _manifest_path(location, version))
-    return version
+    schema = df.schema.jsonValue()
+
+    def build(version: int, parent: int | None) -> dict:
+        return {
+            "version": version,
+            "parent": parent,
+            "type": "append",
+            "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
+            "n_rows": None,  # logical rows resolved through the chain
+            "n_appended": n_new,
+            "batch_id": batch_id,
+            "data_dir": os.path.relpath(ddir, location),
+            "schema": schema,
+        }
+
+    return _commit_manifest(location, build)

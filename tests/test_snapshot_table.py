@@ -39,7 +39,8 @@ def test_crashed_write_is_invisible(spark, tmp_path):
     assert ST.read_snapshot(spark, loc).count() == 3
     assert [h["version"] for h in ST.snapshot_history(loc)] == [1]
 
-    # recovery: the next commit overwrites the orphaned data dir
+    # recovery: the next commit claims v2 normally; the orphan data
+    # dir stays invisible until vacuum() reclaims it
     ST.write_snapshot(spark.range(7), loc, commit_ms=2)
     assert ST.read_snapshot(spark, loc).count() == 7
 
@@ -226,3 +227,49 @@ def test_commit_counts_without_second_scan(spark, tmp_path, monkeypatch):
     hist = ST.snapshot_history(loc)
     assert v == 1 and hist[0]["n_rows"] == 7
     assert {r.id for r in ST.read_snapshot(spark, loc).collect()} == set(range(2, 10))
+
+
+def test_concurrent_append_commits_no_lost_update(spark, tmp_path):
+    """VERDICT r04 item 4: two writers committing appends concurrently
+    must BOTH land — version claim is the atomic manifest hard-link,
+    losers re-resolve the parent and retry. History must show every
+    commit with a correct parent chain and no gaps or lost rows."""
+    import threading
+
+    loc = str(tmp_path / "tbl")
+    n_writers, per = 4, 3
+    barrier = threading.Barrier(n_writers)
+    errs = []
+
+    def writer(k):
+        try:
+            barrier.wait()
+            for j in range(per):
+                lo = (k * per + j) * 10
+                ST.write_append_snapshot(
+                    spark.range(lo, lo + 10), loc, commit_ms=k * 100 + j
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(k,)) for k in range(n_writers)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+
+    hist = ST.snapshot_history(loc)
+    assert [h["version"] for h in hist] == list(range(1, n_writers * per + 1))
+    # parent chain is exactly version-1: no forks, no lost updates
+    assert [h["parent"] for h in hist] == [None] + list(range(1, n_writers * per))
+    got = {r.id for r in ST.read_snapshot(spark, loc).collect()}
+    assert got == set(
+        x for base in range(n_writers * per) for x in range(base * 10, base * 10 + 10)
+    )
+    # every attempt's data dir is referenced (no clobbered files)
+    import json as _json
+
+    dirs = set()
+    for v in range(1, n_writers * per + 1):
+        with open(ST._manifest_path(loc, v)) as f:
+            dirs.add(_json.load(f)["data_dir"])
+    assert len(dirs) == n_writers * per
