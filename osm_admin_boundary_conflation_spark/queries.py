@@ -7635,3 +7635,60 @@ def q_radius_join_planar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("level9_id").agg(
         F.count("*").alias("n_within"), F.min("d2").alias("min_d2")
     )
+
+
+@q(
+    "stream_ingest_compacted",
+    oracle=r"""
+WITH census AS (
+  SELECT event_type, count(*) AS n_events,
+         CAST(sum(event_id % 1000) AS BIGINT) AS checksum
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_events, checksum,
+       CAST(6 AS BIGINT) AS n_appends,
+       CAST(1 AS BIGINT) AS n_compactions,
+       CAST(1 AS BIGINT) AS final_chain
+FROM census
+""",
+)
+def q_stream_ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE MAINTENANCE under streaming ingest (VERDICT r04 item 6):
+    events replayed as 6 single-file micro-batches, each an append
+    commit, with maybe_compact(max_links=3) running after every commit.
+    The chain grows 0,1,2,3,4 — crossing the threshold exactly once —
+    so the history must show 6 appends + exactly 1 compaction (data)
+    commit, and the final chain length must be 1 (the one append that
+    landed after the fold). The census read THROUGH the compacted
+    chain must still match the raw events exactly — compaction changes
+    plan shape, never content."""
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as ST
+    from .streaming.stream_ingest import stream_ingest_to_snapshot_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="stream_compact_")
+    in_dir = os.path.join(tmp, "in")
+    for k in range(6):
+        ev.filter(F.col("event_id") % 6 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    tbl = os.path.join(tmp, "tbl")
+    stream_ingest_to_snapshot_table(
+        spark, in_dir, tbl, os.path.join(tmp, "ck"), compact_max_links=3
+    )
+
+    hist = ST.snapshot_history(tbl)
+    n_appends = len([h for h in hist if h["type"] == "append"])
+    n_data = len([h for h in hist if h["type"] == "data"])
+    chain = ST.chain_length(tbl)
+    return ST.read_snapshot(spark, tbl).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("event_id") % 1000).alias("checksum"),
+        F.lit(n_appends).cast("long").alias("n_appends"),
+        F.lit(n_data).cast("long").alias("n_compactions"),
+        F.lit(chain).cast("long").alias("final_chain"),
+    )
