@@ -7692,3 +7692,68 @@ def q_stream_ingest_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_data).cast("long").alias("n_compactions"),
         F.lit(chain).cast("long").alias("final_chain"),
     )
+
+
+@q(
+    "resume_lineage",
+    oracle=f"""
+WITH {datagen.PAGES_CTE}, {datagen.BOUNDARIES_CTE},
+geo AS (
+  SELECT g.url
+  FROM pages_geo g JOIN boundaries b
+    ON g.lon >= b.min_lon AND g.lon < b.max_lon
+   AND g.lat >= b.min_lat AND g.lat < b.max_lat
+)
+SELECT * FROM (VALUES
+  ('boundaries', 'recomputed', 'resumed', CAST(0 AS BIGINT)),
+  ('geotag', 'crashed', 'recomputed', (SELECT count(*) FROM geo)),
+  ('pages', 'recomputed', 'resumed', CAST(0 AS BIGINT))
+) AS t(stage, run1, run2, n_rows)
+""",
+)
+def q_resume_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END RESUME as a hard gate (VERDICT r04 item 7): the CLI's
+    staged pipeline (conflate_engine.py geotag job = StageRunner over
+    pages/boundaries/geotag) is run once, killed mid-way through the
+    final stage (its output lands WITHOUT the _SUCCESS marker — the
+    crash window of any filesystem committer), then re-run against the
+    same checkpoint dir. The oracle pins the full lineage matrix the
+    reference's restart semantics require (conflate.py:472-479,486-487):
+    finished stages are hits, the torn stage is recomputed, and the
+    recomputed output row count matches the from-scratch answer."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators import spatial_join as SJ2
+    from .plans.checkpoint import SUCCESS_MARK, StageRunner
+
+    ckpt = tempfile.mkdtemp(prefix="resume_lineage_")
+
+    # ---- run 1: two stages finish, the third is torn mid-write ----
+    r1 = StageRunner(spark, ckpt, run_id="run1")
+    pages = r1.stage("pages", lambda: datagen.build_pages(spark, sf_dir))
+    bounds = r1.stage("boundaries", lambda: datagen.build_boundaries(spark, sf_dir))
+    torn = r1._path("geotag")
+    SJ2.geotag_pages(pages, bounds).limit(7).write.mode("overwrite").parquet(torn)
+    os.remove(os.path.join(torn, SUCCESS_MARK))  # crash before commit mark
+
+    # ---- run 2: fresh runner, same checkpoint dir ----
+    r2 = StageRunner(spark, ckpt, run_id="run2")
+    pages2 = r2.stage("pages", lambda: datagen.build_pages(spark, sf_dir))
+    bounds2 = r2.stage("boundaries", lambda: datagen.build_boundaries(spark, sf_dir))
+    tagged = r2.stage("geotag", lambda: SJ2.geotag_pages(pages2, bounds2))
+    n_geo = tagged.count()
+
+    def status(runner: StageRunner, stage: str) -> str:
+        if stage in runner.recomputed:
+            return "recomputed"
+        return "resumed" if stage in runner.resumed else "crashed"
+
+    rows = [
+        (s, status(r1, s) if s != "geotag" else "crashed", status(r2, s),
+         n_geo if s == "geotag" else 0)
+        for s in ["boundaries", "geotag", "pages"]
+    ]
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, "stage string, run1 string, run2 string, n_rows long")
