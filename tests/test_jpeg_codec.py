@@ -1,0 +1,179 @@
+"""Baseline JPEG codec (functions/jpeg_codec.py): bit-exact entropy
+round trips, pixel differentials against a direct IDCT reference, and
+honest rejections. No Spark needed — these are pure-kernel tests."""
+
+import numpy as np
+import pytest
+
+from osm_admin_boundary_conflation_spark.functions import jpeg_codec as J
+
+
+def _quant(dc=16, ac=4):
+    q = np.full((8, 8), ac, dtype=np.int64)
+    q[0, 0] = dc
+    return q
+
+
+def _ref_pixels(coeffs, quant):
+    """Independent reference: dequant -> orthonormal IDCT -> +128 ->
+    clamp, assembled to an image. Shares only the DCT basis definition
+    with the decoder, none of the entropy machinery."""
+    by, bx = coeffs.shape[:2]
+    deq = (coeffs * quant).astype(np.float64)
+    px = np.einsum("ux,vy,abuv->abxy", J._A, J._A, deq)
+    px = np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
+    return px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def _random_coeffs(rng, shape):
+    coeffs = np.zeros(shape + (8, 8), dtype=np.int64)
+    flat_blocks = coeffs.reshape(-1, 64)
+    for blk in flat_blocks:
+        nz = rng.randint(0, 12)
+        idx = rng.choice(64, size=nz, replace=False)
+        blk[idx] = rng.randint(-255, 255, size=nz)
+        blk[0] = rng.randint(-700, 700)  # big DC diffs -> long codes
+    return coeffs
+
+
+def test_coefficient_round_trip_is_bit_exact():
+    """Encoder plants arbitrary quantized coefficients (random sparsity,
+    negative values, big DC swings); the decoder must recover every
+    integer exactly BEFORE any float enters — this pins the whole
+    entropy layer: canonical Huffman, DC categories + sign extension,
+    AC run/size, EOB, ZRL, byte stuffing."""
+    rng = np.random.RandomState(1234)
+    for _ in range(8):
+        shape = (rng.randint(1, 5), rng.randint(1, 5))
+        coeffs = _random_coeffs(rng, shape)
+        blob = J.encode_baseline_jpeg(coeffs, _quant(), shape[1] * 8, shape[0] * 8)
+        got, qtabs = J.decode_baseline_jpeg(blob, return_coeffs=True)
+        assert np.array_equal(got[0], coeffs)
+        assert np.array_equal(qtabs[0], _quant())
+
+
+def test_pixels_match_direct_idct_reference():
+    rng = np.random.RandomState(77)
+    coeffs = _random_coeffs(rng, (3, 4))
+    blob = J.encode_baseline_jpeg(coeffs, _quant(), 32, 24)
+    img = J.decode_baseline_jpeg(blob)
+    assert img.shape == (24, 32) and img.dtype == np.uint8
+    assert np.array_equal(img, _ref_pixels(coeffs, _quant()))
+
+
+def test_zrl_runs_and_eob_edge_cases():
+    """>16-zero runs force ZRL symbols; a nonzero at position 63 must
+    suppress EOB; an all-zero block is DC-diff-0 + EOB only."""
+    coeffs = np.zeros((1, 3, 8, 8), dtype=np.int64)
+    coeffs[0, 0, 7, 7] = 5  # zigzag position 63: run of 62 zeros -> 3 ZRLs
+    # block 1 all zero; block 2 a lone mid-block value
+    coeffs[0, 2, 3, 3] = -9
+    blob = J.encode_baseline_jpeg(coeffs, _quant(), 24, 8)
+    got, _ = J.decode_baseline_jpeg(blob, return_coeffs=True)
+    assert np.array_equal(got[0], coeffs)
+
+
+def test_restart_markers_reset_dc_predictor():
+    rng = np.random.RandomState(5)
+    coeffs = _random_coeffs(rng, (2, 4))
+    blob = J.encode_baseline_jpeg(coeffs, _quant(), 32, 16, restart_interval=3)
+    assert any(bytes([0xFF, 0xD0 + m]) in blob for m in range(8))
+    got, _ = J.decode_baseline_jpeg(blob, return_coeffs=True)
+    assert np.array_equal(got[0], coeffs)
+    # without RST handling the same stream must NOT decode: corrupt one
+    # marker id and the decoder should notice the sequence break
+    idx = blob.index(b"\xff\xd0", 200)
+    bad = blob[:idx] + b"\xff\xd4" + blob[idx + 2 :]
+    with pytest.raises(ValueError, match="expected RST"):
+        J.decode_baseline_jpeg(bad, return_coeffs=True)
+
+
+def test_byte_stuffing_survives():
+    """DC value chosen so the entropy stream contains literal 0xFF
+    bytes (stuffed as FF00); the decoder must unstuff, not treat them
+    as markers."""
+    rng = np.random.RandomState(11)
+    for _ in range(20):
+        coeffs = _random_coeffs(rng, (1, 2))
+        blob = J.encode_baseline_jpeg(coeffs, _quant(), 16, 8)
+        if b"\xff\x00" in blob[20:]:
+            break
+    else:
+        pytest.skip("no stuffed byte produced in 20 seeds (unexpected)")
+    got, _ = J.decode_baseline_jpeg(blob, return_coeffs=True)
+    assert np.array_equal(got[0], coeffs)
+
+
+def test_color_444_round_trip_and_ycbcr():
+    rng = np.random.RandomState(9)
+    coeffs = np.zeros((3, 1, 2, 8, 8), dtype=np.int64)
+    for ci in range(3):
+        coeffs[ci] = _random_coeffs(rng, (1, 2))
+    blob = J.encode_baseline_jpeg(coeffs, _quant(), 16, 8)
+    got, _ = J.decode_baseline_jpeg(blob, return_coeffs=True)
+    assert np.array_equal(got, coeffs)
+    img = J.decode_baseline_jpeg(blob)
+    assert img.shape == (8, 16, 3)
+    # spot-check the YCbCr->RGB math on the first pixel
+    y, cb, cr = (
+        float(_ref_pixels(coeffs[c], _quant())[0, 0]) for c in range(3)
+    )
+    want = np.clip(
+        np.rint(
+            [
+                y + 1.402 * (cr - 128),
+                y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                y + 1.772 * (cb - 128),
+            ]
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert np.array_equal(img[0, 0], want)
+
+
+def test_dc_only_constant_blocks_decode_losslessly():
+    """The gated-query closed form: even block value v, DC quant 16 =>
+    quantized DC (v-128)/2 is exact and decode returns exactly v."""
+    for v in (0, 2, 128, 200, 254):
+        coeffs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+        coeffs[0, 0, 0, 0] = (v - 128) // 2
+        img = J.decode_baseline_jpeg(J.encode_baseline_jpeg(coeffs, _quant(), 8, 8))
+        assert (img == v).all()
+
+
+def test_non_multiple_of_8_dimensions_crop():
+    coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    img = J.decode_baseline_jpeg(J.encode_baseline_jpeg(coeffs, _quant(), 13, 11))
+    assert img.shape == (11, 13)
+
+
+def test_honest_rejections():
+    coeffs = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    blob = J.encode_baseline_jpeg(coeffs, _quant(), 8, 8)
+    with pytest.raises(ValueError, match="missing SOI"):
+        J.decode_baseline_jpeg(b"XX" + blob[2:])
+    # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
+    idx = blob.index(b"\xff\xc0")
+    prog = blob[:idx] + b"\xff\xc2" + blob[idx + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
+        J.decode_baseline_jpeg(prog)
+    # subsampled 4:2:0 sampling byte: honest NotImplementedError
+    sof_at = idx + 2 + 2  # past marker + length
+    bad = bytearray(blob)
+    bad[sof_at + 6 + 1] = 0x22  # component 1 sampling 2x2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        J.decode_baseline_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|expected marker"):
+        J.decode_baseline_jpeg(blob[:20])
+
+
+def test_decode_media_routes_jpeg():
+    from osm_admin_boundary_conflation_spark.operators.multimodal import (
+        build_jpeg,
+        decode_media,
+    )
+
+    assert decode_media(build_jpeg(42)) == (16, 16)
+    with pytest.raises(NotImplementedError, match="MP3/H.264"):
+        decode_media(b"\x00\x01\x02\x03garbage")
