@@ -82,6 +82,20 @@ def geotag_pages(
     (conflate.py:528 formatting).
     """
     pg = extract_pages_geo(pages, res).select("url", "lat", "lon", "cell_id")
+    return geotag_points(pg, boundaries, res, broadcast_boundaries, n_salt)
+
+
+def geotag_points(
+    pg: DataFrame,
+    boundaries: DataFrame,
+    res: int = 6,
+    broadcast_boundaries: bool = True,
+    n_salt: int = 0,
+) -> DataFrame:
+    """The join+confirm+verdict tail of geotag_pages over already-
+    extracted points pg(url, lat, lon, cell_id) — exposed so skew
+    benchmarks and pre-extracted corpora can drive the join directly
+    without paying the html-extract stage."""
     # persist the covering BEFORE the explode: the covering UDF (the only
     # non-trivial boundary-side work) runs once, and the resolution-level
     # distinct below scans one row per BOUNDARY, not per covering cell

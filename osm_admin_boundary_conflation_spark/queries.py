@@ -7795,3 +7795,78 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 1
     )
     return decode_jpeg_media(build_jpeg_media(docs))
+
+
+def _skew_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately Zipfian point world for the skewed-join gate/bench:
+    300 points per document, 90% of them inside ONE res-6 cell (a city
+    center in nation 12), the rest spread uniformly over the whole 5x5
+    boundary grid. All coordinates are odd integers at 1e-5 degrees so
+    no point ever lands on a boundary edge or a cell line — containment
+    is strict-interior and closed-form on both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = (F.col("doc_id") * 300 + F.col("rep")).alias("i")
+    pts = docs.select(F.explode(F.sequence(F.lit(0), F.lit(299))).alias("rep"), "doc_id").select(i)
+    hot = F.col("i") % 10 != 0
+    lat_e5 = F.when(hot, 4001001 + 2 * (F.col("i") % 449)).otherwise(
+        3500001 + 2 * ((F.col("i") * 31) % 499999)
+    )
+    lon_e5 = F.when(hot, 2501001 + 2 * ((F.col("i") * 7) % 449)).otherwise(
+        1000001 + 2 * ((F.col("i") * 57) % 1499999)
+    )
+    pg = pts.select(
+        F.concat(F.lit("p"), F.col("i").cast("string")).alias("url"),
+        (lat_e5 / 100000.0).alias("lat"),
+        (lon_e5 / 100000.0).alias("lon"),
+    )
+    return pg.withColumn("cell_id", U.cell_expr(F.col("lon"), F.col("lat"), 6))
+
+
+_SKEW_POINTS_SQL = """
+pts AS (
+  SELECT d.doc_id * 300 + r.r AS i
+  FROM documents d CROSS JOIN (SELECT unnest(range(300)) AS r) r
+),
+coords AS (
+  SELECT i,
+    (CASE WHEN i % 10 <> 0 THEN 4001001 + 2 * (i % 449)
+          ELSE 3500001 + 2 * ((i * 31) % 499999) END) / 100000.0 AS lat,
+    (CASE WHEN i % 10 <> 0 THEN 2501001 + 2 * ((i * 7) % 449)
+          ELSE 1000001 + 2 * ((i * 57) % 1499999) END) / 100000.0 AS lon
+  FROM pts
+)
+"""
+
+
+@q(
+    "geotag_skewed_salted",
+    oracle=f"""
+WITH {datagen.BOUNDARIES_CTE}, {_SKEW_POINTS_SQL.strip().lstrip()}
+SELECT b.level9_id AS level9_id, count(*) AS n_points
+FROM coords c JOIN boundaries b
+  ON c.lon >= b.min_lon AND c.lon < b.max_lon
+ AND c.lat >= b.min_lat AND c.lat < b.max_lat
+GROUP BY 1
+""",
+)
+def q_geotag_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-PROOFED shuffle spatial join (VERDICT r04 item 8): a
+    Zipfian world where 90% of all points share ONE cell would pin a
+    single reducer in a plain cell-keyed shuffle join — every hot-cell
+    point-in-polygon confirm lands on one task. The salted path
+    (spatial_join.py geotag_points n_salt=32: pages salt on
+    pmod(xxhash64(url)), boundary cells replicate x32) spreads the hot
+    cell over 32 reducers. The oracle recomputes exact per-nation
+    containment counts; bench.py times this same world salted vs
+    unsalted at sf0.1 so the claim is evidenced by wall-time, not just
+    plan shape (see BENCH/notes.md)."""
+    from .operators.spatial_join import geotag_points
+
+    pg = _skew_points(spark, sf_dir)
+    boundaries = datagen.build_boundaries(spark, sf_dir)
+    tagged = geotag_points(pg, boundaries, broadcast_boundaries=False, n_salt=32)
+    return (
+        tagged.filter(F.col("verdict") == "MATCHED")
+        .groupBy("level9_id")
+        .agg(F.count("*").alias("n_points"))
+    )
