@@ -7870,3 +7870,298 @@ def q_geotag_skewed_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("level9_id")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+def _rev_cp():
+    """Integer cent-percent revenue column (see shipping_priority) —
+    a function because building Columns needs an active session."""
+    return (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).alias("cp")
+
+_REV_CP_SQL = (
+    "CAST(round(l.l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(round(l.l_discount*100) AS BIGINT))"
+)
+
+
+@q(
+    "local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name AS nation_name, CAST(sum({_REV_CP_SQL}) AS BIGINT) AS revenue_cp
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    supplier and customer share a nation inside one region, over one
+    order year. The classic snowflake join: region->nation->supplier
+    dims broadcast; the only big shuffles are orders->lineitem on
+    orderkey and the customer co-nation equi-condition. Money in
+    integer cent-percent units (see shipping_priority)."""
+    d = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    asia = d("region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    nation = d("nation")
+    nat = nation.join(
+        F.broadcast(asia), nation.n_regionkey == asia.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supplier = d("supplier")
+    sup = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = d("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = d("customer").select("c_custkey", "c_nationkey")
+    li = d("lineitem").select("l_orderkey", "l_suppkey", _rev_cp())
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (sup.s_nationkey == cust.c_nationkey))
+    )
+    return j.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.sum("cp").alias("revenue_cp")
+    )
+
+
+@q(
+    "returned_item_report",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, CAST(sum({_REV_CP_SQL}) AS BIGINT) AS revenue_cp,
+       n.n_name AS nation_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4
+ORDER BY revenue_cp DESC, c_custkey LIMIT 20
+""",
+)
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): top-20 customers by revenue
+    lost to returns in one quarter. Date + returnflag predicates push
+    to the scans; nation broadcast; top-20 is TakeOrderedAndProject
+    with a custkey tiebreak."""
+    d = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    orders = d("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = d("lineitem").filter(F.col("l_returnflag") == "R").select("l_orderkey", _rev_cp())
+    cust = d("customer").select("c_custkey", "c_name", "c_nationkey")
+    nat = d("nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "nation_name")
+        .agg(F.sum("cp").alias("revenue_cp"))
+        .select("c_custkey", "c_name", "revenue_cp", "nation_name")
+        .orderBy(F.desc("revenue_cp"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "promo_revenue_share",
+    oracle=f"""
+WITH j AS (
+  SELECT p.p_type, {_REV_CP_SQL} AS cp
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cp ELSE 0 END) AS BIGINT) AS promo_cp,
+       CAST(sum(cp) AS BIGINT) AS total_cp,
+       CAST(10000 * sum(CASE WHEN p_type = 'PROMO' THEN cp ELSE 0 END) // sum(cp) AS BIGINT) AS promo_bp
+FROM j
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO parts, as an INTEGER-RATIONAL basis-point floor (float
+    percentages are summation-order-dependent and ungateable; the
+    (numerator, denominator, floor-divided bp) triple is exact on both
+    engines). Part dim broadcast into the date-pruned lineitem scan."""
+    d = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li = d("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_partkey", _rev_cp())
+    part = d("part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("cp")).otherwise(F.lit(0)))
+    return j.agg(
+        promo.alias("promo_cp"),
+        F.sum("cp").alias("total_cp"),
+        F.floor(10000 * promo / F.sum("cp")).cast("long").alias("promo_bp"),
+    )
+
+
+@q(
+    "discounted_revenue_branches",
+    oracle=f"""
+SELECT CAST(sum({_REV_CP_SQL}) AS BIGINT) AS revenue_cp, count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND round(l.l_quantity) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND round(l.l_quantity) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND round(l.l_quantity) BETWEEN 20 AND 30)
+""",
+)
+def q_discounted_revenue_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted to this schema's
+    columns): three OR-branches of brand x size x quantity windows —
+    the disjunctive-predicate join Catalyst must NOT turn into a cross
+    product. The part dim broadcasts; the disjunction evaluates
+    post-join JVM-side; quantity is rounded to integer on both engines
+    before the BETWEENs so no float comparison gates the rows."""
+    d = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li = d("lineitem").select("l_partkey", F.round("l_quantity").alias("qty"), _rev_cp())
+    part = d("part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("qty").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("qty").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("qty").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum("cp").alias("revenue_cp"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+_BIGRAMS_SQL = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[CAST(r.i AS BIGINT)+1] || ' ' || t[CAST(r.i AS BIGINT)+2] AS bg
+  FROM toks, unnest(range(len(t)-1)) AS r(i)
+  WHERE len(t) >= 2
+)
+"""
+
+
+def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, bg) one row per consecutive token bigram.
+    JVM-side: split + transform over an index sequence (guarded — Spark
+    sequence(0, -1) DESCENDS, so short docs get an explicit empty
+    array), then explode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toked = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    bgs = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(0, size(t) - 2),"
+            " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select("doc_id", F.explode(bgs).alias("bg"))
+
+
+@q(
+    "ngram_lm_score",
+    oracle=f"""
+WITH {_BIGRAMS_SQL.strip()},
+lm AS (
+  SELECT bg, count(*) AS c FROM big WHERE doc_id % 2 = 0 GROUP BY bg
+)
+SELECT b.doc_id, count(*) AS n_bigrams, count(l.c) AS n_matched,
+       CAST(coalesce(sum(l.c), 0) AS BIGINT) AS score_sum
+FROM big b LEFT JOIN lm l USING (bg)
+WHERE b.doc_id % 2 = 1
+GROUP BY b.doc_id
+""",
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM LM QUALITY SCORING (the KenLM-style filter of a training
+    pipeline, integer form): a bigram count model is trained on half
+    the corpus and each held-out document is scored by the summed
+    training counts of its bigrams plus its bigram coverage. Integer
+    counts end-to-end (log-prob sums are float-order-dependent and
+    ungateable; the count sum ranks documents identically for a fixed
+    denominator). Scale shape: the LM is a groupBy over the training
+    half; scoring is one equi-join on the bigram key — at 100 TB the
+    model side shards like any fact table, no driver-side vocabulary."""
+    big = _bigrams(spark, sf_dir)
+    lm = (
+        big.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        big.filter(F.col("doc_id") % 2 == 1)
+        .join(lm, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("c").alias("n_matched"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("score_sum"),
+        )
+    )
+
+
+@q(
+    "vocab_oov_rate",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+    FROM toks GROUP BY tok
+  ) WHERE rn <= 10
+)
+SELECT t.source, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM toks t LEFT JOIN vocab v USING (tok)
+GROUP BY t.source
+""",
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER VOCABULARY COVERAGE: build a frequency-ranked vocab
+    (top-10 tokens, count-desc with lexicographic tiebreak so the cut
+    is deterministic under ties) and report per-source token and
+    out-of-vocabulary counts — the coverage audit run before freezing
+    a tokenizer. The vocab cut is TakeOrderedAndProject (orderBy +
+    limit, never a single-partition window) and broadcasts into the
+    token stream; token counting is one partial-agg groupBy."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(10)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
