@@ -8165,3 +8165,94 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_oov"),
         )
     )
+
+
+@q(
+    "gzip_jsonl_roundtrip",
+    oracle=r"""
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(event_id % 1000) AS BIGINT) AS id_checksum,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def q_gzip_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-COMPRESSED JSONL source/sink (the wire format most webtext
+    crawl dumps actually arrive in): events are written as .json.gz
+    shards (Spark's native gzip codec), then read back THROUGH the
+    compressed source with an explicit schema — no schema inference
+    pass, which at 100 TB would be a second full decompress-scan. The
+    census must survive the text round trip exactly. Scale note: gzip
+    shards are NOT splittable — one shard = one task — so the writer
+    shards to many files (here 8) deliberately; that, not file size,
+    sets the read parallelism."""
+    import tempfile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="gz_jsonl_") + "/events"
+    ev.repartition(8).write.mode("overwrite").option("compression", "gzip").json(out)
+    back = spark.read.schema("event_id bigint, user_id bigint, event_type string").json(
+        out
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("event_id") % 1000).alias("id_checksum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@q(
+    "snapshot_concurrent_commits",
+    oracle=r"""
+SELECT CAST(r.r + 1 AS BIGINT) AS version,
+       CASE WHEN r.r = 0 THEN NULL ELSE CAST(r.r AS BIGINT) END AS parent,
+       CAST(10 AS BIGINT) AS n_appended,
+       CAST(120 AS BIGINT) AS total_rows
+FROM (SELECT unnest(range(12)) AS r) r
+""",
+)
+def q_snapshot_concurrent_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC CONCURRENCY under real contention as a hard gate:
+    four writer threads race 12 append commits (10 rows each) into one
+    snapshot table. WHICH writer claims WHICH version is scheduling-
+    dependent, but the protocol (atomic manifest hard-link claim,
+    losers re-resolve the parent and retry — sources/snapshot_table.py
+    _commit_manifest) guarantees the observable outcome exactly: a
+    gapless version sequence 1..12, each parent = version-1, every
+    commit's 10 rows present, 120 rows total. A lost update, clobbered
+    data dir, or forked chain would each break a different column."""
+    import tempfile
+    import threading
+
+    from .sources import snapshot_table as ST
+
+    loc = tempfile.mkdtemp(prefix="snap_conc_") + "/tbl"
+    n_writers, per = 4, 3
+    barrier = threading.Barrier(n_writers)
+    errs: list[Exception] = []
+
+    def writer(k: int) -> None:
+        try:
+            barrier.wait()
+            for j in range(per):
+                lo = (k * per + j) * 10
+                ST.write_append_snapshot(spark.range(lo, lo + 10), loc, commit_ms=0)
+        except Exception as e:  # surfaced via the errs row-count below
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(k,)) for k in range(n_writers)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    if errs:
+        raise errs[0]
+
+    total = ST.read_snapshot(spark, loc).count()
+    rows = [
+        (h["version"], h["parent"], h["n_appended"], total)
+        for h in ST.snapshot_history(loc)
+    ]
+    return spark.createDataFrame(
+        rows, "version long, parent long, n_appended long, total_rows long"
+    )

@@ -200,6 +200,7 @@ def snapshot_history(location: str) -> list[dict]:
             m = json.load(f)
         row = {k: m[k] for k in ("version", "parent", "committed_at_ms", "n_rows")}
         row["type"] = m.get("type", "data")
+        row["n_appended"] = m.get("n_appended")
         out.append(row)
     return out
 
