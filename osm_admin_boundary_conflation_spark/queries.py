@@ -8256,3 +8256,59 @@ def q_snapshot_concurrent_commits(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         rows, "version long, parent long, n_appended long, total_rows long"
     )
+
+
+@q(
+    "snapshot_schema_evolution",
+    oracle=r"""
+WITH old AS (
+  SELECT event_id, user_id FROM events WHERE event_id % 2 = 0
+),
+new AS (
+  SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 1
+),
+merged AS (
+  SELECT event_id, user_id, NULL AS event_type FROM old
+  UNION ALL SELECT * FROM new
+)
+SELECT coalesce(event_type, '<pre-column>') AS event_type,
+       count(*) AS n_rows,
+       CAST(sum(event_id % 1000) AS BIGINT) AS id_checksum
+FROM merged GROUP BY 1
+""",
+)
+def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-TIME SCHEMA EVOLUTION on the snapshot table (the
+    add-a-column migration every long-lived table eventually does): the
+    first append lacks `event_type`, a later append carries it; readers
+    see the union schema with nulls where a batch predates the column
+    (unionByName allowMissingColumns through the chain — the snapshot
+    layer's analogue of Iceberg schema evolution / parquet
+    mergeSchema). The census proves no row or value was dropped or
+    misaligned by the widening."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    loc = tempfile.mkdtemp(prefix="snap_evo_") + "/tbl"
+    ST.write_append_snapshot(
+        ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id"),
+        loc,
+        commit_ms=1000,
+    )
+    ST.write_append_snapshot(
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "event_type"
+        ),
+        loc,
+        commit_ms=2000,
+    )
+    return (
+        ST.read_snapshot(spark, loc)
+        .groupBy(F.coalesce("event_type", F.lit("<pre-column>")).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("event_id") % 1000).alias("id_checksum"),
+        )
+    )

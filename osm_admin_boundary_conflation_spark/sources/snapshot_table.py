@@ -176,9 +176,13 @@ def read_snapshot(
         batch = spark.read.parquet(os.path.join(location, manifest["data_dir"]))
         if manifest["parent"] is None:
             return batch
+        # allowMissingColumns = append-time schema EVOLUTION (the add-a-
+        # column capability of real table formats): an append may carry
+        # columns its ancestors lack and vice versa; readers see the
+        # union schema with nulls where a batch predates a column
         return read_snapshot(
             spark, location, version=manifest["parent"], _depth=_depth + 1
-        ).unionByName(batch)
+        ).unionByName(batch, allowMissingColumns=True)
     if manifest.get("type") == "delete":
         # merge-on-read: parent snapshot minus the persisted key list
         # (recursion folds an arbitrary delete chain; each level is one
