@@ -267,7 +267,7 @@ def orient_by_degree(e: DataFrame) -> DataFrame:
         .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
     )
     # rank = (deg, id); a < b always, so ties break toward a
-    a_low = (F.col("da") < F.col("db")) | (F.col("da") == F.col("db"))
+    a_low = F.col("da") <= F.col("db")
     return edr.select(
         F.when(a_low, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_low, F.col("b")).otherwise(F.col("a")).alias("dst"),
