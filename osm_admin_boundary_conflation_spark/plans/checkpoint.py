@@ -40,10 +40,17 @@ class StageRunner:
     no _SUCCESS marker and are recomputed).
     """
 
-    def __init__(self, spark: SparkSession, checkpoint_dir: str, run_id: str = "run"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        run_id: str = "run",
+        metrics_fmt: str = "parquet",
+    ):
         self.spark = spark
         self.dir = checkpoint_dir
         self.run_id = run_id
+        self.metrics_fmt = metrics_fmt  # 'parquet' | 'snapshot' (versioned)
         self.recomputed: list[str] = []
         self.resumed: list[str] = []
 
@@ -81,10 +88,30 @@ class StageRunner:
                 F.lit(round(wall_s * 1000)).cast("long").alias("stage_wall_ms"),
             )
         )
-        metrics.write.mode("append").parquet(os.path.join(self.dir, "_metrics"))
+        if self.metrics_fmt == "snapshot":
+            # versioned lineage: one append COMMIT per stage, so the
+            # metrics table's history is itself the run ledger (the
+            # north rule's metrics-to-Iceberg contract; snapshot layer
+            # is the sandbox stand-in, swap confined to sources/io.py)
+            from ..sources import snapshot_table as ST
+
+            ST.write_append_snapshot(metrics, os.path.join(self.dir, "_metrics"))
+        else:
+            metrics.write.mode("append").parquet(os.path.join(self.dir, "_metrics"))
 
     def metrics(self) -> DataFrame:
+        if self.metrics_fmt == "snapshot":
+            from ..sources import snapshot_table as ST
+
+            return ST.read_snapshot(self.spark, os.path.join(self.dir, "_metrics"))
         return self.spark.read.parquet(os.path.join(self.dir, "_metrics"))
+
+    def metrics_history(self) -> list[dict]:
+        """The versioned run ledger (snapshot metrics only): one append
+        commit per recomputed stage, in commit order."""
+        from ..sources import snapshot_table as ST
+
+        return ST.snapshot_history(os.path.join(self.dir, "_metrics"))
 
 
 def resume_anti_join(work: DataFrame, checkpoint: DataFrame, keys: list[str]) -> DataFrame:

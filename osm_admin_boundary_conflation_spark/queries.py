@@ -8312,3 +8312,63 @@ def q_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("event_id") % 1000).alias("id_checksum"),
         )
     )
+
+
+@q(
+    "lineage_snapshot_log",
+    oracle="""
+SELECT 'gate' AS run_id, 'filtered' AS stage,
+       CAST((SELECT count(*) FROM customer WHERE c_acctbal >= 1000.0) AS BIGINT) AS rows_total,
+       CAST(2 AS BIGINT) AS n_commits
+UNION ALL
+SELECT 'gate', 'segments',
+       CAST((SELECT count(DISTINCT c_mktsegment) FROM customer WHERE c_acctbal >= 1000.0) AS BIGINT),
+       CAST(2 AS BIGINT)
+""",
+)
+def q_lineage_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSIONED per-partition lineage (the north rule's
+    metrics-logged-to-Iceberg contract, on the snapshot stand-in):
+    StageRunner(metrics_fmt='snapshot') commits each stage's lineage
+    rows as ONE append snapshot, so the metrics table's history IS the
+    run ledger — one commit per recomputed stage, time-travelable. The
+    gate re-runs the pipeline (everything resumes) and proves the
+    ledger gained NOTHING: per-stage totals from the versioned table
+    plus the commit count, both pinned by the oracle."""
+    import tempfile
+
+    from .plans.checkpoint import StageRunner
+
+    with tempfile.TemporaryDirectory(prefix="lineage_snap_") as td:
+        def pipeline():
+            runner = StageRunner(spark, td, run_id="gate", metrics_fmt="snapshot")
+            filtered = runner.stage(
+                "filtered",
+                lambda: spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+                    F.col("c_acctbal") >= 1000.0
+                ),
+            )
+            runner.stage(
+                "segments",
+                lambda: filtered.groupBy("c_mktsegment").agg(
+                    F.count("*").alias("n")
+                ),
+            )
+            return runner
+
+        runner = pipeline()
+        assert runner.recomputed == ["filtered", "segments"]
+        rerun = pipeline()  # resume: no new stage, no new metric commit
+        assert rerun.resumed == ["filtered", "segments"] and not rerun.recomputed
+        n_commits = len(rerun.metrics_history())
+        out = (
+            rerun.metrics()
+            .groupBy("run_id", "stage")
+            .agg(F.sum("rows_out").alias("rows_total"))
+        )
+        rows = [
+            (r["run_id"], r["stage"], r["rows_total"], n_commits) for r in out.collect()
+        ]
+    return spark.createDataFrame(
+        rows, "run_id string, stage string, rows_total bigint, n_commits bigint"
+    )
