@@ -85,6 +85,23 @@ def geotag_pages(
     return geotag_points(pg, boundaries, res, broadcast_boundaries, n_salt)
 
 
+AUTO_BROADCAST_MAX_BOUNDARIES = 100_000
+
+
+def pick_geotag_strategy(boundaries: DataFrame) -> tuple[bool, int]:
+    """Choose (broadcast_boundaries, n_salt) from the DIM side's size —
+    the decision a planner makes per run at 100 TB: a boundary table
+    that fits an executor broadcasts (pages never shuffle); past the
+    threshold the join must shuffle, and then salting is mandatory
+    because city-center cells are always Zipfian (BENCH/notes.md
+    measures the 2x). One bounded count() on the dim side only — never
+    on the fact side."""
+    n = boundaries.count()
+    if n <= AUTO_BROADCAST_MAX_BOUNDARIES:
+        return True, 0
+    return False, 32
+
+
 def geotag_points(
     pg: DataFrame,
     boundaries: DataFrame,

@@ -8372,3 +8372,75 @@ def q_lineage_snapshot_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "run_id string, stage string, rows_total bigint, n_commits bigint"
     )
+
+
+@q(
+    "snapshot_cdc_diff",
+    oracle=r"""
+WITH ev AS (SELECT DISTINCT event_id, user_id FROM events),
+cls AS (
+  SELECT event_id,
+         CASE
+           WHEN event_id % 2 = 0 AND event_id % 10 = 0 THEN 'removed'
+           WHEN event_id % 2 = 0 AND event_id % 6 = 0 THEN 'changed'
+           WHEN event_id % 2 = 0 THEN 'unchanged'
+           WHEN event_id % 10 = 5 THEN 'added'
+         END AS change_type
+  FROM ev
+)
+SELECT change_type, count(*) AS n_keys,
+       CAST(sum(event_id % 1000) AS BIGINT) AS key_checksum
+FROM cls WHERE change_type IS NOT NULL
+GROUP BY change_type
+""",
+)
+def q_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between table versions (the incremental-consumer read path
+    of a versioned table): v1 holds the even-id events; v2 drops ids
+    divisible by 10, bumps user_id on ids divisible by 6, and adds the
+    odd ids ending in 5. snapshot_changes classifies every key with
+    one full-outer join + row fingerprint; the oracle pins the exact
+    per-class key counts and checksums from the closed form."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    ).distinct()
+    loc = tempfile.mkdtemp(prefix="snap_cdc_") + "/tbl"
+    v1 = ev.filter(F.col("event_id") % 2 == 0)
+    ST.write_snapshot(v1, loc, commit_ms=1000)
+    kept = v1.filter(F.col("event_id") % 10 != 0).withColumn(
+        "user_id",
+        F.col("user_id") + F.when(F.col("event_id") % 6 == 0, 1).otherwise(0),
+    )
+    added = ev.filter(F.col("event_id") % 10 == 5)
+    ST.write_snapshot(kept.unionByName(added), loc, commit_ms=2000)
+    return (
+        ST.snapshot_changes(spark, loc, "event_id", 1, 2)
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("event_id") % 1000).alias("key_checksum"),
+        )
+    )
+
+
+@q("geotag_auto_strategy", oracle=ORACLES["geotag"])
+def q_geotag_auto_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANNER-PICKED join strategy: pick_geotag_strategy sizes the dim
+    side (one bounded count on boundaries, never on pages) and chooses
+    broadcast vs salted-shuffle — the per-run decision a 100 TB deploy
+    makes when the boundary table ranges from 25 rectangles to a
+    continent's cadastre. Output must be identical to `geotag`
+    whichever path is taken (same oracle)."""
+    from .operators.spatial_join import geotag_pages, pick_geotag_strategy
+
+    pages = datagen.build_pages(spark, sf_dir)
+    boundaries = datagen.build_boundaries(spark, sf_dir)
+    bcast, n_salt = pick_geotag_strategy(boundaries)
+    tagged = geotag_pages(
+        pages, boundaries, broadcast_boundaries=bcast, n_salt=n_salt
+    )
+    return tagged.select("url", "level9_id", "cell_id", "verdict")

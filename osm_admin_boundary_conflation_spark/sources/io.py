@@ -51,14 +51,14 @@ def write_table(
         # Honor the caller's intent instead of silently full-replacing
         # (ADVICE r04 item 3): append routes to an append commit,
         # anything else unsupported fails loudly.
-        if partition_by:
-            raise ValueError(
-                "partition_by is not supported for fmt='snapshot' "
-                "(the snapshot layer tracks whole data dirs per commit)"
-            )
         if mode == "overwrite":
-            snapshot_table.write_snapshot(df, location)
+            snapshot_table.write_snapshot(df, location, partition_by=partition_by)
         elif mode == "append":
+            if partition_by:
+                raise ValueError(
+                    "partition_by on append commits is not supported — "
+                    "partition the base snapshot (mode='overwrite') instead"
+                )
             snapshot_table.write_append_snapshot(df, location)
         else:
             raise ValueError(f"unsupported mode {mode!r} for fmt='snapshot'")

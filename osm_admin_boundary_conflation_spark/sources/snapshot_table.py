@@ -46,14 +46,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
 
 
-def _write_counted(df: DataFrame, ddir: str) -> int:
+def _write_counted(df: DataFrame, ddir: str, partition_by: list[str] | None = None) -> int:
     """Write `df` as parquet and return its row count WITHOUT a second
     scan (VERDICT r04 item 3: re-reading the just-written files to
     count doubles every commit's write cost at scale). An Observation
     folded into the write job harvests the exact count as a side
     effect of the single pass."""
     obs = Observation()
-    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(ddir)
+    w = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(ddir)
     return int(obs.get["n"])
 
 
@@ -121,13 +124,21 @@ def _versions(location: str) -> list[int]:
     return sorted(out)
 
 
-def write_snapshot(df: DataFrame, location: str, commit_ms: int | None = None) -> int:
+def write_snapshot(
+    df: DataFrame,
+    location: str,
+    commit_ms: int | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
     """Commit `df` as the next snapshot of the table at `location`.
-    Returns the new version number. Data first, manifest rename last —
+    Returns the new version number. Data first, manifest link last —
     a crash between the two leaves the table at its previous version
-    (the orphaned data dir is invisible to readers and reclaimable)."""
+    (the orphaned data dir is invisible to readers and reclaimable).
+    `partition_by` lays the snapshot out hive-partitioned so reads
+    through time travel keep PARTITION PRUNING — the layout every
+    100 TB fact table needs; the manifest records the spec."""
     ddir = _new_data_dir(location)
-    n_rows = _write_counted(df, ddir)
+    n_rows = _write_counted(df, ddir, partition_by)
     schema = df.schema.jsonValue()
 
     def build(version: int, parent: int | None) -> dict:
@@ -136,6 +147,7 @@ def write_snapshot(df: DataFrame, location: str, commit_ms: int | None = None) -
             "parent": parent,
             "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
             "n_rows": n_rows,
+            "partition_by": partition_by,
             "data_dir": os.path.relpath(ddir, location),
             "schema": schema,
         }
@@ -349,3 +361,39 @@ def write_append_snapshot(
         }
 
     return _commit_manifest(location, build)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    location: str,
+    key_col: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """CHANGE DATA CAPTURE between two committed versions: one
+    full-outer join on the key classifies every row as added / removed
+    / changed / unchanged (value comparison via a 64-bit row
+    fingerprint over the shared non-key columns — engine-internal, so
+    no cross-engine hash portability constraint). This is the diff a
+    downstream incremental consumer reads instead of the full table —
+    O(|v_a| + |v_b|) with one shuffle on the key, no driver state."""
+    a = read_snapshot(spark, location, version=from_version).alias("a")
+    b = read_snapshot(spark, location, version=to_version).alias("b")
+    shared = [c for c in b.columns if c != key_col and c in a.columns]
+
+    def fp(side: str):
+        if not shared:
+            return F.lit(0)
+        return F.xxhash64(*[F.col(f"{side}.{c}") for c in shared])
+
+    j = a.join(b, F.col(f"a.{key_col}") == F.col(f"b.{key_col}"), "full_outer")
+    change = (
+        F.when(F.col(f"a.{key_col}").isNull(), F.lit("added"))
+        .when(F.col(f"b.{key_col}").isNull(), F.lit("removed"))
+        .when(fp("a") != fp("b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce(F.col(f"a.{key_col}"), F.col(f"b.{key_col}")).alias(key_col),
+        change.alias("change_type"),
+    )

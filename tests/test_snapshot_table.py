@@ -201,9 +201,26 @@ def test_io_seam_snapshot_append_and_rejections(spark, tmp_path):
     assert read_table(spark, loc, fmt="snapshot").count() == 9
     assert ST.snapshot_history(loc)[-1]["type"] == "append"
     with _pytest.raises(ValueError, match="partition_by"):
-        write_table(spark.range(2), loc, fmt="snapshot", partition_by=["id"])
+        write_table(spark.range(2), loc, mode="append", fmt="snapshot", partition_by=["id"])
     with _pytest.raises(ValueError, match="unsupported mode"):
         write_table(spark.range(2), loc, mode="error", fmt="snapshot")
+
+
+def test_partitioned_snapshot_prunes_partitions(spark, tmp_path):
+    """write_snapshot(partition_by=...) lays the data out hive-style;
+    a filtered read THROUGH time travel must show PartitionFilters in
+    the scan — pruning survives the snapshot indirection."""
+    import pyspark.sql.functions as F
+
+    loc = str(tmp_path / "tbl")
+    df = spark.range(100).withColumn("bucket", F.col("id") % 5)
+    ST.write_snapshot(df, loc, commit_ms=1, partition_by=["bucket"])
+    assert ST.snapshot_history(loc)[-1]["n_rows"] == 100
+
+    got = ST.read_snapshot(spark, loc).filter(F.col("bucket") == 3)
+    assert got.count() == 20
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan and "= 3)" in plan
 
 
 def test_commit_counts_without_second_scan(spark, tmp_path, monkeypatch):
