@@ -8444,3 +8444,93 @@ def q_geotag_auto_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages, boundaries, broadcast_boundaries=bcast, n_salt=n_salt
     )
     return tagged.select("url", "level9_id", "cell_id", "verdict")
+
+
+@q(
+    "stream_merge_upsert_mor",
+    oracle=r"""
+WITH ev AS (SELECT DISTINCT event_id, user_id FROM events),
+final AS (
+  SELECT event_id,
+         user_id + CASE WHEN event_id % 2 = 0 AND event_id % 10 != 0
+                        THEN 1000 ELSE 0 END AS user_id
+  FROM ev
+  WHERE (event_id % 2 = 0 AND event_id % 10 != 0) OR event_id % 10 = 5
+)
+SELECT CAST(user_id % 7 AS BIGINT) AS user_bucket,
+       count(*) AS n_rows,
+       CAST(sum(event_id % 1000) AS BIGINT) AS id_checksum,
+       CAST(7 AS BIGINT) AS n_commits
+FROM final GROUP BY 1
+""",
+)
+def q_stream_merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MERGE-ON-READ UPSERT into the versioned table: each
+    micro-batch of CDC ops (U/I/D keyed on event_id) applies as one
+    DELETE commit (the batch's keys — a no-op for fresh inserts) plus
+    one APPEND commit (the surviving rows) — O(batch) write cost per
+    trigger instead of the copy-on-write full rewrite
+    (snapshot_merge_upsert), the only affordable MERGE shape when a
+    10^12-row table takes a trickle of updates. The gate replays 3
+    batches (keys partitioned by id%3 so each key is touched once),
+    reads the final state THROUGH the delete+append chain, and pins
+    the census plus the commit ledger (1 base + 3x2 = 7 commits)."""
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id")
+        .distinct()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_mor_")
+    loc = os.path.join(tmp, "tbl")
+    ST.write_snapshot(ev.filter(F.col("event_id") % 2 == 0), loc, commit_ms=0)
+
+    op = (
+        F.when((F.col("event_id") % 2 == 0) & (F.col("event_id") % 10 == 0), "D")
+        .when(F.col("event_id") % 2 == 0, "U")
+        .when(F.col("event_id") % 10 == 5, "I")
+    )
+    changes = ev.select(
+        "event_id",
+        (F.col("user_id") + F.when(op == "U", 1000).otherwise(0)).alias("user_id"),
+        op.alias("op"),
+    ).filter(F.col("op").isNotNull())
+    in_dir = os.path.join(tmp, "in")
+    for k in range(3):
+        changes.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ST.write_delete_snapshot(batch_df.select("event_id"), loc, "event_id")
+        ST.write_append_snapshot(
+            batch_df.filter(F.col("op") != "D").drop("op"), loc
+        )
+
+    (
+        spark.readStream.schema("event_id bigint, user_id bigint, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    n_commits = len(ST.snapshot_history(loc))
+    return (
+        ST.read_snapshot(spark, loc)
+        .groupBy((F.col("user_id") % 7).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("event_id") % 1000).alias("id_checksum"),
+            F.lit(n_commits).cast("long").alias("n_commits"),
+        )
+    )
