@@ -8534,3 +8534,80 @@ def q_stream_merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_commits).cast("long").alias("n_commits"),
         )
     )
+
+
+@q(
+    "exact_substring_spans",
+    oracle=r"""
+WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)),'\s+') AS t FROM documents),
+grams AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+         array_to_string(t[CAST(r.i AS BIGINT)+1 : CAST(r.i AS BIGINT)+8], ' ') AS gram
+  FROM toks, unnest(range(len(t)-7)) r(i)
+  WHERE len(t) >= 8
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+  FROM isl
+),
+spans AS (SELECT doc_id, gid, min(pos) AS s, max(pos) + 8 AS e FROM grp GROUP BY doc_id, gid)
+SELECT doc_id, count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS masked_tokens
+FROM spans GROUP BY doc_id
+""",
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING DEDUP SPANS (the deduplicate-text-datasets /
+    Lee et al. operator, token-gram form): every 8-token gram shared by
+    >= 2 distinct documents marks its positions; overlapping marked
+    intervals merge into maximal spans (gaps-and-islands window per
+    doc) and each doc reports how many spans and how many tokens a
+    masking pass would remove. All integer positions — exact on both
+    engines. Scale shape: grams shuffle once on the gram key for the
+    cross-doc frequency test (content-defined, no fixed-position
+    alignment trap), hits window per doc_id; for a Zipfian hot gram
+    the frequency test is a count-distinct groupBy (map-side partial),
+    never a pair self-join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toked = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    gs = F.when(
+        F.size("t") >= 8,
+        F.expr(
+            "transform(sequence(0, size(t) - 8),"
+            " i -> struct(i AS pos, concat_ws(' ', slice(t, i + 1, 8)) AS gram))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:long,gram:string>>"))
+    grams = toked.select("doc_id", F.explode(gs).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= 8, 0).otherwise(1)
+    grp = hits.select(
+        "doc_id",
+        "pos",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("gid"),
+    )
+    spans = grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 8).alias("e")
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("masked_tokens"),
+    )
