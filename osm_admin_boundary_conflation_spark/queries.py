@@ -8611,3 +8611,100 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("masked_tokens"),
     )
+
+
+@q(
+    "mixture_token_budget",
+    oracle=r"""
+WITH tc AS (
+  SELECT source, CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CASE WHEN source IN ('src0','src1','src2') THEN 3 ELSE 1 END AS weight
+  FROM tc
+),
+tot AS (SELECT sum(weight) AS wsum FROM w)
+SELECT source, n_tokens,
+       CAST(1000000 * weight // wsum AS BIGINT) AS alloc_tokens,
+       CAST(least(10000, 10000 * (1000000 * weight // wsum) // n_tokens) AS BIGINT)
+         AS sample_rate_bp
+FROM w, tot
+""",
+)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-MIXTURE TOKEN BUDGETING (data mixology): given
+    per-source token counts and target mixture weights (3x for the
+    first three sources), allocate a 1M-token budget by weight and
+    derive each source's sampling rate in basis points, capped at
+    10000 (can't sample more than exists). All integer floor division
+    — the allocation a mixture sampler (see mixture_sample) would
+    consume. One scan, one groupBy; the weight/total join is a 1-row
+    broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = (
+        docs.select(
+            "source",
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    w = tc.withColumn(
+        "weight",
+        F.when(F.col("source").isin("src0", "src1", "src2"), 3).otherwise(1),
+    )
+    tot = w.agg(F.sum("weight").alias("wsum"))
+    alloc = F.floor(1000000 * F.col("weight") / F.col("wsum"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.least(F.lit(10000), F.floor(10000 * alloc / F.col("n_tokens")))
+        .cast("long")
+        .alias("sample_rate_bp"),
+    )
+
+
+@q(
+    "snapshot_vacuum_gc",
+    oracle=r"""
+SELECT CAST(2 AS BIGINT) AS n_orphans_removed,
+       CAST(1 AS BIGINT) AS n_tmp_swept,
+       (SELECT count(*) FROM events WHERE event_id % 4 = 0) AS n_rows_intact
+""",
+)
+def q_snapshot_vacuum_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARBAGE COLLECTION of the versioned table: two crashed commit
+    attempts (data dirs that never won a manifest) and one half-written
+    manifest tmp are planted next to a live snapshot; vacuum() must
+    reclaim exactly the orphans — never a referenced dir — and the
+    table must read back intact afterward. The storage-maintenance op
+    every optimistic-concurrency format needs, gated end-to-end."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 4 == 0
+    )
+    loc = tempfile.mkdtemp(prefix="snap_gc_") + "/tbl"
+    ST.write_snapshot(ev, loc, commit_ms=1)
+    # plant two crashed attempts + one torn manifest
+    spark.range(5).write.parquet(ST._new_data_dir(loc))
+    spark.range(7).write.parquet(ST._new_data_dir(loc))
+    with open(ST._manifest_path(loc, 99) + ".planted.tmp", "w") as f:
+        _json.dump({"version": 99}, f)
+
+    removed = ST.vacuum(loc)
+    tmp_left = [
+        f for f in os.listdir(ST._meta_dir(loc)) if f.endswith(".tmp")
+    ]
+    n = ST.read_snapshot(spark, loc).count()
+    return spark.createDataFrame(
+        [(len(removed), 1 - len(tmp_left), n)],
+        "n_orphans_removed long, n_tmp_swept long, n_rows_intact long",
+    )
