@@ -2,6 +2,8 @@
 round trips, pixel differentials against a direct IDCT reference, and
 honest rejections. No Spark needed — these are pure-kernel tests."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -177,3 +179,39 @@ def test_decode_media_routes_jpeg():
     assert decode_media(build_jpeg(42)) == (16, 16)
     with pytest.raises(NotImplementedError, match="MP3/H.264"):
         decode_media(b"\x00\x01\x02\x03garbage")
+
+
+def test_property_roundtrip_random_coeff_matrices():
+    """Hypothesis-style property (seeded sweep): ANY int coefficient
+    block within JPEG's codable range must entropy-round-trip exactly,
+    for 1..3 components and varying restart intervals."""
+    rng = np.random.RandomState(20260817)
+    for trial in range(25):
+        nc = rng.choice([1, 3])
+        by, bx = rng.randint(1, 4), rng.randint(1, 4)
+        coeffs = np.zeros((nc, by, bx, 8, 8), dtype=np.int64)
+        for ci in range(nc):
+            coeffs[ci] = _random_coeffs(rng, (by, bx))
+        ri = int(rng.choice([0, 1, 2, 5]))
+        blob = J.encode_baseline_jpeg(coeffs, _quant(), bx * 8, by * 8, restart_interval=ri)
+        got, _ = J.decode_baseline_jpeg(blob, return_coeffs=True)
+        assert np.array_equal(got, coeffs), f"trial {trial} nc={nc} ri={ri}"
+
+
+def test_fuzz_corruption_never_hangs_or_miscrashes():
+    """Deterministic byte-corruption fuzz: a flipped byte anywhere in
+    the stream must either still decode (corruption may land in
+    ignorable padding / produce other valid symbols) or raise a clean
+    ValueError/NotImplementedError — never hang, never segfault-style
+    explode. Bounds the entropy decoder's failure behavior."""
+    rng = np.random.RandomState(99)
+    coeffs = _random_coeffs(rng, (2, 2))
+    blob = bytearray(J.encode_baseline_jpeg(coeffs, _quant(), 16, 16))
+    for i in range(2, len(blob), max(1, len(blob) // 60)):
+        bad = bytearray(blob)
+        bad[i] ^= 0x5A
+        try:
+            J.decode_baseline_jpeg(bytes(bad))
+        except (ValueError, NotImplementedError, IndexError, struct.error):
+            pass
+

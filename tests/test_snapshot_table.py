@@ -290,3 +290,21 @@ def test_concurrent_append_commits_no_lost_update(spark, tmp_path):
         with open(ST._manifest_path(loc, v)) as f:
             dirs.add(_json.load(f)["data_dir"])
     assert len(dirs) == n_writers * per
+
+
+def test_compaction_preserves_batch_watermark(spark, tmp_path):
+    """Folding the append chain must NOT reset streaming idempotence:
+    latest_batch_id scans ALL manifests, so a replayed batch after a
+    compaction is still skipped."""
+    from osm_admin_boundary_conflation_spark.streaming.stream_ingest import (
+        commit_batch_idempotent,
+    )
+
+    loc = str(tmp_path / "tbl")
+    for b in range(4):
+        assert commit_batch_idempotent(spark.range(b * 5, b * 5 + 5), b, loc)
+    assert ST.maybe_compact(spark, loc, max_links=1) is not None
+    # replay of an already-committed batch AFTER the fold: still skipped
+    assert commit_batch_idempotent(spark.range(5), 3, loc) is None
+    assert ST.latest_batch_id(loc) == 3
+    assert ST.read_snapshot(spark, loc).count() == 20
