@@ -8708,3 +8708,96 @@ def q_snapshot_vacuum_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(removed), 1 - len(tmp_left), n)],
         "n_orphans_removed long, n_tmp_swept long, n_rows_intact long",
     )
+
+
+@q(
+    "snapshot_as_of_timestamp",
+    oracle=r"""
+WITH d AS (SELECT DISTINCT doc_id, n_chars FROM documents)
+SELECT 'asof_1500' AS probe,
+       (SELECT count(*) FROM d WHERE doc_id % 2 = 0) AS n_rows,
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM d WHERE doc_id % 2 = 0) AS sum_chars
+UNION ALL
+SELECT 'asof_2500',
+       (SELECT count(*) FROM d WHERE doc_id % 3 = 0),
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM d WHERE doc_id % 3 = 0)
+UNION ALL
+SELECT 'asof_9999',
+       (SELECT count(*) FROM d WHERE doc_id % 5 = 0),
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM d WHERE doc_id % 5 = 0)
+""",
+)
+def q_snapshot_as_of_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF-TIMESTAMP time travel (`FOR TIMESTAMP AS OF`): three
+    commits at t=1000/2000/3000; probes at 1500/2500/9999 must resolve
+    to v1/v2/v3 by the highest-commit-not-after rule and reproduce
+    each snapshot's census exactly."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).distinct()
+    loc = tempfile.mkdtemp(prefix="snap_asof_") + "/tbl"
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 2 == 0), loc, commit_ms=1000)
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 3 == 0), loc, commit_ms=2000)
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 5 == 0), loc, commit_ms=3000)
+
+    out = []
+    for ms in (1500, 2500, 9999):
+        r = (
+            ST.read_snapshot_as_of(spark, loc, ms)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+            .collect()[0]
+        )
+        out.append((f"asof_{ms}", r["n"], r["s"]))
+    return spark.createDataFrame(out, "probe string, n_rows long, sum_chars long")
+
+
+@q(
+    "snapshot_write_audit_publish",
+    oracle=r"""
+WITH d AS (SELECT DISTINCT doc_id, n_chars FROM documents)
+SELECT 'before_publish' AS phase,
+       (SELECT count(*) FROM d WHERE doc_id % 2 = 0) AS visible_rows,
+       (SELECT count(*) FROM d WHERE doc_id % 7 = 0) AS staged_rows
+UNION ALL
+SELECT 'after_publish',
+       (SELECT count(*) FROM d WHERE doc_id % 7 = 0),
+       CAST(0 AS BIGINT)
+""",
+)
+def q_snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH: a staged snapshot is written invisibly
+    (readers still see the old version), an audit job reads it through
+    the staged side door, and only publish() makes it the table's next
+    version — the production gating pattern that keeps a bad batch
+    from ever being observed downstream. The oracle pins the visible
+    row count before/after the publish and the staged audit count."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).distinct()
+    loc = tempfile.mkdtemp(prefix="snap_wap_") + "/tbl"
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 2 == 0), loc, commit_ms=1000)
+    ST.write_staged_snapshot(
+        docs.filter(F.col("doc_id") % 7 == 0), loc, token="wap1", commit_ms=2000
+    )
+
+    visible_before = ST.read_snapshot(spark, loc).count()
+    staged_audit = ST.read_staged(spark, loc, "wap1").count()
+    ST.publish_staged(loc, "wap1")
+    visible_after = ST.read_snapshot(spark, loc).count()
+    assert ST.snapshot_history(loc)[-1]["version"] == 2
+
+    return spark.createDataFrame(
+        [
+            ("before_publish", visible_before, staged_audit),
+            ("after_publish", visible_after, 0),
+        ],
+        "phase string, visible_rows long, staged_rows long",
+    )

@@ -397,3 +397,85 @@ def snapshot_changes(
         F.coalesce(F.col(f"a.{key_col}"), F.col(f"b.{key_col}")).alias(key_col),
         change.alias("change_type"),
     )
+
+
+def version_as_of(location: str, ms: int) -> int:
+    """Resolve AS-OF-TIMESTAMP time travel: the highest version whose
+    commit time is <= `ms` (the Iceberg `FOR TIMESTAMP AS OF` rule).
+    Raises if the table didn't exist yet at `ms`."""
+    best = None
+    for v in _versions(location):
+        with open(_manifest_path(location, v)) as f:
+            m = json.load(f)
+        if m["committed_at_ms"] <= ms and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(f"no snapshot at {location} committed at or before {ms}")
+    return best
+
+
+def read_snapshot_as_of(spark: SparkSession, location: str, ms: int) -> DataFrame:
+    """Time-based time travel: read the table as it stood at `ms`."""
+    return read_snapshot(spark, location, version=version_as_of(location, ms))
+
+
+def write_staged_snapshot(
+    df: DataFrame, location: str, token: str, commit_ms: int | None = None
+) -> None:
+    """WRITE-AUDIT-PUBLISH, stage step: persist `df` plus a staged
+    manifest under metadata/staged/<token>.json — INVISIBLE to every
+    reader (read_snapshot/_versions only see metadata/v*.json) until
+    publish_staged() links it in as the next version. The WAP pattern
+    of production table formats: an audit job validates the staged
+    data (row counts, nulls, distribution drift) before anything
+    downstream can observe it; a failed audit just never publishes,
+    and vacuum() reclaims the orphaned data dir."""
+    ddir = _new_data_dir(location)
+    n_rows = _write_counted(df, ddir)
+    sdir = os.path.join(_meta_dir(location), "staged")
+    os.makedirs(sdir, exist_ok=True)
+    manifest = {
+        "staged_token": token,
+        "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
+        "n_rows": n_rows,
+        "data_dir": os.path.relpath(ddir, location),
+        "schema": df.schema.jsonValue(),
+    }
+    tmp = os.path.join(sdir, f"{token}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(sdir, f"{token}.json"))
+
+
+def read_staged(spark: SparkSession, location: str, token: str) -> DataFrame:
+    """Audit-side read of a staged (unpublished) snapshot."""
+    with open(os.path.join(_meta_dir(location), "staged", f"{token}.json")) as f:
+        manifest = json.load(f)
+    return spark.read.parquet(os.path.join(location, manifest["data_dir"]))
+
+
+def publish_staged(location: str, token: str) -> int:
+    """WAP publish step: promote the staged snapshot to the next table
+    version through the same optimistic _commit_manifest claim as any
+    writer. The staged marker is removed after the claim; data files
+    do not move."""
+    spath = os.path.join(_meta_dir(location), "staged", f"{token}.json")
+    with open(spath) as f:
+        staged = json.load(f)
+
+    def build(version: int, parent: int | None) -> dict:
+        return {
+            "version": version,
+            "parent": parent,
+            "committed_at_ms": staged["committed_at_ms"],
+            "n_rows": staged["n_rows"],
+            "data_dir": staged["data_dir"],
+            "schema": staged["schema"],
+            "published_from": staged["staged_token"],
+        }
+
+    version = _commit_manifest(location, build)
+    os.remove(spath)
+    return version
