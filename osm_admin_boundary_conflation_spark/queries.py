@@ -8801,3 +8801,85 @@ def q_snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFram
         ],
         "phase string, visible_rows long, staged_rows long",
     )
+
+
+@q(
+    "null_safe_join",
+    oracle=r"""
+WITH a AS (
+  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 7 END AS k
+  FROM documents WHERE doc_id % 2 = 0
+),
+b AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id % 7 END AS k
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT coalesce(CAST(a.k AS VARCHAR), '<null>') AS key_class,
+       count(*) AS n_pairs,
+       CAST(sum(a.doc_id + b.doc_id) AS BIGINT) AS pair_checksum
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+""",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics dimension
+    tables with unknown members need. Still a HASH join (null-safe
+    equality is a valid shuffle key: both engines hash NULL to one
+    bucket), NOT a nested loop; per-class counts and checksums pin
+    that the null bucket really joined."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("a_id"),
+        F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("doc_id") % 7).alias("ak"),
+    )
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("b_id"),
+        F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("doc_id") % 7).alias("bk"),
+    )
+    j = a.join(b, F.col("ak").eqNullSafe(F.col("bk")))
+    return j.groupBy(
+        F.coalesce(F.col("ak").cast("string"), F.lit("<null>")).alias("key_class")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("a_id") + F.col("b_id")).alias("pair_checksum"),
+    )
+
+
+@q(
+    "array_ops_battery",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents
+)
+SELECT doc_id,
+  CAST(len(list_filter(w, x -> len(x) > 3)) AS BIGINT) AS n_long,
+  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS total_chars,
+  CAST(len(list_intersect(w, ['the','and','of'])) AS BIGINT) AS n_stop_kinds,
+  CAST(list_max(list_transform(w, x -> len(x))) AS BIGINT) AS max_len,
+  CASE WHEN len(list_filter(w, x -> x = 'the')) > 0 THEN 1 ELSE 0 END AS has_the
+FROM t
+""",
+)
+def q_array_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGHER-ORDER ARRAY FUNCTION battery — filter / transform /
+    aggregate / array_intersect / exists over the token array, all
+    JVM-side (no Python): the building blocks every array-typed
+    feature column leans on, each pinned against its DuckDB list_*
+    twin. One scan, zero shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: F.length(x) > 3)).cast("long").alias("n_long"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.array_intersect(w, F.array(F.lit("the"), F.lit("and"), F.lit("of"))))
+        .cast("long")
+        .alias("n_stop_kinds"),
+        F.array_max(F.transform(w, lambda x: F.length(x).cast("long"))).alias("max_len"),
+        F.when(F.exists(w, lambda x: x == F.lit("the")), 1).otherwise(0).alias("has_the"),
+    )
