@@ -8883,3 +8883,66 @@ def q_array_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(w, lambda x: F.length(x).cast("long"))).alias("max_len"),
         F.when(F.exists(w, lambda x: x == F.lit("the")), 1).otherwise(0).alias("has_the"),
     )
+
+
+@q(
+    "bucketed_colocated_join",
+    oracle=r"""
+WITH clicks AS (
+  SELECT user_id, count(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+buys AS (
+  SELECT user_id, count(*) AS n_buys FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT CAST(c.user_id % 10 AS BIGINT) AS user_bucket,
+       count(*) AS n_users,
+       CAST(sum(c.n_clicks) AS BIGINT) AS total_clicks,
+       CAST(sum(b.n_buys) AS BIGINT) AS total_buys
+FROM clicks c JOIN buys b ON c.user_id = b.user_id
+GROUP BY 1
+""",
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED CO-LOCATED JOIN (the pre-shuffle that amortizes across
+    every downstream join of a 100 TB fact table): both sides are
+    written bucketBy(8, user_id) + sortBy, so the join consumes the
+    bucketing and needs NO Exchange on either side — asserted on the
+    plan here (broadcast disabled to force the merge path; a broadcast
+    would hide the evidence). The oracle checks the census; the plan
+    check makes the shuffle-freeness a hard failure, not a hope."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_buys"))
+    )
+    spark.sql("DROP TABLE IF EXISTS eng_clicks_b")
+    spark.sql("DROP TABLE IF EXISTS eng_buys_b")
+    clicks.write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable(
+        "eng_clicks_b"
+    )
+    buys.write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable(
+        "eng_buys_b"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("eng_clicks_b").join(spark.table("eng_buys_b"), "user_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle:\n" + plan
+        out = j.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_clicks").alias("total_clicks"),
+            F.sum("n_buys").alias("total_buys"),
+        )
+        out = out.localCheckpoint(eager=True)  # materialize under the conf
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
