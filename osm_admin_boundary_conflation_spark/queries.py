@@ -8923,8 +8923,17 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_buys"))
     )
-    spark.sql("DROP TABLE IF EXISTS eng_clicks_b")
-    spark.sql("DROP TABLE IF EXISTS eng_buys_b")
+    # the in-memory catalog forgets tables between processes but the
+    # warehouse directories persist — clear BOTH or a fresh session
+    # dies with LOCATION_ALREADY_EXISTS on the stale dir
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("eng_clicks_b", "eng_buys_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     clicks.write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable(
         "eng_clicks_b"
     )
