@@ -16,10 +16,19 @@ mechanics the big formats use:
   partial write (link is atomic fail-or-win on POSIX; the reference's
   atomic_write.py tmp+rename, generalized to a table with contention).
 - **Time travel**: `read_snapshot(..., version=k)` resolves manifest k
-  and reads exactly the files it lists; `version=None` means latest.
+  and reads exactly the files it lists; `version=None` means latest;
+  `read_snapshot_as_of(ms)` resolves FOR TIMESTAMP AS OF.
 - **History**: `snapshot_history()` lists (version, committed_at_ms,
   n_rows, parent) — the lineage record the north rule's
   checkpoint-resumable contract wants per stage.
+
+Grown capabilities (each oracle-gated, see COVERAGE.md round-4/5):
+APPEND commits with streaming batch-id idempotence watermarks; MERGE-
+ON-READ delete vectors; chain compaction (`maybe_compact`) with
+history preserved; hive-partitioned layouts with pruning through time
+travel; append-time schema evolution (union schema); version-to-
+version CDC (`snapshot_changes`); WRITE-AUDIT-PUBLISH staging
+(`write_staged_snapshot`/`publish_staged`); orphan GC (`vacuum`).
 
 Swapping this for real Iceberg on a cluster is confined to this module
 plus sources/io.py's format switch: the call sites only use
