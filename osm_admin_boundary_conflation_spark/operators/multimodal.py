@@ -412,3 +412,37 @@ def decode_jpeg_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, JPEG_FEATURES_SCHEMA)
+
+
+REAL_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def extract_media_meta_real(media: DataFrame) -> DataFrame:
+    """(doc_id, blob) → (doc_id, codec, width, height) through the REAL
+    decode router (magic-byte sniff → BMP/JPEG/WAV kernels). For WAV,
+    (width, height) carry (n_samples, sample_rate) — the two size-like
+    numbers an audio pipeline budgets on."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                codec = (
+                    "jpeg" if b[:2] == b"\xff\xd8"
+                    else "bmp" if b[:2] == b"BM"
+                    else "wav" if b[:4] == b"RIFF"
+                    else "unknown"
+                )
+                w, h = decode_media(b)
+                rows.append((int(doc_id), codec, w, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in REAL_META_SCHEMA.fields])
+
+    return media.mapInPandas(batches, REAL_META_SCHEMA)
