@@ -66,6 +66,7 @@ HARNESS = {
 # norm, doc count — broadcast against the main table): constant-scale,
 # not a data-sized nested loop
 NESTED_LOOP_SCALAR_OK = {
+    "mixture_token_budget",  # crossJoin(broadcast(1-row weight total))
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
