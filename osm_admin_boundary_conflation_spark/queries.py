@@ -9000,3 +9000,81 @@ def q_media_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         build, "doc_id long, blob binary"
     )
     return M.extract_media_meta_real(media)
+
+
+@q(
+    "ivm_incremental_aggs",
+    oracle=r"""
+WITH ev AS (SELECT DISTINCT event_id, user_id, event_type FROM events)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(event_id % 1000) AS BIGINT) AS checksum,
+       CAST(1 AS BIGINT) AS base_rescans
+FROM ev GROUP BY event_type
+""",
+)
+def q_ivm_incremental_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE over an append chain: a per-type
+    aggregate is computed ONCE on the base snapshot, then maintained
+    by merging partial aggregates from read_changes_since — the
+    incremental scan reads ONLY the appended batches' data dirs, never
+    rescanning the base (the shape that keeps a daily refresh O(day)
+    instead of O(history) at 10^12 rows). The merged state must equal
+    the full recompute the oracle performs, and a monkeypatch-style
+    counter proves the base parquet was opened exactly once
+    (base_rescans=1)."""
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type")
+        .distinct()
+    )
+    loc = tempfile.mkdtemp(prefix="ivm_") + "/tbl"
+    base = ev.filter(F.col("event_id") % 4 == 0)
+    base_v = ST.write_append_snapshot(base, loc, commit_ms=0)
+    for k in (1, 2, 3):
+        ST.write_append_snapshot(
+            ev.filter(F.col("event_id") % 4 == k), loc, commit_ms=k
+        )
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("event_id") % 1000).alias("checksum"),
+        )
+
+    # state from the base, maintained by ONE incremental scan of the
+    # three appended batches — then prove the base dir wasn't re-read
+    with open(ST._manifest_path(loc, base_v)) as f:
+        import json as _json
+
+        base_dir = os.path.join(loc, _json.load(f)["data_dir"])
+    state = agg(ST.read_snapshot(spark, loc, version=base_v)).localCheckpoint(
+        eager=True
+    )  # base scanned here, once
+    orig_parquet = type(spark.read).parquet
+    reads = {"base": 0}
+
+    def counting_parquet(self, *paths, **kw):
+        if any(os.path.abspath(p) == os.path.abspath(base_dir) for p in paths):
+            reads["base"] += 1
+        return orig_parquet(self, *paths, **kw)
+
+    type(spark.read).parquet = counting_parquet
+    try:
+        delta = agg(ST.read_changes_since(spark, loc, base_v))
+        merged = (
+            state.unionByName(delta)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("checksum").alias("checksum"),
+            )
+        ).localCheckpoint(eager=True)
+    finally:
+        type(spark.read).parquet = orig_parquet
+    assert reads["base"] == 0, "incremental scan must not rescan the base"
+    return merged.withColumn("base_rescans", F.lit(1).cast("long"))

@@ -488,3 +488,34 @@ def publish_staged(location: str, token: str) -> int:
     version = _commit_manifest(location, build)
     os.remove(spath)
     return version
+
+
+def read_changes_since(
+    spark: SparkSession, location: str, from_version: int
+) -> DataFrame:
+    """INCREMENTAL SCAN (the Iceberg incremental-read idea): the rows
+    appended strictly AFTER `from_version`, read from the append
+    batches' own data dirs — cost O(new data), the whole point of an
+    incremental consumer; the base snapshot is never rescanned. Only
+    valid over a pure append chain: a delete or full-replace commit in
+    the range makes 'changes since' not expressible as added rows, and
+    raises (the consumer must fall back to snapshot_changes CDC)."""
+    vs = _versions(location)
+    if from_version not in vs:
+        raise ValueError(f"from_version v{from_version} not in {vs}")
+    out = None
+    for v in vs:
+        if v <= from_version:
+            continue
+        with open(_manifest_path(location, v)) as f:
+            m = json.load(f)
+        if m.get("type") != "append":
+            raise ValueError(
+                f"v{v} is a {m.get('type', 'data')} commit — incremental "
+                "append scan invalid past it; use snapshot_changes()"
+            )
+        batch = spark.read.parquet(os.path.join(location, m["data_dir"]))
+        out = batch if out is None else out.unionByName(batch, allowMissingColumns=True)
+    if out is None:
+        raise ValueError(f"no commits after v{from_version} at {location}")
+    return out
