@@ -9078,3 +9078,93 @@ def q_ivm_incremental_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         type(spark.read).parquet = orig_parquet
     assert reads["base"] == 0, "incremental scan must not rescan the base"
     return merged.withColumn("base_rescans", F.lit(1).cast("long"))
+
+
+@q(
+    "prefix_rule_match",
+    oracle=r"""
+WITH d AS (SELECT DISTINCT doc_id FROM documents),
+urls AS (
+  SELECT doc_id,
+         'http://site' || (doc_id % 20) || '.com/sec' || (doc_id % 7) || '/page' || doc_id AS url
+  FROM d
+),
+parts AS (SELECT doc_id, url, string_split(url, '/') AS p FROM urls),
+prefixes AS (
+  SELECT doc_id,
+         array_to_string(p[1 : CAST(r.i AS BIGINT) + 3], '/') || '/' AS prefix,
+         CAST(r.i AS BIGINT) + 3 AS plen
+  FROM parts, unnest(range(len(p) - 2)) r(i)
+),
+rules(prefix, verdict) AS (VALUES
+  ('http://site3.com/', 'deny'),
+  ('http://site3.com/sec2/', 'allow'),
+  ('http://site7.com/', 'deny'),
+  ('http://site11.com/sec5/', 'deny')
+),
+matched AS (
+  SELECT pr.doc_id, arg_max(ru.verdict, pr.plen) AS verdict
+  FROM prefixes pr JOIN rules ru ON pr.prefix = ru.prefix
+  GROUP BY pr.doc_id
+),
+final AS (
+  SELECT u.doc_id, coalesce(m.verdict, 'allow') AS verdict
+  FROM urls u LEFT JOIN matched m USING (doc_id)
+)
+SELECT verdict, count(*) AS n_urls, CAST(sum(doc_id % 1000) AS BIGINT) AS checksum
+FROM final GROUP BY verdict
+""",
+)
+def q_prefix_rule_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST-PREFIX RULE MATCHING (the robots.txt / crawl-policy
+    join): each url explodes into its slash-boundary prefixes and
+    equi-joins the rule table — most-specific (longest) matching rule
+    wins via max_by, urls with no rule default to allow. The equi-join
+    on exploded prefixes is the SCALABLE shape: a startswith theta-join
+    would be a nested loop; this shuffles on the prefix key and the
+    tiny rule side broadcasts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").distinct()
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".com/sec"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/page"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    p = F.split(F.col("url"), "/")
+    prefixes = urls.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(p) - 3),
+                lambda i: F.struct(
+                    (i + 3).cast("long").alias("plen"),
+                    F.concat(F.concat_ws("/", F.slice(p, 1, i + 3)), F.lit("/")).alias(
+                        "prefix"
+                    ),
+                ),
+            )
+        ).alias("pp"),
+    ).select("doc_id", F.col("pp.plen").alias("plen"), F.col("pp.prefix").alias("prefix"))
+    rules = spark.createDataFrame(
+        [
+            ("http://site3.com/", "deny"),
+            ("http://site3.com/sec2/", "allow"),
+            ("http://site7.com/", "deny"),
+            ("http://site11.com/sec5/", "deny"),
+        ],
+        "prefix string, verdict string",
+    )
+    matched = (
+        prefixes.join(F.broadcast(rules), "prefix")
+        .groupBy("doc_id")
+        .agg(F.max_by("verdict", "plen").alias("verdict"))
+    )
+    final = urls.join(matched, "doc_id", "left").select(
+        "doc_id", F.coalesce("verdict", F.lit("allow")).alias("verdict")
+    )
+    return final.groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("doc_id") % 1000).alias("checksum"),
+    )
