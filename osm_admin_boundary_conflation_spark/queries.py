@@ -9168,3 +9168,122 @@ def q_prefix_rule_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.sum(F.col("doc_id") % 1000).alias("checksum"),
     )
+
+
+@q(
+    "fk_integrity_audit",
+    oracle=r"""
+WITH kept_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0),
+kept_part AS (SELECT p_partkey FROM part WHERE p_partkey % 7 <> 0)
+SELECT 'orders_without_customer' AS check_name,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM kept_cust c WHERE c.c_custkey = o.o_custkey))
+         AS n_violations
+UNION ALL
+SELECT 'lineitem_without_part',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM kept_part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem_without_order',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+""",
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY AUDIT (the warehouse data-quality sweep):
+    orphan counts via anti-joins against deliberately damaged dims
+    (every 10th customer and every 7th part dropped) plus one clean
+    check that must read zero. Each check is one LEFT ANTI join —
+    broadcast for the dims, shuffle for the fact-fact check — never a
+    driver-side loop."""
+    d = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    kept_cust = d("customer").filter(F.col("c_custkey") % 10 != 0).select("c_custkey")
+    kept_part = d("part").filter(F.col("p_partkey") % 7 != 0).select("p_partkey")
+    orders = d("orders")
+    li = d("lineitem")
+
+    def orphans(fact, dim, fk, pk):
+        return fact.join(
+            dim, fact[fk] == dim[pk], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    rows = [
+        ("orders_without_customer",
+         orphans(orders, F.broadcast(kept_cust), "o_custkey", "c_custkey")),
+        ("lineitem_without_part",
+         orphans(li, F.broadcast(kept_part), "l_partkey", "p_partkey")),
+        ("lineitem_without_order",
+         orphans(li, orders.select("o_orderkey"), "l_orderkey", "o_orderkey")),
+    ]
+    out = None
+    for name, df in rows:
+        one = df.select(F.lit(name).alias("check_name"), F.col("n").alias("n_violations"))
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@q(
+    "scd2_dimension_build",
+    oracle=r"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+),
+ordered AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+  FROM ev
+),
+starts AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS brk
+  FROM ordered
+),
+grp AS (
+  SELECT user_id, event_type, ts_us,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gid
+  FROM starts
+),
+scd AS (
+  SELECT user_id, event_type, gid, min(ts_us) AS valid_from, count(*) AS n_events
+  FROM grp GROUP BY user_id, event_type, gid
+)
+SELECT event_type, count(*) AS n_versions, CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(valid_from % 1000000) AS BIGINT) AS from_checksum
+FROM scd GROUP BY event_type
+""",
+)
+def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 DIMENSION BUILD: collapse each user's event-type
+    stream into validity versions (a new version starts whenever the
+    state changes — gaps-and-islands with a lag window, an event_id
+    tiebreak pinning equal-timestamp order on both engines). Output is
+    the per-state version census with integer validity checksums —
+    the slowly-changing-dimension maintenance every warehouse runs.
+    One window + one groupBy, both keyed by user_id."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    grp = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("gid"),
+    )
+    scd = grp.groupBy("user_id", "event_type", "gid").agg(
+        F.min("ts_us").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    return scd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum(F.col("valid_from") % 1000000).alias("from_checksum"),
+    )
