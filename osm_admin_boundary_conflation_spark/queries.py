@@ -9287,3 +9287,86 @@ def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.sum(F.col("valid_from") % 1000000).alias("from_checksum"),
     )
+
+
+@q(
+    "table_checksum_reconcile",
+    oracle=r"""
+WITH d AS (SELECT DISTINCT doc_id, source, n_chars FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || source || '|'
+              || CAST(n_chars AS VARCHAR)), 1, 15) AS BIGINT) AS rh
+  FROM d
+),
+hb AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || source || '|'
+              || CAST(n_chars + CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END
+                      AS VARCHAR)), 1, 15) AS BIGINT) AS rh
+  FROM d
+),
+a AS (SELECT bit_xor(rh) AS cks, count(*) AS n FROM h),
+b AS (SELECT bit_xor(rh) AS cks FROM hb)
+SELECT a.n AS n_rows,
+       CASE WHEN a.cks = b.cks THEN 1 ELSE 0 END AS replicas_match,
+       (SELECT count(*) FROM h JOIN hb USING (doc_id) WHERE h.rh <> hb.rh)
+         AS n_diverged
+FROM a, b
+""",
+)
+def q_table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI-ENTROPY TABLE CHECKSUM + RECONCILIATION: an order-free
+    64-bit fingerprint per table (bit_xor of per-row md5-derived
+    longs — commutative, so partition order never matters) detects
+    replica divergence in one aggregate each; the per-key hash join
+    then locates exactly which rows diverged (a planted corruption on
+    every 97th doc). The repair-detection sweep any replicated 100 TB
+    table needs: two scans + one equi-join, no ordering anywhere."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .distinct()
+    )
+
+    def row_hash(nc_col):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("doc_id").cast("string"),
+                        F.col("source"),
+                        nc_col.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    h = docs.select("doc_id", row_hash(F.col("n_chars")).alias("rh"))
+    corrupted = F.col("n_chars") + F.when(F.col("doc_id") % 97 == 0, 1).otherwise(0)
+    hb = docs.select("doc_id", row_hash(corrupted).alias("rh_b"))
+    a = h.agg(
+        F.expr("bit_xor(rh)").alias("cks_a"), F.count(F.lit(1)).alias("n_rows")
+    )
+    b = hb.agg(F.expr("bit_xor(rh_b)").alias("cks_b"))
+    diverged = (
+        h.join(hb, "doc_id")
+        .filter(F.col("rh") != F.col("rh_b"))
+        .agg(F.count(F.lit(1)).alias("n_diverged"))
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(diverged))
+        .select(
+            "n_rows",
+            F.when(F.col("cks_a") == F.col("cks_b"), 1).otherwise(0).alias(
+                "replicas_match"
+            ),
+            "n_diverged",
+        )
+    )

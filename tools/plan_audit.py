@@ -67,6 +67,7 @@ HARNESS = {
 # not a data-sized nested loop
 NESTED_LOOP_SCALAR_OK = {
     "mixture_token_budget",  # crossJoin(broadcast(1-row weight total))
+    "table_checksum_reconcile",  # crossJoin(broadcast(1-row checksums))
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
