@@ -9370,3 +9370,71 @@ def q_table_checksum_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_diverged",
         )
     )
+
+
+@q(
+    "winsorized_stats",
+    oracle=r"""
+WITH d AS (SELECT DISTINCT doc_id, source, n_chars FROM documents),
+rk AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM d
+),
+cuts AS (
+  SELECT source,
+         max(CASE WHEN rn = (n - 1) // 10 + 1 THEN n_chars END) AS p10,
+         max(CASE WHEN rn = ((n - 1) * 9) // 10 + 1 THEN n_chars END) AS p90
+  FROM rk GROUP BY source
+),
+clipped AS (
+  SELECT d.source, least(greatest(d.n_chars, c.p10), c.p90) AS v
+  FROM d JOIN cuts c USING (source)
+)
+SELECT source, count(*) AS n_docs, CAST(sum(v) AS BIGINT) AS winsorized_sum,
+       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+FROM clipped GROUP BY source
+""",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED ROBUST STATISTICS: per-source P10/P90 cut points as
+    EXACT ORDER STATISTICS (row_number rank with a doc_id tiebreak —
+    discrete data values, never an interpolated float, so clipping and
+    sums stay integer-exact on both engines), then the outlier-clipped
+    census a robust quality-score aggregation needs. One window + one
+    broadcast-back join; the scale path for the cut points is
+    approxQuantile (tested for group_quantiles) when an exact
+    per-group sort is too expensive."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    rk = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    cuts = rk.groupBy("source").agg(
+        F.max(
+            F.when(F.col("rn") == ((F.col("n") - 1) / 10).cast("long") + 1, F.col("n_chars"))
+        ).alias("p10"),
+        F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") - 1) * 9 / 10).cast("long") + 1,
+                F.col("n_chars"),
+            )
+        ).alias("p90"),
+    )
+    clipped = docs.join(F.broadcast(cuts), "source").select(
+        "source", F.least(F.greatest("n_chars", "p10"), "p90").alias("v")
+    )
+    return clipped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("v").alias("winsorized_sum"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
