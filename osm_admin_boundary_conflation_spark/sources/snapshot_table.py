@@ -468,9 +468,14 @@ def read_staged(spark: SparkSession, location: str, token: str) -> DataFrame:
 def publish_staged(location: str, token: str) -> int:
     """WAP publish step: promote the staged snapshot to the next table
     version through the same optimistic _commit_manifest claim as any
-    writer. The staged marker is removed after the claim; data files
-    do not move."""
+    writer. The publisher first CLAIMS the staged marker by renaming it
+    (atomic fail-or-win), so two racing publishers of the same token
+    cannot double-publish — the loser gets FileNotFoundError. Data
+    files do not move."""
     spath = os.path.join(_meta_dir(location), "staged", f"{token}.json")
+    claim = f"{spath}.publishing.{os.getpid()}.{time.monotonic_ns()}"
+    os.rename(spath, claim)  # atomic claim: a concurrent publisher loses here
+    spath = claim
     with open(spath) as f:
         staged = json.load(f)
 
