@@ -9438,3 +9438,70 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
     )
+
+
+@q(
+    "scd2_asof_enrich",
+    oracle=r"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+dim AS (
+  SELECT user_id, event_type, ts_us,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM ev WHERE event_type <> 'purchase'
+),
+scd AS (
+  SELECT user_id, event_type AS state, ts_us AS valid_from
+  FROM dim WHERE prev IS NULL OR prev <> event_type
+),
+facts AS (SELECT user_id, ts_us, event_id FROM ev WHERE event_type = 'purchase'),
+enriched AS (
+  SELECT f.event_id,
+         (SELECT s.state FROM scd s
+          WHERE s.user_id = f.user_id AND s.valid_from <= f.ts_us
+          ORDER BY s.valid_from DESC LIMIT 1) AS state
+  FROM facts f
+)
+SELECT coalesce(state, '<none>') AS state, count(*) AS n_purchases,
+       CAST(sum(event_id % 1000) AS BIGINT) AS checksum
+FROM enriched GROUP BY 1
+""",
+)
+def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL DIMENSION ENRICHMENT: purchases join the SCD-Type-2
+    state dimension (built from the user's non-purchase event stream,
+    consecutive same-state collapse) AS OF their event time — each fact
+    picks the version valid at its timestamp via the window-over-union
+    as-of join (operators/asof.py: one shuffle on user_id, linear
+    work, no range cross-join; the correlated-subquery formulation the
+    oracle uses would be a per-row index probe, exactly what the
+    window shape replaces at scale). Purchases before any version
+    report '<none>'."""
+    from .operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "event_id",
+    )
+    dim = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    scd = (
+        dim.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("ts_us").alias("ts"),
+            F.col("event_type").alias("val"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), F.col("ts_us").alias("ts"), "event_id"
+    )
+    enriched = asof_join(facts, scd, key="key", ts="ts", val="val")
+    return enriched.groupBy(
+        F.coalesce("val", F.lit("<none>")).alias("state")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("event_id") % 1000).alias("checksum"),
+    )
