@@ -9505,3 +9505,61 @@ def q_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(F.col("event_id") % 1000).alias("checksum"),
     )
+
+
+@q(
+    "join_size_estimate",
+    oracle=r"""
+WITH a AS (SELECT user_id, count(*) AS ca FROM events WHERE event_type = 'click' GROUP BY user_id),
+b AS (SELECT user_id, count(*) AS cb FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+est AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS estimated FROM a JOIN b USING (user_id)),
+act AS (
+  SELECT count(*) AS actual
+  FROM (SELECT user_id FROM events WHERE event_type = 'click') x
+  JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') y USING (user_id)
+)
+SELECT est.estimated, act.actual,
+       CASE WHEN est.estimated = act.actual THEN 1 ELSE 0 END AS exact_match
+FROM est, act
+""",
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION FROM KEY HISTOGRAMS (the cost-based-
+    optimizer primitive): per-key frequency vectors of both sides,
+    sum(ca*cb) over the key intersection — computed WITHOUT executing
+    the row-level join, at O(distinct keys) instead of O(output rows).
+    The gate also runs the real join and pins estimate == actual (for
+    full per-key histograms the estimate is exact; sampled or sketched
+    histograms trade this for space, same plan shape). This is how a
+    planner decides broadcast vs shuffle vs salt BEFORE paying for the
+    join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    est = a.join(b, "user_id").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("estimated")
+    )
+    actual = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .join(ev.filter(F.col("event_type") == "purchase").select("user_id"), "user_id")
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    return (
+        est.crossJoin(F.broadcast(actual))
+        .select(
+            "estimated",
+            "actual",
+            F.when(F.col("estimated") == F.col("actual"), 1).otherwise(0).alias(
+                "exact_match"
+            ),
+        )
+    )

@@ -68,6 +68,7 @@ HARNESS = {
 NESTED_LOOP_SCALAR_OK = {
     "mixture_token_budget",  # crossJoin(broadcast(1-row weight total))
     "table_checksum_reconcile",  # crossJoin(broadcast(1-row checksums))
+    "join_size_estimate",  # crossJoin(broadcast(1-row actual count))
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
