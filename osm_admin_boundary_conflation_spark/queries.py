@@ -9563,3 +9563,87 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "segment_crossing_join",
+    oracle=r"""
+WITH d AS (SELECT DISTINCT doc_id AS i FROM documents),
+seg AS (
+  SELECT i,
+    (i*7) % 997 AS px, (i*13) % 997 AS py,
+    (i*7) % 997 + CASE WHEN (i*5) % 41 - 20 = 0 AND (i*11) % 41 - 20 = 0
+                       THEN 1 ELSE (i*5) % 41 - 20 END AS qx,
+    (i*13) % 997 + ((i*11) % 41 - 20) AS qy
+  FROM d
+),
+a AS (SELECT i AS ia, px AS ax, py AS ay, qx AS bx, qy AS by2 FROM seg WHERE i % 2 = 0),
+b AS (SELECT i AS ib, px AS cx, py AS cy, qx AS dx, qy AS dy FROM seg WHERE i % 2 = 1),
+pairs AS (
+  SELECT ia, ib,
+    ((bx-ax)*(cy-ay) - (by2-ay)*(cx-ax)) AS o1,
+    ((bx-ax)*(dy-ay) - (by2-ay)*(dx-ax)) AS o2,
+    ((dx-cx)*(ay-cy) - (dy-cy)*(ax-cx)) AS o3,
+    ((dx-cx)*(by2-cy) - (dy-cy)*(bx-cx)) AS o4
+  FROM a, b
+  WHERE least(ax,bx) <= greatest(cx,dx) AND least(cx,dx) <= greatest(ax,bx)
+    AND least(ay,by2) <= greatest(cy,dy) AND least(cy,dy) <= greatest(ay,by2)
+)
+SELECT ia, ib FROM pairs WHERE o1*o2 < 0 AND o3*o4 < 0
+""",
+)
+def q_segment_crossing_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-CROSSING SPATIAL JOIN (road/boundary crossing
+    detection): two synthetic segment sets meet through the grid-
+    blocked rect_overlap_join on their bounding boxes (each candidate
+    pair meets EXACTLY once at the reference cell — no post-join
+    dedup), then the exact integer orientation test (cross products,
+    strict proper crossing) confirms. The oracle is the quadratic
+    definition — fine at gate scale, while the engine's blocked plan
+    is the O(n + candidates) shape that survives 10^9 segments."""
+    from .operators.spatial_join import rect_overlap_join
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("i")
+    ).distinct()
+    dx = (F.col("i") * 5) % 41 - 20
+    dy = (F.col("i") * 11) % 41 - 20
+    seg = d.select(
+        "i",
+        ((F.col("i") * 7) % 997).alias("px"),
+        ((F.col("i") * 13) % 997).alias("py"),
+        ((F.col("i") * 7) % 997 + F.when((dx == 0) & (dy == 0), 1).otherwise(dx)).alias("qx"),
+        ((F.col("i") * 13) % 997 + dy).alias("qy"),
+    )
+
+    def boxes(s, idc, names):
+        px, py, qx, qy = names
+        return s.select(
+            F.col("i").alias(idc),
+            F.col("px").alias(px), F.col("py").alias(py),
+            F.col("qx").alias(qx), F.col("qy").alias(qy),
+            F.least("px", "qx").alias(f"{idc[0]}x0"),
+            F.least("py", "qy").alias(f"{idc[0]}y0"),
+            (F.greatest("px", "qx") + 1).alias(f"{idc[0]}x1"),
+            (F.greatest("py", "qy") + 1).alias(f"{idc[0]}y1"),
+        )
+
+    a = boxes(seg.filter(F.col("i") % 2 == 0), "aid", ("sax", "say", "sbx", "sby"))
+    b = boxes(seg.filter(F.col("i") % 2 == 1), "bid", ("scx", "scy", "sdx", "sdy"))
+    cand = rect_overlap_join(a, b, width=16)
+    o1 = (F.col("sbx") - F.col("sax")) * (F.col("scy") - F.col("say")) - (
+        F.col("sby") - F.col("say")
+    ) * (F.col("scx") - F.col("sax"))
+    o2 = (F.col("sbx") - F.col("sax")) * (F.col("sdy") - F.col("say")) - (
+        F.col("sby") - F.col("say")
+    ) * (F.col("sdx") - F.col("sax"))
+    o3 = (F.col("sdx") - F.col("scx")) * (F.col("say") - F.col("scy")) - (
+        F.col("sdy") - F.col("scy")
+    ) * (F.col("sax") - F.col("scx"))
+    o4 = (F.col("sdx") - F.col("scx")) * (F.col("sby") - F.col("scy")) - (
+        F.col("sdy") - F.col("scy")
+    ) * (F.col("sbx") - F.col("scx"))
+    return (
+        cand.filter((o1 * o2 < 0) & (o3 * o4 < 0))
+        .select(F.col("aid").alias("ia"), F.col("bid").alias("ib"))
+    )
