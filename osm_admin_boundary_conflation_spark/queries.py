@@ -9647,3 +9647,60 @@ def q_segment_crossing_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter((o1 * o2 < 0) & (o3 * o4 < 0))
         .select(F.col("aid").alias("ia"), F.col("bid").alias("ib"))
     )
+
+
+@q(
+    "contribution_analysis",
+    oracle=r"""
+WITH d AS (SELECT DISTINCT doc_id, source, n_chars FROM documents),
+per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars FROM d GROUP BY source),
+tot AS (SELECT sum(chars) AS total FROM per),
+shares AS (
+  SELECT source, chars, CAST(10000 * chars // total AS BIGINT) AS share_bp,
+         CAST(sum(chars) OVER (ORDER BY chars DESC, source
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+  FROM per, tot
+)
+SELECT source, chars, share_bp, cum_chars,
+       CAST(10000 * cum_chars // (SELECT total FROM tot) AS BIGINT) AS cum_share_bp
+FROM shares
+""",
+)
+def q_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRIBUTION / PARETO ANALYSIS: each source's share of total
+    corpus mass in integer basis points plus the cumulative running
+    share in descending order (the 80/20 audit that decides which
+    sources dominate a mixture). Integer floor division throughout;
+    the running sum orders by (chars DESC, source) so ties are
+    deterministic. The global window runs over #groups rows (20), not
+    raw data — a single-partition window over an aggregate is the
+    intended shape here, not a scale hazard."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .distinct()
+    )
+    per = docs.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    tot = per.agg(F.sum("chars").alias("total"))
+    w = Window.orderBy(F.desc("chars"), "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "chars",
+            F.floor(10000 * F.col("chars") / F.col("total")).cast("long").alias("share_bp"),
+            F.sum("chars").over(w).alias("cum_chars"),
+            "total",
+        )
+        .select(
+            "source",
+            "chars",
+            "share_bp",
+            "cum_chars",
+            F.floor(10000 * F.col("cum_chars") / F.col("total"))
+            .cast("long")
+            .alias("cum_share_bp"),
+        )
+    )

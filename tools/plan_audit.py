@@ -69,6 +69,7 @@ NESTED_LOOP_SCALAR_OK = {
     "mixture_token_budget",  # crossJoin(broadcast(1-row weight total))
     "table_checksum_reconcile",  # crossJoin(broadcast(1-row checksums))
     "join_size_estimate",  # crossJoin(broadcast(1-row actual count))
+    "contribution_analysis",  # crossJoin(broadcast(1-row total)); window over 20 groups
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
@@ -166,7 +167,7 @@ def main() -> None:
         for r in rows
         if r.get("python_row")
         or (r.get("nested_loop") and r["name"] not in NESTED_LOOP_SCALAR_OK)
-        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier"))
+        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier", "contribution_analysis"))
     ]
     out = [
         "# PLAN AUDIT — every registry query's executed plan, summarized",
