@@ -9572,8 +9572,7 @@ WITH d AS (SELECT DISTINCT doc_id AS i FROM documents),
 seg AS (
   SELECT i,
     (i*7) % 997 AS px, (i*13) % 997 AS py,
-    (i*7) % 997 + CASE WHEN (i*5) % 41 - 20 = 0 AND (i*11) % 41 - 20 = 0
-                       THEN 1 ELSE (i*5) % 41 - 20 END AS qx,
+    (i*7) % 997 + ((i*5) % 41 - 20) AS qx,
     (i*13) % 997 + ((i*11) % 41 - 20) AS qy
   FROM d
 ),
@@ -9585,9 +9584,7 @@ pairs AS (
     ((bx-ax)*(dy-ay) - (by2-ay)*(dx-ax)) AS o2,
     ((dx-cx)*(ay-cy) - (dy-cy)*(ax-cx)) AS o3,
     ((dx-cx)*(by2-cy) - (dy-cy)*(bx-cx)) AS o4
-  FROM a, b
-  WHERE least(ax,bx) <= greatest(cx,dx) AND least(cx,dx) <= greatest(ax,bx)
-    AND least(ay,by2) <= greatest(cy,dy) AND least(cy,dy) <= greatest(ay,by2)
+  FROM a CROSS JOIN b
 )
 SELECT ia, ib FROM pairs WHERE o1*o2 < 0 AND o3*o4 < 0
 """,
@@ -9600,7 +9597,20 @@ def q_segment_crossing_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup), then the exact integer orientation test (cross products,
     strict proper crossing) confirms. The oracle is the quadratic
     definition — fine at gate scale, while the engine's blocked plan
-    is the O(n + candidates) shape that survives 10^9 segments."""
+    is the O(n + candidates) shape that survives 10^9 segments.
+
+    Degeneracy-free by construction: a zero-length segment needs
+    (i*5)%41==20 AND (i*11)%41==20, i.e. i≡4 (mod 41) and i≡13
+    (mod 41) simultaneously — impossible, so no special case is
+    needed (the previous CASE guard was dead code). The oracle is a
+    plain CROSS JOIN filtered only by the orientation test: strict
+    proper crossing IMPLIES bbox overlap, so the bbox prefilter is
+    redundant for correctness and dropping it removes the
+    4-inequality join predicate whose IEJoin plan nondeterministically
+    hit a DuckDB 1.0.0 internal vector bug (~1-in-5 runs) that also
+    poisoned the shared oracle connection (VERDICT r05 #1; verified
+    20/20 green isolated runs after the rewrite). The ENGINE keeps
+    the bbox blocking — that is the scale path."""
     from .operators.spatial_join import rect_overlap_join
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -9612,7 +9622,7 @@ def q_segment_crossing_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         ((F.col("i") * 7) % 997).alias("px"),
         ((F.col("i") * 13) % 997).alias("py"),
-        ((F.col("i") * 7) % 997 + F.when((dx == 0) & (dy == 0), 1).otherwise(dx)).alias("qx"),
+        ((F.col("i") * 7) % 997 + dx).alias("qx"),
         ((F.col("i") * 13) % 997 + dy).alias("qy"),
     )
 

@@ -41,17 +41,26 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
+def fresh_con():
+    """One DuckDB connection PER ORACLE. A DuckDB INTERNAL error (engine
+    bug, not SQL error) invalidates the whole connection, so a shared
+    connection lets one fatal oracle cascade into failures for every
+    subsequent query (VERDICT r05 #1: segment_crossing_join poisoned
+    contribution_analysis). Views are cheap to recreate."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
 def main():
     import __spark_entry__ as E
     from osm_admin_boundary_conflation_spark.session import build_session
 
     only = set(sys.argv[1:])
     spark = build_session(app_name="driver-sim")
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
@@ -70,7 +79,9 @@ def main():
         if name not in oracles:
             print(f"[rows-only] {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
             continue
+        con = None
         try:
+            con = fresh_con()
             rel = con.sql(oracles[name])
             # Type sweep: the REAL driver fetches oracle results through
             # pandas, where HUGEINT/DECIMAL degrade to float64 ("7.0" vs
@@ -93,6 +104,12 @@ def main():
             failures.append((name, f"ORACLE ERROR: {ex}"))
             print(f"[FAIL] {name}: oracle error: {str(ex)[:300]}")
             continue
+        finally:
+            if con is not None:
+                try:
+                    con.close()
+                except Exception:
+                    pass
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
         if sc != dc:
