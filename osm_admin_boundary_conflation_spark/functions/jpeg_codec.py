@@ -134,6 +134,7 @@ def encode_baseline_jpeg(
     width: int,
     height: int,
     restart_interval: int = 0,
+    scan_order: list[int] | None = None,
 ) -> bytes:
     """Encode QUANTIZED coefficient blocks as a grayscale baseline JPEG.
 
@@ -143,10 +144,19 @@ def encode_baseline_jpeg(
     FDCT + quant). quant: the 8x8 quantization table (natural order),
     shared by all components. The decoder must recover exactly these
     integers; floats only enter at its IDCT.
+
+    scan_order: optional permutation of component indices. T.81 lets
+    the SOS list components in any order and MCU interleave follows
+    SCAN order, not frame order — externally produced files do this,
+    and the decoder must resolve scan entries by component ID (ADVICE
+    r05 #4). Default None = frame order (what common encoders emit).
     """
     if coeffs.ndim == 4:
         coeffs = coeffs[None]
     nc, by, bx = coeffs.shape[:3]
+    order = list(range(nc)) if scan_order is None else list(scan_order)
+    if sorted(order) != list(range(nc)):
+        raise ValueError(f"scan_order must permute 0..{nc-1}, got {scan_order}")
     if (by * 8 < height) or (bx * 8 < width):
         raise ValueError("not enough blocks for the declared dimensions")
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
@@ -173,8 +183,8 @@ def encode_baseline_jpeg(
     if restart_interval:
         head += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     head += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
-    for ci in range(nc):
-        head += bytes((ci + 1, 0x00))  # DC/AC table 0
+    for ci in order:
+        head += bytes((ci + 1, 0x00))  # DC/AC table 0; SOS order = scan order
     head += b"\x00\x3f\x00"
 
     body = bytearray()
@@ -189,7 +199,7 @@ def encode_baseline_jpeg(
                 body += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
                 w = _BitWriter()
                 pred = [0] * nc
-            for ci in range(nc):
+            for ci in order:  # MCU interleave follows SCAN order (T.81 B.2.3)
                 zz = coeffs[ci, yb, xb].reshape(64)[_Z]
                 size, bits = _magnitude(int(zz[0]) - pred[ci])
                 pred[ci] = int(zz[0])
@@ -368,6 +378,20 @@ def _decode_scan(
     h, w, comps = frame
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan (progressive-style) not supported")
+    # Resolve each SOS entry's COMPONENT ID against the SOF0 component
+    # list (ADVICE r05 #4): the scan may list components in a different
+    # order than the frame header, and pairing them positionally would
+    # silently swap Huffman/quant assignments and planes. MCU interleave
+    # follows SCAN order (ITU T.81 B.2.3); storage follows FRAME order.
+    cids = [cid for cid, _ in comps]
+    scan_map = []
+    for cs, td, ta in scan:
+        if cs not in cids:
+            raise ValueError(f"SOS component id {cs} not among SOF0 ids {cids}")
+        fi = cids.index(cs)
+        if fi in [m[0] for m in scan_map]:
+            raise ValueError(f"SOS lists component id {cs} twice")
+        scan_map.append((fi, td, ta))
     by, bx = (h + 7) // 8, (w + 7) // 8
     n_comp = len(comps)
     coeffs = np.zeros((n_comp, by, bx, 8, 8), dtype=np.int64)
@@ -379,9 +403,9 @@ def _decode_scan(
             r.align_and_expect_restart(mcu // restart - 1)
             pred = [0] * n_comp
         yb, xb = divmod(mcu, bx)
-        for ci in range(n_comp):  # interleaved 4:4:4: one block per comp
-            dc_tab = huff_dc[scan[ci][1]]
-            ac_tab = huff_ac[scan[ci][2]]
+        for ci, td, ta in scan_map:  # interleaved 4:4:4: one block per comp
+            dc_tab = huff_dc[td]
+            ac_tab = huff_ac[ta]
             zz = np.zeros(64, dtype=np.int64)
             size = _read_huff(r, dc_tab)
             diff = _extend(r.bits(size), size) if size else 0

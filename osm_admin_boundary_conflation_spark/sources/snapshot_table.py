@@ -42,7 +42,17 @@ all apply unchanged. Concurrent writers use OPTIMISTIC CONCURRENCY
 uniquely-named dir, then the writer claims the next version by
 hard-linking its manifest into place — os.link fails atomically if the
 version is taken, and the loser re-resolves the new parent and retries
-with the next number. No lock, no lost updates (see _commit_manifest).
+with the next number. No lock, no lost updates (see _commit_manifest;
+full-replace commits are CONDITIONAL on the parent they derived from —
+SnapshotConflictError on a lost race, never silent row loss).
+
+Metadata at scale: _versions/snapshot_history/latest_batch_id/vacuum
+walk metadata/ driver-side with os.listdir — O(#versions) tiny JSON
+reads, fine to ~10^5 commits on a filesystem. The object-store variant
+keeps the manifest list in a metadata TABLE (version-keyed parquet,
+the Iceberg metadata-log shape) instead of a directory walk; only
+these listing helpers change, the commit protocol and manifests do
+not. See maybe_compact's manifest-count bound note.
 """
 
 from __future__ import annotations
@@ -88,7 +98,17 @@ def _new_data_dir(location: str) -> str:
     return os.path.join(location, "data", f"snap-{uuid.uuid4().hex[:12]}")
 
 
-def _commit_manifest(location: str, build) -> int:
+class SnapshotConflictError(RuntimeError):
+    """A conditional commit found a different parent than the snapshot
+    it was derived from — committing would silently drop the concurrent
+    writer's rows. The caller must re-read and recompute (see
+    maybe_compact for the retry shape)."""
+
+
+_ANY_PARENT = object()  # sentinel: commit commutes, any parent is fine
+
+
+def _commit_manifest(location: str, build, expected_parent=_ANY_PARENT) -> int:
     """Optimistic-concurrency commit: claim the next version number by
     hard-linking a fully-fsynced manifest to metadata/v<N>.json.
     os.link is atomic fail-or-win on POSIX (unlike os.rename, which
@@ -96,12 +116,28 @@ def _commit_manifest(location: str, build) -> int:
     loser re-resolves the latest parent and retries with the next
     number. `build(version, parent)` returns the manifest dict for one
     attempt — data files are already on disk and version-independent,
-    so a retry costs one small JSON write, never a data rewrite."""
+    so a retry costs one small JSON write, never a data rewrite.
+
+    `expected_parent` is the conditional-commit guard (ADVICE r05 #2):
+    append/delete commits COMMUTE with concurrent commits (their data
+    is self-contained and layered on whatever parent wins), so they
+    keep the unconditional retry (_ANY_PARENT). A FULL-REPLACE commit
+    (write_snapshot / maybe_compact) does NOT commute — its data was
+    DERIVED from the snapshot it read, and retrying onto a newer parent
+    would silently drop the concurrent writer's rows. Such callers pass
+    the version they derived from; if the resolved parent differs the
+    commit aborts with SnapshotConflictError instead of lying."""
     os.makedirs(_meta_dir(location), exist_ok=True)
     while True:
         vs = _versions(location)
         version = (vs[-1] if vs else 0) + 1
         parent = vs[-1] if vs else None
+        if expected_parent is not _ANY_PARENT and parent != expected_parent:
+            raise SnapshotConflictError(
+                f"conditional commit at {location}: derived from parent "
+                f"{expected_parent} but current parent is {parent} — a "
+                "concurrent commit landed; recompute from the new parent"
+            )
         manifest = build(version, parent)
         final = _manifest_path(location, version)
         tmp = f"{final}.{os.getpid()}.{time.monotonic_ns()}.tmp"
@@ -138,6 +174,7 @@ def write_snapshot(
     location: str,
     commit_ms: int | None = None,
     partition_by: list[str] | None = None,
+    expected_parent=_ANY_PARENT,
 ) -> int:
     """Commit `df` as the next snapshot of the table at `location`.
     Returns the new version number. Data first, manifest link last —
@@ -145,7 +182,10 @@ def write_snapshot(
     (the orphaned data dir is invisible to readers and reclaimable).
     `partition_by` lays the snapshot out hive-partitioned so reads
     through time travel keep PARTITION PRUNING — the layout every
-    100 TB fact table needs; the manifest records the spec."""
+    100 TB fact table needs; the manifest records the spec.
+    `expected_parent`: pass the version `df` was derived from when this
+    replace must not clobber concurrent commits (raises
+    SnapshotConflictError on a lost race instead of dropping rows)."""
     ddir = _new_data_dir(location)
     n_rows = _write_counted(df, ddir, partition_by)
     schema = df.schema.jsonValue()
@@ -161,7 +201,7 @@ def write_snapshot(
             "schema": schema,
         }
 
-    return _commit_manifest(location, build)
+    return _commit_manifest(location, build, expected_parent=expected_parent)
 
 
 MAX_CHAIN_DEPTH = 100
@@ -266,13 +306,34 @@ def vacuum(location: str) -> list[str]:
     references (crashed writes that lost the race to the manifest
     rename, or dirs whose .tmp manifest never landed). Never touches a
     referenced dir, so readers of ANY committed version are unaffected.
-    Returns the removed paths."""
+    STAGED (write-audit-publish) snapshots are referenced too (ADVICE
+    r05 #1): their data is live-but-unpublished, and reclaiming it
+    between stage and publish would commit a version whose files are
+    gone. In-flight `.publishing.` claims count as well — a publisher
+    that crashed mid-claim still references its data until the claim
+    is resolved. Returns the removed paths.
+
+    Scale note: this walk (like snapshot_history / latest_batch_id) is
+    a driver-side directory listing of O(#versions) small JSONs — the
+    single-host shape. The object-store variant lists manifests from a
+    metadata table instead of the filesystem (see maybe_compact's
+    manifest-count bound note); the referenced-set logic is unchanged."""
     import shutil
 
     referenced = set()
     for v in _versions(location):
         with open(_manifest_path(location, v)) as f:
             referenced.add(json.load(f)["data_dir"])
+    sdir = os.path.join(_meta_dir(location), "staged")
+    if os.path.isdir(sdir):
+        for f in os.listdir(sdir):
+            if f.endswith(".tmp"):
+                continue  # torn stage write: its data dir is fair game
+            try:
+                with open(os.path.join(sdir, f)) as fh:
+                    referenced.add(json.load(fh)["data_dir"])
+            except (json.JSONDecodeError, KeyError, OSError):
+                continue  # unreadable marker references nothing
     droot = os.path.join(location, "data")
     removed = []
     if os.path.isdir(droot):
@@ -308,7 +369,7 @@ def chain_length(location: str, version: int | None = None) -> int:
 
 
 def maybe_compact(
-    spark: SparkSession, location: str, max_links: int = 20
+    spark: SparkSession, location: str, max_links: int = 20, _retries: int = 3
 ) -> int | None:
     """Fold the append/delete chain into a single data snapshot when it
     exceeds `max_links` links — the table-maintenance job a long-running
@@ -317,10 +378,36 @@ def maybe_compact(
     and time travel are unaffected: old manifests stay on disk, so
     earlier versions remain readable and the streaming batch_id
     watermark (latest_batch_id scans ALL manifests) survives the fold.
-    Returns the new compacted version, or None if under the threshold."""
-    if chain_length(location) <= max_links:
-        return None
-    return write_snapshot(read_snapshot(spark, location), location)
+    Returns the new compacted version, or None if under the threshold.
+
+    Compaction is a FULL-REPLACE derived from the snapshot it read, so
+    it commits conditionally on that parent (ADVICE r05 #2): if a
+    concurrent append lands between the read and the commit, the commit
+    aborts with SnapshotConflictError and we RECOMPUTE from the new
+    parent (up to `_retries` times; the chain only grows in between, so
+    giving up just defers the fold to the next maintenance cycle —
+    never a correctness loss).
+
+    Manifest-count bound: chain_length caps the READ-PLAN depth, but
+    total manifests still grow one per commit forever; _versions() /
+    latest_batch_id() walk all of them driver-side. That walk is
+    O(#versions) tiny-JSON reads — fine to ~10^5 commits on a
+    filesystem; past that (years of per-minute micro-batches) the
+    object-store variant keeps the manifest list itself in a table (a
+    metadata parquet keyed by version, exactly how Iceberg's
+    version-hint + metadata log works) instead of directory listing —
+    same swap-confinement note as the module docstring."""
+    for _ in range(_retries):
+        vs = _versions(location)
+        if not vs or chain_length(location) <= max_links:
+            return None
+        derived_from = vs[-1]
+        snap = read_snapshot(spark, location, version=derived_from)
+        try:
+            return write_snapshot(snap, location, expected_parent=derived_from)
+        except SnapshotConflictError:
+            continue  # a commit landed mid-fold: recompute from the new tip
+    return None
 
 
 def latest_batch_id(location: str) -> int | None:
@@ -465,25 +552,42 @@ def read_staged(spark: SparkSession, location: str, token: str) -> DataFrame:
     return spark.read.parquet(os.path.join(location, manifest["data_dir"]))
 
 
-def publish_staged(location: str, token: str) -> int:
+def publish_staged(location: str, token: str, commit_ms: int | None = None) -> int:
     """WAP publish step: promote the staged snapshot to the next table
     version through the same optimistic _commit_manifest claim as any
     writer. The publisher first CLAIMS the staged marker by renaming it
     (atomic fail-or-win), so two racing publishers of the same token
     cannot double-publish — the loser gets FileNotFoundError. Data
-    files do not move."""
+    files do not move; their existence is verified before the commit
+    (ADVICE r05 #1: if something reclaimed the staged data, publishing
+    would commit a version whose files are gone — fail here, with the
+    claim rolled back, rather than corrupt the table).
+
+    Timestamp (ADVICE r05 #3): the published version is stamped with
+    PUBLISH time — the moment it became visible — so history stays
+    monotonic and version_as_of never returns a version that was not
+    actually readable at the queried instant (real formats record
+    publish time too). The stage time is preserved as `staged_at_ms`."""
     spath = os.path.join(_meta_dir(location), "staged", f"{token}.json")
     claim = f"{spath}.publishing.{os.getpid()}.{time.monotonic_ns()}"
     os.rename(spath, claim)  # atomic claim: a concurrent publisher loses here
     spath = claim
     with open(spath) as f:
         staged = json.load(f)
+    if not os.path.isdir(os.path.join(location, staged["data_dir"])):
+        os.rename(claim, os.path.join(_meta_dir(location), "staged", f"{token}.json"))
+        raise FileNotFoundError(
+            f"staged data dir {staged['data_dir']} is missing at {location} — "
+            "refusing to publish a version with no files (was vacuum run "
+            "with an incompatible tool between stage and publish?)"
+        )
 
     def build(version: int, parent: int | None) -> dict:
         return {
             "version": version,
             "parent": parent,
-            "committed_at_ms": staged["committed_at_ms"],
+            "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
+            "staged_at_ms": staged["committed_at_ms"],
             "n_rows": staged["n_rows"],
             "data_dir": staged["data_dir"],
             "schema": staged["schema"],

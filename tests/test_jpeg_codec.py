@@ -215,3 +215,51 @@ def test_fuzz_corruption_never_hangs_or_miscrashes():
         except (ValueError, NotImplementedError, IndexError, struct.error):
             pass
 
+
+
+def test_sos_component_order_resolved_by_id():
+    """ADVICE r05 #4: an externally produced baseline JPEG may list SOS
+    components in a different order than SOF0; MCU interleave follows
+    SCAN order (T.81 B.2.3) but storage/tables resolve by component ID.
+    A positional decoder would swap planes silently — require the
+    reordered-scan file to decode IDENTICALLY to the frame-order one."""
+    rng = np.random.RandomState(21)
+    coeffs = np.zeros((3, 2, 2, 8, 8), dtype=np.int64)
+    for ci in range(3):
+        coeffs[ci] = _random_coeffs(rng, (2, 2))
+    normal = J.encode_baseline_jpeg(coeffs, _quant(), 16, 16)
+    for order in ([2, 1, 0], [1, 2, 0]):
+        reordered = J.encode_baseline_jpeg(
+            coeffs, _quant(), 16, 16, scan_order=order
+        )
+        assert reordered != normal  # genuinely a different byte stream
+        got, _ = J.decode_baseline_jpeg(reordered, return_coeffs=True)
+        assert np.array_equal(got, coeffs)
+        assert np.array_equal(
+            J.decode_baseline_jpeg(reordered), J.decode_baseline_jpeg(normal)
+        )
+
+
+def test_sos_unknown_or_duplicate_component_id_rejected():
+    """Scan entries naming a component SOF0 never declared (or naming
+    one twice) must error, not decode with garbage table bindings."""
+    coeffs = np.zeros((3, 1, 1, 8, 8), dtype=np.int64)
+    coeffs[:, :, :, 0, 0] = 4
+    blob = bytearray(J.encode_baseline_jpeg(coeffs, _quant(), 8, 8))
+    sos = blob.find(b"\xff\xda")
+    assert sos > 0
+    # entries live at sos+5 .. sos+5+2*3, as (component_id, tables) pairs
+    bad = bytearray(blob)
+    bad[sos + 5] = 77  # unknown id
+    with pytest.raises(ValueError, match="not among SOF0"):
+        J.decode_baseline_jpeg(bytes(bad))
+    dup = bytearray(blob)
+    dup[sos + 5 + 2] = dup[sos + 5]  # second entry repeats first id
+    with pytest.raises(ValueError, match="twice"):
+        J.decode_baseline_jpeg(bytes(dup))
+
+
+def test_encoder_rejects_invalid_scan_order():
+    coeffs = np.zeros((3, 1, 1, 8, 8), dtype=np.int64)
+    with pytest.raises(ValueError, match="scan_order"):
+        J.encode_baseline_jpeg(coeffs, _quant(), 8, 8, scan_order=[0, 0, 1])

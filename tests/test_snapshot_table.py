@@ -308,3 +308,102 @@ def test_compaction_preserves_batch_watermark(spark, tmp_path):
     assert commit_batch_idempotent(spark.range(5), 3, loc) is None
     assert ST.latest_batch_id(loc) == 3
     assert ST.read_snapshot(spark, loc).count() == 20
+
+
+def test_vacuum_preserves_staged_wap_data(spark, tmp_path):
+    """ADVICE r05 #1: a staged (unpublished) WAP snapshot's data is
+    live — vacuum must not reclaim it, and publish after a vacuum must
+    still succeed."""
+    loc = str(tmp_path / "tbl")
+    ST.write_snapshot(spark.range(4), loc, commit_ms=1)
+    ST.write_staged_snapshot(spark.range(9), loc, token="t1", commit_ms=2)
+    # plant a true orphan so we know vacuum still reclaims those
+    spark.range(99).write.parquet(os.path.join(loc, "data", "snap-orphan"))
+
+    removed = ST.vacuum(loc)
+    assert removed == [os.path.join("data", "snap-orphan")]
+
+    assert ST.read_staged(spark, loc, "t1").count() == 9
+    v = ST.publish_staged(loc, "t1", commit_ms=3)
+    assert ST.read_snapshot(spark, loc, version=v).count() == 9
+
+
+def test_publish_refuses_missing_data_and_rolls_back_claim(spark, tmp_path):
+    """publish_staged verifies the staged data dir exists before
+    committing; on failure the staged marker is restored so the stage
+    can be rewritten or abandoned cleanly."""
+    import shutil
+
+    loc = str(tmp_path / "tbl")
+    ST.write_snapshot(spark.range(4), loc, commit_ms=1)
+    ST.write_staged_snapshot(spark.range(9), loc, token="t1", commit_ms=2)
+    spath = os.path.join(loc, "metadata", "staged", "t1.json")
+    with open(spath) as f:
+        ddir = json.load(f)["data_dir"]
+    shutil.rmtree(os.path.join(loc, ddir))  # simulate foreign reclaim
+
+    with pytest.raises(FileNotFoundError, match="staged data dir"):
+        ST.publish_staged(loc, "t1")
+    assert os.path.exists(spath)  # claim rolled back
+    assert [h["version"] for h in ST.snapshot_history(loc)] == [1]  # no commit
+
+
+def test_publish_stamps_publish_time_monotonic(spark, tmp_path):
+    """ADVICE r05 #3: a snapshot staged long ago but published now must
+    not time-travel before later commits — committed_at_ms is publish
+    time; stage time survives as staged_at_ms."""
+    loc = str(tmp_path / "tbl")
+    ST.write_snapshot(spark.range(4), loc, commit_ms=1000)
+    ST.write_staged_snapshot(spark.range(9), loc, token="old", commit_ms=500)
+    ST.write_snapshot(spark.range(6), loc, commit_ms=2000)
+    v = ST.publish_staged(loc, "old", commit_ms=3000)
+
+    hist = ST.snapshot_history(loc)
+    stamps = [h["committed_at_ms"] for h in hist]
+    assert stamps == sorted(stamps) == [1000, 2000, 3000]
+    with open(ST._manifest_path(loc, v)) as f:
+        m = json.load(f)
+    assert m["staged_at_ms"] == 500
+    # as-of 2500: the staged-at-500 snapshot was NOT visible yet
+    assert ST.version_as_of(loc, 2500) == 2
+    assert ST.version_as_of(loc, 3000) == v
+
+
+def test_replace_commit_conditional_on_parent(spark, tmp_path):
+    """ADVICE r05 #2: a full-replace derived from a stale read must
+    abort, not silently drop a concurrent append; maybe_compact
+    recomputes from the new parent instead."""
+    loc = str(tmp_path / "tbl")
+    v1 = ST.write_snapshot(spark.range(5), loc, commit_ms=1)
+    # concurrent append lands after our (simulated) derive-read
+    ST.write_append_snapshot(spark.range(100, 103), loc, commit_ms=2)
+    with pytest.raises(ST.SnapshotConflictError, match="concurrent commit"):
+        ST.write_snapshot(spark.range(5), loc, expected_parent=v1)
+    # nothing committed by the failed replace
+    assert [h["version"] for h in ST.snapshot_history(loc)] == [1, 2]
+    assert ST.read_snapshot(spark, loc).count() == 8
+
+
+def test_maybe_compact_recomputes_after_conflict(spark, tmp_path, monkeypatch):
+    """A commit racing the fold makes the conditional replace fail once;
+    maybe_compact retries from the new tip and the folded snapshot
+    contains the racer's rows."""
+    loc = str(tmp_path / "tbl")
+    for b in range(4):
+        ST.write_append_snapshot(spark.range(b * 5, b * 5 + 5), loc, commit_ms=b)
+
+    real_read = ST.read_snapshot
+    raced = {"done": False}
+
+    def racing_read(spark_, location_, version=None, _depth=0):
+        df = real_read(spark_, location_, version=version, _depth=_depth)
+        if not raced["done"] and _depth == 0:
+            raced["done"] = True
+            ST.write_append_snapshot(spark_.range(900, 903), location_, commit_ms=99)
+        return df
+
+    monkeypatch.setattr(ST, "read_snapshot", racing_read)
+    v = ST.maybe_compact(spark, loc, max_links=1)
+    assert v is not None
+    got = {r.id for r in real_read(spark, loc, version=v).collect()}
+    assert got == set(range(20)) | {900, 901, 902}
