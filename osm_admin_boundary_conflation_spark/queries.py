@@ -683,12 +683,95 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.bucketed_topk(emb, query_id=0, k=10)
 
 
+# The driver's correctness gate samples the FIRST 50 entries of
+# queries() in iteration order. Rounds 3-5 sampled the same 50
+# definition-order names, leaving 143 registry queries with no hard
+# driver row (VERDICT r05 item 2) — so the head is now an explicit
+# ROTATION: geotag stays first (entry() depends on it), followed by 49
+# queries the driver has never gated — the whole snapshot-table
+# runtime, streaming ingest, the distinctive spatial-join family
+# (kNN / rect-overlap / radius / segment-crossing / skew-salted),
+# media codecs, TPC-H, SCD2, sketches, and every SURVEY row that only
+# had sweep ("sim") evidence (S9/S10/S14/A9/G2/G8/G14). Everything
+# else keeps definition order after the head; nothing semantic changes.
+_DRIVER_HEAD = [
+    "geotag",
+    # spatial-join family (VERDICT r05 item 6)
+    "geotag_knn",
+    "bbox_overlap_join",
+    "radius_join_planar",
+    "segment_crossing_join",
+    "geotag_skewed_salted",
+    "geotag_auto_strategy",
+    "geotag_incremental",
+    "raster_tile_assign",
+    # snapshot-table runtime
+    "snapshot_time_travel",
+    "snapshot_merge_upsert",
+    "snapshot_delete_vector",
+    "snapshot_concurrent_commits",
+    "snapshot_schema_evolution",
+    "snapshot_cdc_diff",
+    "snapshot_as_of_timestamp",
+    "snapshot_write_audit_publish",
+    "snapshot_vacuum_gc",
+    "ivm_incremental_aggs",
+    "lineage_snapshot_log",
+    # streaming ingest / joins
+    "stream_ingest_compacted",
+    "stream_merge_upsert_mor",
+    "stream_snapshot_ingest",
+    "stream_stream_join",
+    # media codecs
+    "media_decode_jpeg",
+    "media_decode_raw",
+    "media_meta_real",
+    # TPC-H
+    "shipping_priority",
+    "customer_distribution",
+    "large_volume_orders",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    # SCD2 / temporal
+    "scd2_dimension_build",
+    "scd2_asof_enrich",
+    "attribution_join",
+    # sketches
+    "hll_merge_rollup",
+    "countmin_sketch",
+    "heavy_hitters",
+    # SURVEY rows previously sim-only
+    "shapefile_roundtrip",
+    "results_sink_metrics",
+    "zip_csv_scan",
+    "lint_observed",
+    "reproject_roundtrip",
+    "compass_bearings",
+    "geometry_validity",
+    # gate-hardening / dedup / text
+    "resume_lineage",
+    "lsh_recall_eval",
+    "exact_substring_spans",
+    "pages_text_invariant",
+    "contribution_analysis",
+]
+
+
+def _rotated(d: dict) -> dict:
+    missing = [n for n in _DRIVER_HEAD if n not in QUERIES]
+    if missing:
+        raise KeyError(f"_DRIVER_HEAD names not in registry: {missing}")
+    head = {n: d[n] for n in _DRIVER_HEAD if n in d}
+    tail = {n: v for n, v in d.items() if n not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _rotated(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _rotated(ORACLES)
 
 
 # ===========================================================================
