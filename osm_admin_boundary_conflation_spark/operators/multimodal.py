@@ -14,8 +14,10 @@ Codec status is split honestly by what byte parsing alone can do:
   `media_decode_raw` oracle query.
 - Baseline JPEG is REALLY decoded too, by the from-scratch pure-numpy
   codec in functions/jpeg_codec.py (markers, canonical Huffman,
-  entropy decode with restart markers, dequant, vectorized IDCT) —
-  gated by `media_decode_jpeg` and differential-tested in
+  entropy decode with restart markers, dequant, vectorized IDCT,
+  chroma subsampling at any 1..4 factors incl. 4:2:0/4:2:2 with box
+  upsampling) — gated by `media_decode_jpeg` (4:4:4 grayscale) and
+  `media_decode_jpeg420` (4:2:0 color), differential-tested in
   tests/test_jpeg_codec.py.
 - MP3/H.264 genuinely need codec libraries this container lacks:
   `decode_media` raises NotImplementedError for them unless
@@ -386,6 +388,71 @@ def build_jpeg_media(docs: DataFrame) -> DataFrame:
                 {
                     "doc_id": ids.astype("int64"),
                     "jpg": ids.map(lambda i: build_jpeg(int(i))),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, JPEG_MEDIA_SCHEMA)
+
+
+JPEG420_BLOCKS = 4  # gated 4:2:0 JPEGs are 4x4 luma blocks = 32x32 color
+
+
+def build_jpeg420(doc_id: int) -> bytes:
+    """Color baseline JPEG with 4:2:0 chroma subsampling (VERDICT r05
+    item 4 — the layout most real-world JPEGs use) whose decode is
+    EXACTLY closed-form:
+
+    - Y 8x8 block (bx, by) is the constant v = 2*((doc_id*5 + bx*3 +
+      by*7) % 100) + 20 (even, in [20, 218]): DC quant 16 recovers v
+      losslessly, as in build_jpeg.
+    - Cb and Cr planes are constant 138 (DC coefficient 5, quant 16 →
+      dequant 80 → IDCT 80/8 = 10 → +128 = 138, float-exact), so the
+      T.871 color convert adds three FIXED integer offsets per channel:
+      R = y + rint(1.402*10)            = y + 14
+      G = y + rint(-0.344136*10 - 0.714136*10) = y - 11
+      B = y + rint(1.772*10)            = y + 18
+      (each ≥0.08 away from a .5 boundary — rounding is unambiguous —
+      and the [20, 218] luma range keeps every channel inside [0, 255],
+      so no clamp fires). Per-pixel RGB sum = 3*y + 21.
+
+    The 32x32 frame is 4 MCUs of 16x16 (four Y data units + one Cb +
+    one Cr each, T.81 A.2.3 interleave) with restart_interval=1, so the
+    decoder must tile subsampled MCUs, reset DC predictors at every
+    RST, and box-upsample chroma — all on the exact path the oracle
+    pins: pixel_sum = 192*sum(v_blocks) + 21*64*16."""
+    import numpy as np
+
+    from ..functions.jpeg_codec import encode_baseline_jpeg
+
+    quant = np.ones((8, 8), dtype=np.int64)
+    quant[0, 0] = 16
+    nb = JPEG420_BLOCKS
+    y = np.zeros((nb, nb, 8, 8), dtype=np.int64)
+    for by_ in range(nb):
+        for bx in range(nb):
+            v = 2 * ((doc_id * 5 + bx * 3 + by_ * 7) % 100) + 20
+            y[by_, bx, 0, 0] = (v - 128) // 2
+    cb = np.zeros((nb // 2, nb // 2, 8, 8), dtype=np.int64)
+    cr = np.zeros((nb // 2, nb // 2, 8, 8), dtype=np.int64)
+    cb[:, :, 0, 0] = 5
+    cr[:, :, 0, 0] = 5
+    side = nb * 8
+    return encode_baseline_jpeg(
+        [y, cb, cr], quant, side, side,
+        sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=1,
+    )
+
+
+def build_jpeg420_media(docs: DataFrame) -> DataFrame:
+    """docs(doc_id) → (doc_id, jpg:binary) of 4:2:0 color JPEGs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.astype("int64"),
+                    "jpg": ids.map(lambda i: build_jpeg420(int(i))),
                 }
             )
 

@@ -9797,3 +9797,42 @@ def q_contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_share_bp"),
         )
     )
+
+
+@q(
+    "media_decode_jpeg420",
+    oracle=r"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+bs AS (SELECT unnest(range(4)) AS b),
+img AS (
+  SELECT i.doc_id,
+         CAST(192 * sum(2 * ((i.doc_id * 5 + x.b * 3 + y.b * 7) % 100) + 20)
+              + 21504 AS BIGINT) AS pixel_sum
+  FROM ids i CROSS JOIN bs x CROSS JOIN bs y
+  GROUP BY i.doc_id
+)
+SELECT doc_id, CAST(32 AS BIGINT) AS img_w, CAST(32 AS BIGINT) AS img_h, pixel_sum
+FROM img
+""",
+)
+def q_media_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled COLOR JPEG decode (VERDICT r05 item 4 —
+    the layout most real-world JPEGs use; the 4:4:4 gate is
+    media_decode_jpeg). Per doc a 32x32 YCbCr baseline JPEG is
+    synthesized at sampling (2,2)/(1,1)/(1,1) — 4 MCUs of four Y data
+    units + one Cb + one Cr each, restart markers before every MCU —
+    then decoded by the from-scratch codec: subsampled MCU tiling,
+    per-component DC predictors with RST reset, dequant, vectorized
+    IDCT, box chroma upsampling, T.871 color conversion. The synthesis
+    closed form (DC-only, even luma, constant chroma 138) makes every
+    decoded RGB value exact, so the oracle pins per-image pixel sums as
+    integers: per-pixel RGB sum = 3*y + 21 (see
+    operators/multimodal.py build_jpeg420 for the offset derivation).
+    4:2:2, scan reordering, and AC paths are differential-tested in
+    tests/test_jpeg_codec.py."""
+    from .operators.multimodal import build_jpeg420_media, decode_jpeg_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 3 == 2
+    )
+    return decode_jpeg_media(build_jpeg420_media(docs))

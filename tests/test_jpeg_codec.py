@@ -160,14 +160,24 @@ def test_honest_rejections():
     prog = blob[:idx] + b"\xff\xc2" + blob[idx + 2 :]
     with pytest.raises(NotImplementedError, match="progressive|non-baseline"):
         J.decode_baseline_jpeg(prog)
-    # subsampled 4:2:0 sampling byte: honest NotImplementedError
+    # illegal sampling byte (factor 0): hard ValueError, not a decode
     sof_at = idx + 2 + 2  # past marker + length
     bad = bytearray(blob)
-    bad[sof_at + 6 + 1] = 0x22  # component 1 sampling 2x2
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    bad[sof_at + 6 + 1] = 0x01  # component 1 sampling h=0
+    with pytest.raises(ValueError, match="illegal sampling"):
         J.decode_baseline_jpeg(bytes(bad))
     with pytest.raises(ValueError, match="truncated|expected marker"):
         J.decode_baseline_jpeg(blob[:20])
+    # fractional upsampling ratio (hmax=3 not divisible by h=2): honest
+    # NotImplementedError — no real encoder emits this layout
+    y3 = np.zeros((1, 3, 8, 8), dtype=np.int64)
+    c2 = np.zeros((1, 2, 8, 8), dtype=np.int64)
+    c1 = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    frac = J.encode_baseline_jpeg(
+        [y3, c2, c1], _quant(), 24, 8, sampling=[(3, 1), (2, 1), (1, 1)]
+    )
+    with pytest.raises(NotImplementedError, match="fractional"):
+        J.decode_baseline_jpeg(frac)
 
 
 def test_decode_media_routes_jpeg():
@@ -263,3 +273,114 @@ def test_encoder_rejects_invalid_scan_order():
     coeffs = np.zeros((3, 1, 1, 8, 8), dtype=np.int64)
     with pytest.raises(ValueError, match="scan_order"):
         J.encode_baseline_jpeg(coeffs, _quant(), 8, 8, scan_order=[0, 0, 1])
+
+
+# ---------------------------------------------------------------------------
+# Chroma subsampling (VERDICT r05 item 4): 4:2:0 / 4:2:2 MCU tiling
+# ---------------------------------------------------------------------------
+
+
+def test_420_coefficient_round_trip_is_bit_exact():
+    """4:2:0 interleave: each MCU carries four Y data units then one Cb
+    and one Cr (T.81 A.2.3). Random coefficients in every block of all
+    three planes must survive encode->decode bit-exactly, including
+    across restart markers (per-component DC predictors reset)."""
+    rng = np.random.RandomState(420)
+    # 40x24 frame -> mcus_x=3, mcus_y=2; Y grid 4x6, chroma 2x3
+    y = _random_coeffs(rng, (4, 6))
+    cb = _random_coeffs(rng, (2, 3))
+    cr = _random_coeffs(rng, (2, 3))
+    for rst in (0, 1, 3):
+        blob = J.encode_baseline_jpeg(
+            [y, cb, cr], _quant(), 40, 24,
+            sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=rst,
+        )
+        got, qtabs = J.decode_baseline_jpeg(blob, return_coeffs=True)
+        assert isinstance(got, list)
+        assert np.array_equal(got[0], y)
+        assert np.array_equal(got[1], cb)
+        assert np.array_equal(got[2], cr)
+
+
+def test_420_pixels_match_444_on_prereplicated_chroma():
+    """Differential 4:2:0 vs 4:4:4: if the 4:4:4 encoding carries the
+    chroma planes pre-replicated 2x2 (what box upsampling reconstructs),
+    both files must decode to the SAME RGB image. This pins the MCU
+    tiling, the chroma crop, and the upsample path against the already-
+    verified 4:4:4 decoder with no reference to internal state."""
+    rng = np.random.RandomState(99)
+    q = _quant()
+    # DC-only planes so chroma replication in coefficient space is exact:
+    # a constant 8x8 block upsampled 2x2 equals four constant blocks.
+    def dc_only(shape, lo=-40, hi=40):
+        c = np.zeros(shape + (8, 8), dtype=np.int64)
+        c[:, :, 0, 0] = rng.randint(lo, hi, size=shape)
+        return c
+
+    y = dc_only((4, 4))
+    cb = dc_only((2, 2))
+    cr = dc_only((2, 2))
+    sub = J.encode_baseline_jpeg(
+        [y, cb, cr], q, 32, 32, sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+    # pre-replicate each chroma block 2x2 in the block grid
+    cb_full = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+    cr_full = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+    full = J.encode_baseline_jpeg(np.stack([y, cb_full, cr_full]), q, 32, 32)
+    assert np.array_equal(J.decode_baseline_jpeg(sub), J.decode_baseline_jpeg(full))
+
+
+def test_422_and_scan_order_and_odd_dims():
+    """4:2:2 (Y 2x1), SOS scan order Cr,Y,Cb, and non-MCU-multiple
+    dimensions: coefficients round-trip and the decoded image crops to
+    the declared WxH."""
+    rng = np.random.RandomState(422)
+    # 36x20 -> mcus_x=ceil(36/16)=3, mcus_y=ceil(20/8)=3
+    y = _random_coeffs(rng, (3, 6))
+    cb = _random_coeffs(rng, (3, 3))
+    cr = _random_coeffs(rng, (3, 3))
+    blob = J.encode_baseline_jpeg(
+        [y, cb, cr], _quant(), 36, 20,
+        sampling=[(2, 1), (1, 1), (1, 1)], scan_order=[2, 0, 1],
+    )
+    got, _ = J.decode_baseline_jpeg(blob, return_coeffs=True)
+    assert np.array_equal(got[0], y)
+    assert np.array_equal(got[1], cb)
+    assert np.array_equal(got[2], cr)
+    assert J.decode_baseline_jpeg(blob).shape == (20, 36, 3)
+
+
+def test_420_dc_only_closed_form_exact():
+    """The gate's closed form: even luma v with DC quant 16 and constant
+    chroma 138 (DC coeff 5) must decode to exactly (v+14, v-11, v+18)
+    per pixel — the integer offsets the media_decode_jpeg420 oracle
+    hardcodes (see multimodal.build_jpeg420)."""
+    q = np.ones((8, 8), dtype=np.int64)
+    q[0, 0] = 16
+    v = 120
+    y = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    y[:, :, 0, 0] = (v - 128) // 2
+    cb = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    cr = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    cb[0, 0, 0, 0] = 5
+    cr[0, 0, 0, 0] = 5
+    blob = J.encode_baseline_jpeg(
+        [y, cb, cr], q, 16, 16, sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+    img = J.decode_baseline_jpeg(blob)
+    assert (img[:, :, 0] == v + 14).all()
+    assert (img[:, :, 1] == v - 11).all()
+    assert (img[:, :, 2] == v + 18).all()
+
+
+def test_encoder_rejects_bad_sampling_grids():
+    y = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    c = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    with pytest.raises(ValueError, match="expected block grid"):
+        J.encode_baseline_jpeg(
+            [y, c, c], _quant(), 32, 32, sampling=[(2, 2), (1, 1), (1, 1)]
+        )  # 32x32 needs a 4x4 Y grid, not 2x2
+    with pytest.raises(ValueError, match="sampling factors"):
+        J.encode_baseline_jpeg(
+            [y, c, c], _quant(), 16, 16, sampling=[(5, 1), (1, 1), (1, 1)]
+        )
