@@ -67,6 +67,10 @@ HARNESS = {
 # not a data-sized nested loop
 NESTED_LOOP_SCALAR_OK = {
     "mixture_token_budget",  # crossJoin(broadcast(1-row weight total))
+    "important_part_value",  # crossJoin(broadcast(1-row sum)) — Q11 scalar decorrelation
+    "dormant_customer_opportunity",  # crossJoin(broadcast(1-row sum/count)) — Q22 scalar
+    "top_supplier_revenue",  # crossJoin(broadcast(1-row max)) — Q15 scalar
+    "small_quantity_revenue",  # per-part (sum,count) rejoin; AQE may broadcast it — Q17
     "table_checksum_reconcile",  # crossJoin(broadcast(1-row checksums))
     "join_size_estimate",  # crossJoin(broadcast(1-row actual count))
     "contribution_analysis",  # crossJoin(broadcast(1-row total)); window over 20 groups
