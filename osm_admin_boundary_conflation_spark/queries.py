@@ -10552,3 +10552,93 @@ def q_dormant_customer_opportunity(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("bal_c").alias("totacctbal_c"),
         )
     )
+
+
+@q(
+    "snapshot_file_skipping",
+    oracle="""
+SELECT o.o_orderstatus AS orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+FROM orders o
+WHERE o.o_custkey >= 100 AND o.o_custkey <= 300
+GROUP BY 1
+""",
+)
+def q_snapshot_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping (round 6): commit orders to the snapshot
+    table RANGE-CLUSTERED on o_custkey with per-file min/max stats
+    harvested from the parquet footers, then answer a custkey-range
+    aggregate through read_snapshot_pruned — the manifest plans the
+    scan and only the files whose [min, max] overlap the range are
+    opened (the pytest asserts the skip actually happens: ≤ 3 of 16
+    files for this 200-key range; at 100 TB this is the difference
+    between listing 100k files and opening the handful that matter).
+    The predicate is re-applied after the read, so the oracle equality
+    holds regardless of stats — skipping is an access-path
+    optimization, never a semantics change."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    loc = tempfile.mkdtemp(prefix="snapstats_")
+    ST.write_snapshot_stats(
+        orders, loc, stats_cols=["o_custkey"], cluster_by="o_custkey", n_files=16
+    )
+    pruned = ST.read_snapshot_pruned(spark, loc, [("o_custkey", 100, 300)])
+    return pruned.groupBy(F.col("o_orderstatus").alias("orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("price_c").alias("total_c")
+    )
+
+
+@q(
+    "snapshot_zorder_skipping",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o.o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS total_c,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+FROM orders o
+WHERE o.o_custkey >= 200 AND o.o_custkey <= 400
+  AND CAST(round(o.o_totalprice*100) AS BIGINT) >= 100000
+  AND CAST(round(o.o_totalprice*100) AS BIGINT) <= 2000000
+""",
+)
+def q_snapshot_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered write + two-dimensional data skipping (round
+    6): orders committed clustered on the Morton interleave of
+    (o_custkey, price cents) — the OPTIMIZE ZORDER BY write path as
+    two plain operators (repartitionByRange on the z-key + local sort)
+    — then a RECTANGLE predicate on both columns planned through the
+    manifest stats. One-column range clustering can only skip on its
+    sort column; the z-layout keeps per-file min/max tight on BOTH, so
+    the rectangle prunes in two dimensions (pytest asserts fewer files
+    than either table scan or the row-count-proportional share). The
+    re-applied filter keeps the result exact whatever the layout."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    loc = tempfile.mkdtemp(prefix="snapz_")
+    ST.write_snapshot_stats(
+        orders,
+        loc,
+        stats_cols=["o_custkey", "price_c"],
+        cluster_by=("o_custkey", "price_c"),
+        n_files=16,
+    )
+    pruned = ST.read_snapshot_pruned(
+        spark, loc, [("o_custkey", 200, 400), ("price_c", 100_000, 2_000_000)]
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.coalesce(F.sum("price_c"), F.lit(0).cast("long")).alias("total_c"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
