@@ -443,6 +443,60 @@ def build_jpeg420(doc_id: int) -> bytes:
     )
 
 
+def build_jpeg_progressive(doc_id: int) -> bytes:
+    """PROGRESSIVE (SOF2) color JPEG with 4:2:0 chroma subsampling —
+    the layout most web images actually ship (libjpeg's default scan
+    script shape). Same closed-form planes as build_jpeg420 (even
+    luma v per 8x8 block, constant chroma 138), so the oracle pixel
+    sum is identical: 192*sum(v_blocks) + 21*64*16. What changes is
+    the ENTROPY LAYER the decoder must run (T.81 Annex G): the
+    default_progression script splits the image into an interleaved
+    DC-first scan at Al=1, per-component AC band scans with EOB runs,
+    AC refinement sweeps (zero-history runs + correction bits), and a
+    final DC refinement scan — coefficients accumulate across scans
+    and only then hit the shared dequant/IDCT/upsample tail. AC
+    content paths (newly-significant refinement, ZRL, sign bits) are
+    differential-tested with random coefficients in
+    tests/test_jpeg_codec.py; the gate pins the closed-form frame."""
+    import numpy as np
+
+    from ..functions.jpeg_codec import encode_progressive_jpeg
+
+    quant = np.ones((8, 8), dtype=np.int64)
+    quant[0, 0] = 16
+    nb = JPEG420_BLOCKS
+    y = np.zeros((nb, nb, 8, 8), dtype=np.int64)
+    for by_ in range(nb):
+        for bx in range(nb):
+            v = 2 * ((doc_id * 5 + bx * 3 + by_ * 7) % 100) + 20
+            y[by_, bx, 0, 0] = (v - 128) // 2
+    cb = np.zeros((nb // 2, nb // 2, 8, 8), dtype=np.int64)
+    cr = np.zeros((nb // 2, nb // 2, 8, 8), dtype=np.int64)
+    cb[:, :, 0, 0] = 5
+    cr[:, :, 0, 0] = 5
+    side = nb * 8
+    return encode_progressive_jpeg(
+        [y, cb, cr], quant, side, side,
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    )
+
+
+def build_jpeg_progressive_media(docs: DataFrame) -> DataFrame:
+    """docs(doc_id) → (doc_id, jpg:binary) of progressive 4:2:0 JPEGs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.astype("int64"),
+                    "jpg": ids.map(lambda i: build_jpeg_progressive(int(i))),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, JPEG_MEDIA_SCHEMA)
+
+
 def build_jpeg420_media(docs: DataFrame) -> DataFrame:
     """docs(doc_id) → (doc_id, jpg:binary) of 4:2:0 color JPEGs."""
 

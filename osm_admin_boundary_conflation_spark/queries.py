@@ -9838,6 +9838,44 @@ def q_media_decode_jpeg420(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_media(build_jpeg420_media(docs))
 
 
+@q(
+    "media_decode_progressive",
+    oracle=r"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+bs AS (SELECT unnest(range(4)) AS b),
+img AS (
+  SELECT i.doc_id,
+         CAST(192 * sum(2 * ((i.doc_id * 5 + x.b * 3 + y.b * 7) % 100) + 20)
+              + 21504 AS BIGINT) AS pixel_sum
+  FROM ids i CROSS JOIN bs x CROSS JOIN bs y
+  GROUP BY i.doc_id
+)
+SELECT doc_id, CAST(32 AS BIGINT) AS img_w, CAST(32 AS BIGINT) AS img_h, pixel_sum
+FROM img
+""",
+)
+def q_media_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) 4:2:0 JPEG decode (VERDICT r05 item 4's last
+    codec gap — most web JPEGs are progressive AND 4:2:0). Per doc a
+    32x32 YCbCr progressive JPEG is synthesized through the full
+    default_progression scan script (interleaved DC first at Al=1,
+    per-component AC band scans with EOB runs, AC refinement passes,
+    DC refinement) and decoded by the from-scratch T.81 Annex G path:
+    coefficients accumulate across scans into per-component grids,
+    then the shared dequant/IDCT/chroma-upsample/T.871 tail runs once.
+    Same closed-form planes as media_decode_jpeg420, so the oracle
+    pins the identical exact pixel sums over a DISJOINT doc slice
+    (doc_id % 3 = 1). Random-coefficient AC paths (newly-significant
+    bits, ZRL, correction bits) are differential-tested in
+    tests/test_jpeg_codec.py."""
+    from .operators.multimodal import build_jpeg_progressive_media, decode_jpeg_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 3 == 1
+    )
+    return decode_jpeg_media(build_jpeg_progressive_media(docs))
+
+
 # ===========================================================================
 # TPC-H completion (round 6): the 13 decision-support shapes the registry
 # did not yet cover — Q2/Q6/Q7/Q8/Q9/Q11/Q12/Q15/Q16/Q17/Q20/Q21/Q22,
