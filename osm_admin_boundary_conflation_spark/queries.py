@@ -10680,3 +10680,204 @@ def q_snapshot_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("price_c"), F.lit(0).cast("long")).alias("total_c"),
         F.countDistinct("o_custkey").alias("n_custs"),
     )
+
+
+# ===========================================================================
+# Tokenizer training (round 6): distributed BPE merge learning — the
+# operator that PRODUCES the vocabulary token_stats consumes. See
+# operators/bpe.py for semantics and the 100 TB shape.
+# ===========================================================================
+
+
+def _bpe_oracle(k: int = 4) -> str:
+    """Unroll k pair-count→argmax→replace stages as CTEs. Placeholder
+    alphabet matches operators/bpe.py (uppercase, collision-free with
+    the lowercased corpus)."""
+    parts = [
+        "WITH s0 AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g')"
+        " AS s FROM documents)"
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT substr(s, CAST(i AS BIGINT), 2) AS pair, count(*) AS cnt
+  FROM (SELECT s, unnest(range(1, length(s))) AS i FROM s{i-1} WHERE length(s) >= 2)
+  GROUP BY 1
+),
+m{i} AS (SELECT CAST({i} AS BIGINT) AS step, pair, cnt FROM p{i}
+         ORDER BY cnt DESC, pair ASC LIMIT 1),
+s{i} AS (SELECT doc_id, replace(s, (SELECT pair FROM m{i}), '{"ABCDEFGH"[i-1]}') AS s
+         FROM s{i-1})"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT step, pair, cnt FROM m{i}" for i in range(1, k + 1))
+    return "".join(parts) + "\n" + union
+
+
+@q("bpe_train_merges", oracle=_bpe_oracle(4))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first 4 merge
+    rules over the cleaned documents corpus. Each iteration counts
+    every overlapping adjacent character pair (map-side explode whose
+    groupBy key space is ≤(26+k)² — partial aggregation collapses each
+    partition before the shuffle), collects ONE argmax row (count DESC,
+    pair ASC — deterministic tie-break), and applies the merge with a
+    map-only replace (greedy left-to-right, identical scan rule in
+    Spark and DuckDB). The oracle replays the identical 4 unrolled
+    stages. This is the loop GPT-2-style tokenizer training runs over
+    web corpora, minus word-boundary pre-splitting."""
+    from .operators.bpe import learn_bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return learn_bpe_merges(docs, k=4)
+
+
+@q(
+    "bpe_tokenize_apply",
+    oracle=_bpe_oracle(4).replace(
+        "SELECT step, pair, cnt FROM m1\nUNION ALL\nSELECT step, pair, cnt FROM m2"
+        "\nUNION ALL\nSELECT step, pair, cnt FROM m3\nUNION ALL\nSELECT step, pair, cnt FROM m4",
+        "SELECT doc_id, length(s) AS n_tokens FROM s4 WHERE doc_id % 5 = 0",
+    ),
+)
+def q_bpe_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference-time half of BPE: apply the learned merge table and
+    report per-document token counts (each residual char or merge
+    placeholder = one token). The merge list is learned once (4 tiny
+    argmax collects), then application is MAP-ONLY — at 100 TB this is
+    the embarrassingly parallel stage tokenizer deployment actually
+    runs; the oracle replays the same four replace() stages and counts
+    s4's length over the same doc slice."""
+    from .operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [r["pair"] for r in learn_bpe_merges(docs, k=4).collect()]
+    return (
+        apply_bpe_merges(docs, merges)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "n_tokens")
+    )
+
+
+# ===========================================================================
+# Runtime-filter pruning + global total order (round 6): two scale
+# patterns the registry had only documented, now implemented and gated.
+# ===========================================================================
+
+_BLOOM_H_SQL = (
+    "CAST(('0x' || substr(md5('0:' || CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@q(
+    "bloom_semi_prune",
+    oracle=f"""
+WITH dim AS (SELECT o_orderkey AS key FROM orders WHERE o_custkey % 97 = 0),
+hs AS (SELECT key, {_BLOOM_H_SQL.format(key='key')} AS h FROM dim),
+pos AS (
+  SELECT DISTINCT (h * (2 * i + 1) + i * 2654435769) % 8192 AS p
+  FROM hs, (SELECT unnest([0, 1, 2]) AS i)
+),
+bits AS (SELECT list(p ORDER BY p) AS bs FROM pos),
+probe AS (SELECT l_orderkey, {_BLOOM_H_SQL.format(key='l_orderkey')} AS h FROM lineitem),
+passed AS (
+  SELECT l_orderkey FROM probe, bits
+  WHERE list_contains(bs, (h * 1 + 0) % 8192)
+    AND list_contains(bs, (h * 3 + 2654435769) % 8192)
+    AND list_contains(bs, (h * 5 + 2 * 2654435769) % 8192)
+),
+matched AS (SELECT l_orderkey FROM lineitem SEMI JOIN dim ON l_orderkey = key)
+SELECT (SELECT count(*) FROM dim)     AS n_dim,
+       (SELECT count(*) FROM lineitem) AS n_probe,
+       (SELECT count(*) FROM passed)  AS n_pass_bloom,
+       (SELECT count(*) FROM matched) AS n_true_match,
+       (SELECT count(*) FROM passed) - (SELECT count(*) FROM matched) AS n_false_pos
+""",
+)
+def q_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pruning for a non-broadcastable semi-join
+    (operators/bloom.py): dim keys (a deterministic 1% slice of orders)
+    are compressed to ≤8192 bit positions, shipped as ONE broadcast
+    row, and the lineitem probe side is filtered MAP-SIDE before any
+    wide join — the explicit form of the swap conflation.py documents
+    for when the node-tag index outgrows broadcast. The hash family is
+    the repo-standard md5 affine rehash, so false positives are a
+    deterministic SET, and the gate pins their exact count next to the
+    true-match count — honest accounting of what the filter trades.
+    Scale: bloom build is a distinct + single-row aggregate over the
+    dim side only; the fact table is scanned ONCE, never shuffled, and
+    both the pass flag and the exact-match flag are resolved in the
+    same map stage (bits via 1-row broadcast, dim via broadcast hash
+    join), so the whole audit is one aggregation pass."""
+    from .operators.bloom import bloom_build, bloom_flag
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = orders.filter(F.col("o_custkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("key")
+    )
+    bits = bloom_build(dim, "key")
+    flagged = bloom_flag(li.select("l_orderkey"), "l_orderkey", bits).join(
+        F.broadcast(dim.withColumn("hit", F.lit(1))),
+        F.col("l_orderkey") == F.col("key"),
+        "left",
+    )
+    return (
+        flagged.agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.col("pass_bloom").cast("long")).alias("n_pass_bloom"),
+            F.count("hit").alias("n_true_match"),
+        )
+        .crossJoin(F.broadcast(dim.agg(F.count(F.lit(1)).alias("n_dim"))))
+        .select(
+            "n_dim", "n_probe", "n_pass_bloom", "n_true_match",
+            (F.col("n_pass_bloom") - F.col("n_true_match")).alias("n_false_pos"),
+        )
+    )
+
+
+@q(
+    "global_row_number",
+    oracle="""
+SELECT o_orderkey,
+       row_number() OVER (
+         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+       ) AS global_rank
+FROM orders
+""",
+)
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total order WITHOUT a single-partition window — the
+    two-phase range-bucket pattern a 100 TB sort needs: (1) rows land
+    in deterministic price-range buckets (pure arithmetic, no sampled
+    boundaries — reproducible across runs, unlike repartitionByRange's
+    reservoir sample); (2) a window partitioned BY BUCKET ranks
+    locally in parallel; (3) per-bucket counts (≤ ~40 rows) come back
+    to the driver — the same bounded collect shape as Lloyd's k-means —
+    become cumulative offsets, and broadcast-join back so
+    global_rank = bucket_offset + local_rank. The oracle is the
+    single-window definition; the engine plan must produce identical
+    ranks with its only wide exchange hash-partitioned on bucket."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("long")
+    bucketed = orders.select(
+        "o_orderkey", price_c.alias("price_c"),
+        (price_c / F.lit(2_000_000)).cast("long").alias("bucket"),
+    )
+    counts = sorted(
+        (r["bucket"], r["n"])
+        for r in bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, above = [], 0
+    for b, n in sorted(counts, key=lambda x: -x[0]):  # DESC order: higher
+        offsets.append((b, above))                    # buckets rank first
+        above += n
+    off = F.broadcast(
+        orders.sparkSession.createDataFrame(offsets, "bucket bigint, off bigint")
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("price_c").desc(), F.col("o_orderkey"))
+    return (
+        bucketed.withColumn("rn", F.row_number().over(w))
+        .join(off, "bucket")
+        .select("o_orderkey", (F.col("off") + F.col("rn")).alias("global_rank"))
+    )

@@ -73,6 +73,7 @@ NESTED_LOOP_SCALAR_OK = {
     "small_quantity_revenue",  # per-part (sum,count) rejoin; AQE may broadcast it — Q17
     "table_checksum_reconcile",  # crossJoin(broadcast(1-row checksums))
     "join_size_estimate",  # crossJoin(broadcast(1-row actual count))
+    "bloom_semi_prune",  # 1-row bits broadcast (the filter itself) + 1-row n_dim scalar
     "contribution_analysis",  # crossJoin(broadcast(1-row total)); window over 20 groups
     "ann_cosine_topk",
     "ann_lsh_bucketed",
