@@ -9044,21 +9044,27 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_meta_real",
     oracle=r"""
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS codec,
-       CASE doc_id % 3 WHEN 0 THEN 6 WHEN 1 THEN 16 ELSE 40 END AS width,
-       CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 16 ELSE 8000 END AS height
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'jpeg'
+                       WHEN 2 THEN 'wav' ELSE 'jpeg' END AS codec,
+       CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 16
+                       WHEN 2 THEN 40 ELSE 32 END AS width,
+       CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 16
+                       WHEN 2 THEN 8000 ELSE 32 END AS height
 FROM (SELECT DISTINCT doc_id FROM documents)
 """,
 )
 def q_media_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL (non-stub) media metadata extraction: a mixed corpus of
-    actual BMP/JPEG/WAV blobs flows through the magic-byte decode
-    router (operators/multimodal.py decode_media) — every width/height
-    (or n_samples/rate for audio) comes from genuinely parsing the
-    bytes with the from-scratch kernels, not from any url-derived
-    stub. The oracle pins the per-codec dimensions the builders
-    encode. This gate retires the last 'decode is stubbed' caveat for
-    formats this container can honestly decode."""
+    actual BMP / baseline-JPEG / WAV / PROGRESSIVE-JPEG blobs flows
+    through the magic-byte decode router (operators/multimodal.py
+    decode_media) — every width/height (or n_samples/rate for audio)
+    comes from genuinely parsing the bytes with the from-scratch
+    kernels, not from any url-derived stub. Both JPEG flavors share the
+    FFD8 magic, so the router must dispatch on the SOF marker inside
+    the stream, exactly like a real sniffer. The oracle pins the
+    per-codec dimensions the builders encode. This gate retires the
+    last 'decode is stubbed' caveat for formats this container can
+    honestly decode."""
     from .operators import multimodal as M
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").distinct()
@@ -9069,12 +9075,14 @@ def q_media_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             blobs = []
             for i in ids:
                 i = int(i)
-                if i % 3 == 0:
+                if i % 4 == 0:
                     blobs.append(M.build_bmp(i))
-                elif i % 3 == 1:
+                elif i % 4 == 1:
                     blobs.append(M.build_jpeg(i))
-                else:
+                elif i % 4 == 2:
                     blobs.append(M.build_wav(i))
+                else:
+                    blobs.append(M.build_jpeg_progressive(i))
             import pandas as pd
 
             yield pd.DataFrame({"doc_id": ids.astype("int64"), "blob": blobs})
