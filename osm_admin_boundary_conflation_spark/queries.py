@@ -10889,3 +10889,57 @@ def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(off, "bucket")
         .select("o_orderkey", (F.col("off") + F.col("rn")).alias("global_rank"))
     )
+
+
+@q(
+    "warc_roundtrip",
+    oracle=r"""
+SELECT 'https://crawl.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(200 AS BIGINT) AS http_status,
+       CAST(length('<html><body>doc ' || CAST(doc_id AS VARCHAR) || ' k='
+                   || CAST(doc_id * 7 % 100 AS VARCHAR) || '</body></html>')
+            AS BIGINT) AS n_bytes,
+       md5('<html><body>doc ' || CAST(doc_id AS VARCHAR) || ' k='
+           || CAST(doc_id * 7 % 100 AS VARCHAR) || '</body></html>') AS body_md5
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0)
+""",
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source/sink round trip (sources/warc.py) — the container
+    Common Crawl actually ships pages in, written and parsed from
+    scratch. HARNESS query: deterministic pages are sharded into 4
+    `.warc.gz` archives (one gzip member per record, mtime-zeroed so
+    bytes are reproducible), then read back through the binaryFile →
+    streaming-zlib member walk → record parser. The gate pins per-url
+    HTTP status, body byte length, and body md5 against the closed
+    form — proving header parsing, Content-Length framing, HTTP-body
+    extraction, and member segmentation all byte-exact. File-level
+    parallelism is the honest .warc.gz grain (see module docstring for
+    the cdx-offset swap)."""
+    import tempfile
+
+    from .sources.warc import read_warc, write_warc_archives
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    body = F.concat(
+        F.lit("<html><body>doc "), F.col("doc_id").cast("string"),
+        F.lit(" k="), (F.col("doc_id") * 7 % 100).cast("string"),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://crawl.test/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        body.cast("binary").alias("html"),
+        (F.col("doc_id") % 4).alias("shard"),
+    ).repartition(4, "shard").drop("shard")
+    out_dir = tempfile.mkdtemp(prefix="warc_")
+    write_warc_archives(pages, out_dir)
+    got = read_warc(spark, f"{out_dir}/*.warc.gz")
+    return got.select(
+        "url",
+        F.col("http_status"),
+        F.length("html").alias("n_bytes"),
+        F.md5("html").alias("body_md5"),
+    )

@@ -1,0 +1,59 @@
+"""WARC source (sources/warc.py): record framing, concatenated gzip
+member walking, HTTP body extraction, malformed-input rejection."""
+
+import pytest
+
+from osm_admin_boundary_conflation_spark.sources.warc import (
+    build_warc_record,
+    gzip_member,
+    parse_warc_gz,
+)
+
+
+def _rec(i, body=None):
+    body = body if body is not None else f"<html>doc {i}</html>".encode()
+    return build_warc_record(
+        f"https://t/{i}", f"2024-02-0{i % 9 + 1}T00:00:00Z", body
+    )
+
+
+def test_member_walk_and_body_extraction():
+    blob = b"".join(gzip_member(_rec(i)) for i in range(7))
+    got = list(parse_warc_gz(blob))
+    assert len(got) == 7
+    for i, (url, date, status, html) in enumerate(got):
+        assert url == f"https://t/{i}"
+        assert status == 200
+        assert html == f"<html>doc {i}</html>".encode()
+
+
+def test_binary_body_with_crlf_sequences_survives():
+    """Bodies containing \\r\\n\\r\\n (the framing delimiter) must pass
+    through untouched — framing is Content-Length-driven, not
+    delimiter-scanning."""
+    body = b"a\r\n\r\nb" * 10 + bytes(range(256))
+    blob = gzip_member(build_warc_record("https://t/x", "2024-01-01T00:00:00Z", body))
+    (url, _, status, html), = parse_warc_gz(blob)
+    assert html == body and status == 200
+
+
+def test_gzip_members_are_byte_deterministic():
+    assert gzip_member(_rec(3)) == gzip_member(_rec(3))
+
+
+def test_non_response_records_yield_empty_body():
+    rec = _rec(1).replace(b"WARC-Type: response", b"WARC-Type: request")
+    (url, _, status, html), = parse_warc_gz(gzip_member(rec))
+    assert status == 0 and html == b""
+
+
+def test_malformed_inputs_raise_cleanly():
+    with pytest.raises(ValueError, match="bad version line"):
+        next(parse_warc_gz(gzip_member(b"NOPE/1.0\r\n\r\n\r\n")))
+    # truncated block: Content-Length promises more bytes than present
+    rec = _rec(2)
+    cut = gzip_member(rec[: len(rec) - 30])
+    with pytest.raises((ValueError, KeyError)):
+        list(parse_warc_gz(cut))
+    with pytest.raises(Exception):
+        list(parse_warc_gz(b"\x1f\x8b garbage not gzip"))

@@ -46,6 +46,7 @@ HARNESS = {
     "segment_tiles",
     "pagerank_integer",
     "zip_csv_scan",
+    "warc_roundtrip",
     "osm_xml_scan",
     "subarea_sync",
     "kmeans_clusters",
