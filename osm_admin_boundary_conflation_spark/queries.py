@@ -726,6 +726,7 @@ _DRIVER_HEAD = [
     "media_decode_jpeg",
     "media_decode_raw",
     "media_meta_real",
+    "media_decode_progressive",
     # TPC-H
     "shipping_priority",
     "customer_distribution",
@@ -743,11 +744,14 @@ _DRIVER_HEAD = [
     # SURVEY rows previously sim-only
     "shapefile_roundtrip",
     "results_sink_metrics",
-    "zip_csv_scan",
-    "lint_observed",
-    "reproject_roundtrip",
-    "compass_bearings",
     "geometry_validity",
+    # round-6 operators (hard-gate this round's additions; the gates
+    # they displaced — lint_observed, reproject_roundtrip,
+    # compass_bearings (pytest-pinned) and zip_csv_scan (driver-green
+    # since r02) — stay in the sim sweep)
+    "warc_roundtrip",
+    "bpe_train_merges",
+    "bloom_semi_prune",
     # gate-hardening / dedup / text
     "resume_lineage",
     "lsh_recall_eval",
