@@ -10947,3 +10947,35 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("html").alias("n_bytes"),
         F.md5("html").alias("body_md5"),
     )
+
+
+@q("geotag_from_warc", oracle=ORACLES["geotag"])
+def q_geotag_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END from the crawl container: the flagship geotag
+    pipeline fed by `.warc.gz` archives instead of a table. The pages
+    corpus is serialized into 4 WARC archives (sources/warc.py), read
+    back through the binaryFile → gzip-member → record parser, and the
+    recovered (url, html) rows run the IDENTICAL html→text → geo
+    extract → cell join → point-in-polygon → verdict pipeline — gated
+    against the SAME oracle as `geotag`, so the container round trip
+    must be byte-transparent to the whole engine (any html corruption
+    would shift an extracted coordinate and flip a verdict). This is
+    the 'point the engine at Common Crawl' path: at real scale the
+    archives are the ~100k-file crawl shards and the parse is
+    file-parallel (module docstring documents the cdx-offset grain)."""
+    import tempfile
+
+    from .sources.warc import read_warc, write_warc_archives
+
+    pages = datagen.build_pages(spark, sf_dir)
+    shard = pages.select(
+        "url", F.lit("2024-01-01T00:00:00Z").alias("warc_date"), "html",
+        (F.abs(F.hash("url")) % 4).alias("s"),
+    ).repartition(4, "s").drop("s")
+    out_dir = tempfile.mkdtemp(prefix="warc_geo_")
+    write_warc_archives(shard, out_dir)
+    recovered = read_warc(spark, f"{out_dir}/*.warc.gz").select("url", "html")
+    boundaries = datagen.build_boundaries(spark, sf_dir)
+    return SJ.geotag_pages(recovered, boundaries).select(
+        "url", "level9_id", "cell_id", "verdict"
+    )
