@@ -10979,3 +10979,74 @@ def q_geotag_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SJ.geotag_pages(recovered, boundaries).select(
         "url", "level9_id", "cell_id", "verdict"
     )
+
+
+@q(
+    "stream_warc_ingest",
+    oracle=r"""
+SELECT CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(length('<html><body>doc ' || CAST(doc_id AS VARCHAR) || ' k='
+                       || CAST(doc_id * 7 % 100 AS VARCHAR) || '</body></html>'))
+            AS BIGINT) AS total_bytes,
+       CAST(sum(doc_id * 7 % 100) AS BIGINT) AS checksum,
+       CAST(4 AS BIGINT) AS n_commits
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1)
+""",
+)
+def q_stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CRAWL INGEST end-to-end: 4 `.warc.gz` shards land in a
+    directory, the binaryFile file-stream source discovers them one
+    micro-batch per shard, each batch is parsed through the from-
+    scratch WARC reader and committed as ONE idempotent append to the
+    versioned snapshot table (streaming/stream_ingest.py
+    stream_warc_to_snapshot_table). The gate reads the final table and
+    pins page count, total html bytes, a doc-id checksum recovered
+    from the URLs, and the commit count (4 appends — the trailing
+    empty AvailableNow batch must NOT add a version). Combines the
+    three pillars: crawl container source, Structured Streaming, and
+    the table runtime — the shape a continuously-crawling 100 TB
+    pipeline actually runs."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+    from .sources.warc import write_warc_archives
+    from .streaming.stream_ingest import stream_warc_to_snapshot_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    body = F.concat(
+        F.lit("<html><body>doc "), F.col("doc_id").cast("string"),
+        F.lit(" k="), (F.col("doc_id") * 7 % 100).cast("string"),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://crawl.test/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        body.cast("binary").alias("html"),
+        # odd doc_ids only (the %2=1 slice): doc_id%8 ∈ {1,3,5,7} → 4
+        # NON-EMPTY shards (doc_id%4 would leave shards 0 and 2 empty)
+        ((F.col("doc_id") % 8) / 2).cast("long").alias("shard"),
+    )
+    warc_dir = tempfile.mkdtemp(prefix="warc_stream_in_")
+    # one archive per EXPLICIT shard (hash repartition may collide shard
+    # values into one partition and merge archives — the commit count is
+    # part of the gate, so the file fan-out must be exact)
+    for s in range(4):
+        write_warc_archives(
+            pages.filter(F.col("shard") == s).drop("shard").coalesce(1),
+            warc_dir, prefix=f"shard{s}",
+        )
+    table = tempfile.mkdtemp(prefix="warc_table_")
+    stream_warc_to_snapshot_table(
+        spark, warc_dir, table, tempfile.mkdtemp(prefix="warc_ckpt_")
+    )
+    n_commits = len(ST.snapshot_history(table))
+    snap = ST.read_snapshot(spark, table)
+    doc_id = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.length("html")).alias("total_bytes"),
+        F.sum(doc_id * 7 % 100).alias("checksum"),
+        F.lit(n_commits).cast("long").alias("n_commits"),
+    )

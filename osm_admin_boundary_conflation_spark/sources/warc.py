@@ -127,6 +127,7 @@ def _parse_record(raw: bytes) -> tuple[str, str, int, bytes]:
 def write_warc_archives(
     pages: DataFrame, out_dir: str, url_col: str = "url",
     date_col: str = "warc_date", html_col: str = "html",
+    prefix: str = "part",
 ) -> None:
     """One `.warc.gz` per partition (the CC sharding shape). Rows are
     written in (url) order within each archive so the layout is
@@ -146,7 +147,7 @@ def write_warc_archives(
                 chunks.append(gzip_member(rec))
                 n += 1
         if chunks:
-            with open(os.path.join(out_dir, f"part-{pid:05d}.warc.gz"), "wb") as f:
+            with open(os.path.join(out_dir, f"{prefix}-{pid:05d}.warc.gz"), "wb") as f:
                 f.writelines(chunks)
         yield pd.DataFrame({"n": [n]})
 

@@ -71,3 +71,60 @@ def stream_ingest_to_snapshot_table(
         .start()
         .awaitTermination()
     )
+
+
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc_to_snapshot_table(
+    spark: SparkSession,
+    warc_dir: str,
+    table_location: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming crawl ingest: `.warc.gz` archives arriving in a
+    directory are discovered by the binaryFile file-stream source
+    (schema must be given explicitly — binary sources don't infer),
+    parsed archive-at-a-time (maxFilesPerTrigger=1, the one-shard-one-
+    batch grain), and each micro-batch lands as ONE idempotent append
+    commit in the snapshot table — the exactly-once-at-the-table
+    contract of commit_batch_idempotent over at-least-once
+    foreachBatch. This is the continuous form of a crawl pipeline:
+    new WARC shards appear, the versioned page table grows one commit
+    per shard, and every downstream incremental reader
+    (read_changes_since) sees only the new pages."""
+    from ..sources.warc import parse_warc_gz
+
+    def parse(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(parse_warc_gz(bytes(blob)))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_date", "http_status", "html"]
+            )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(warc_dir)
+    )
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        parsed = batch_df.select("content").mapInPandas(
+            parse, "url string, warc_date string, http_status long, html binary"
+        )
+        commit_batch_idempotent(parsed, batch_id, table_location)
+
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

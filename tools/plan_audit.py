@@ -47,6 +47,7 @@ HARNESS = {
     "pagerank_integer",
     "zip_csv_scan",
     "warc_roundtrip",
+    "stream_warc_ingest",
     "osm_xml_scan",
     "subarea_sync",
     "kmeans_clusters",
