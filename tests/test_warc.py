@@ -57,3 +57,36 @@ def test_malformed_inputs_raise_cleanly():
         list(parse_warc_gz(cut))
     with pytest.raises(Exception):
         list(parse_warc_gz(b"\x1f\x8b garbage not gzip"))
+
+
+def test_member_offsets_allow_random_access(tmp_path):
+    """The CDX-grain contract: offsets/lengths computed at write time
+    must frame each gzip member exactly — seek + bounded read + one
+    zlib pass recovers the record with no scan of neighbors."""
+    import zlib
+
+    from osm_admin_boundary_conflation_spark.sources.warc import _parse_record
+
+    members = [gzip_member(_rec(i)) for i in range(9)]
+    path = tmp_path / "s.warc.gz"
+    path.write_bytes(b"".join(members))
+    off = 0
+    offsets = []
+    for m in members:
+        offsets.append((off, len(m)))
+        off += len(m)
+    with open(path, "rb") as f:
+        for i in (7, 0, 4):  # out of order on purpose
+            o, ln = offsets[i]
+            f.seek(o)
+            url, _, status, html = _parse_record(zlib.decompress(f.read(ln), wbits=31))
+            assert url == f"https://t/{i}" and status == 200
+            assert html == f"<html>doc {i}</html>".encode()
+    # a wrong length must fail loudly, not return garbage
+    with open(path, "rb") as f:
+        o, ln = offsets[3]
+        f.seek(o)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            zlib.decompress(f.read(ln - 5), wbits=31)

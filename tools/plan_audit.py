@@ -48,6 +48,7 @@ HARNESS = {
     "zip_csv_scan",
     "warc_roundtrip",
     "stream_warc_ingest",
+    "warc_cdx_fetch",
     "osm_xml_scan",
     "subarea_sync",
     "kmeans_clusters",
