@@ -11098,3 +11098,81 @@ def q_warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_warc_members(wanted, out_dir).select(
         "url", "http_status", F.md5("html").alias("body_md5")
     )
+
+
+def _vw_oracle(k: int = 3) -> str:
+    """Unroll k Visvalingam–Whyatt removal rounds. Each round scores
+    every interior point by twice the triangle area of (prev, self,
+    next) — exact integer cross product — and deletes the per-line
+    argmin (area ASC, idx ASC tiebreak)."""
+    sql = """WITH r0 AS (
+  SELECT d.doc_id AS line_id, j.j AS idx,
+         CAST(j.j * 1000 AS BIGINT) AS x,
+         CAST((d.doc_id * (j.j + 1) * 31) % 200 - 100 AS BIGINT) AS y
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 2) d,
+       (SELECT unnest(range(9)) AS j) j
+)"""
+    for i in range(1, k + 1):
+        sql += f""",
+a{i} AS (
+  SELECT *,
+         abs( (x - lag(x)  OVER w) * (lead(y) OVER w - lag(y) OVER w)
+            - (lead(x) OVER w - lag(x) OVER w) * (y - lag(y) OVER w) ) AS area2
+  FROM r{i-1}
+  WINDOW w AS (PARTITION BY line_id ORDER BY idx)
+),
+r{i} AS (
+  SELECT line_id, idx, x, y FROM (
+    SELECT line_id, idx, x, y,
+           CASE WHEN area2 IS NULL THEN NULL
+                ELSE row_number() OVER (PARTITION BY line_id, area2 IS NULL
+                                        ORDER BY area2 ASC, idx ASC) END AS rn
+    FROM a{i}
+  ) WHERE rn IS NULL OR rn > 1
+)"""
+    return sql + f"\nSELECT line_id, idx, x, y FROM r{k}"
+
+
+@q("simplify_vw_rounds", oracle=_vw_oracle(3))
+def q_simplify_vw_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visvalingam–Whyatt polyline simplification, 3 unrolled removal
+    rounds — the algorithm cartographic tile pipelines actually run
+    (mapshaper's default), complementing simplify_collinear's
+    zero-area-only pass. Each round scores interior points by the
+    EXACT integer doubled triangle area |cross((P-prev),(next-prev))|
+    via lag/lead windows partitioned by line (local per line — the
+    only shuffle key), then deletes the per-line argmin with an
+    (area, idx) tiebreak; endpoints are never removable. K rounds = a
+    static K-stage DAG, each stage one window pass — at tile-pyramid
+    scale you run this per zoom level with K set by the zoom's point
+    budget. The oracle unrolls the identical 3 rounds in SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 4 == 2
+    )
+    pts = docs.select(
+        F.col("doc_id").alias("line_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("idx"),
+    ).select(
+        "line_id", "idx",
+        (F.col("idx") * 1000).cast("long").alias("x"),
+        ((F.col("line_id") * (F.col("idx") + 1) * 31) % 200 - 100).cast("long").alias("y"),
+    )
+    cur = pts
+    for _ in range(3):
+        w = Window.partitionBy("line_id").orderBy("idx")
+        px, py = F.lag("x").over(w), F.lag("y").over(w)
+        nx, ny = F.lead("x").over(w), F.lead("y").over(w)
+        area2 = F.abs((F.col("x") - px) * (ny - py) - (nx - px) * (F.col("y") - py))
+        scored = cur.withColumn("area2", area2)
+        # endpoints (NULL area2) must never win the argmin: NULLS LAST
+        # (Spark default is nulls-first ascending — they'd take rn=1
+        # and no interior point would ever be removed)
+        wr = Window.partitionBy("line_id").orderBy(
+            F.col("area2").asc_nulls_last(), F.col("idx").asc()
+        )
+        cur = (
+            scored.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("area2").isNull() | (F.col("rn") > 1))
+            .select("line_id", "idx", "x", "y")
+        )
+    return cur
