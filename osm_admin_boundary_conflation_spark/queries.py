@@ -11176,3 +11176,83 @@ def q_simplify_vw_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("line_id", "idx", "x", "y")
         )
     return cur
+
+
+@q(
+    "attribution_multitouch",
+    oracle=r"""
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, c.click_id, c.cus
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.cus <= p.pus AND c.cus >= p.pus - 1800000000
+),
+w AS (
+  SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY cus, click_id) AS rk
+  FROM j
+)
+SELECT purchase_id, user_id, click_id,
+       CAST(CASE WHEN rk = 1 THEN 10000 - (n - 1) * (10000 // n)
+                 ELSE 10000 // n END AS BIGINT) AS weight_bp
+FROM w
+""",
+)
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-touch attribution: every click in the 30-minute window
+    before a purchase shares the credit in integer basis points —
+    linear split with the rounding remainder assigned to the EARLIEST
+    click (deterministic; weights always sum to exactly 10000 per
+    purchase). The join is the bucketed range-join shape of
+    operators/interval_join.py lifted to a composite key: clicks carry
+    ONE (user, 30-min-bucket) key, purchases explode to their ≤2
+    covering buckets, so each pair meets at most once (no dedup) and
+    the only shuffle is hash on (user_id, bucket) — never a per-user
+    cross join, never a time-sorted global window. Complements the
+    last-touch as-of gate (attribution_join)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    W = 1_800_000_000
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), us.alias("cus"), F.col("event_id").alias("click_id"))
+        .withColumn("_b", F.floor(F.col("cus") / W))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id"), us.alias("pus"), F.col("event_id").alias("purchase_id"))
+        .withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("pus") - W) / W), F.floor(F.col("pus") / W)
+                )
+            ),
+        )
+    )
+    j = clicks.join(purch, ["user_id", "_b"]).filter(
+        (F.col("cus") <= F.col("pus")) & (F.col("cus") >= F.col("pus") - W)
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("cus", "click_id")
+    return (
+        j.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "purchase_id", "user_id", "click_id",
+            F.when(
+                F.col("rk") == 1,
+                F.lit(10000) - (F.col("n") - 1) * F.expr("10000 div n"),
+            )
+            .otherwise(F.expr("10000 div n"))
+            .cast("long")
+            .alias("weight_bp"),
+        )
+    )
