@@ -89,3 +89,34 @@ def bloom_prune(fact: DataFrame, key_col: str, bits: DataFrame, m: int = 8192, k
     return bloom_flag(fact, key_col, bits, m, k).filter(F.col("pass_bloom")).drop(
         "pass_bloom"
     )
+
+
+# planner thresholds (executor-memory-derived at real scale; pinned
+# here so the gate's decision is deterministic): a dim under
+# BROADCAST_MAX_KEYS broadcasts its raw keys (exact, no FPs); between
+# that and BLOOM_MAX_KEYS the bloom bits broadcast (fixed size, FPs
+# re-checked by the later join); past it the semi-join must shuffle.
+BROADCAST_MAX_KEYS = 10
+BLOOM_MAX_KEYS = 1_000_000
+
+
+def pick_semi_strategy(n_dim_keys: int) -> str:
+    """Choose how a fact-side semi-filter against a dim-key set should
+    execute — the sibling of spatial_join.pick_geotag_strategy for
+    relational pruning. One bounded count on the dim side drives it;
+    the fact side is never counted.
+
+      broadcast : dim keys fit an executor — exact hash semi-join,
+                  fact never shuffles, no false positives.
+      bloom     : keys too many to ship, but the BIT ARRAY is fixed
+                  size — filter map-side, accept deterministic FPs,
+                  and let the real join (which still runs) discard
+                  them. This is where runtime-filter pushdown lives.
+      shuffle   : dim too big even for useful bloom density — pay the
+                  hash-partitioned semi-join on both sides.
+    """
+    if n_dim_keys <= BROADCAST_MAX_KEYS:
+        return "broadcast"
+    if n_dim_keys <= BLOOM_MAX_KEYS:
+        return "bloom"
+    return "shuffle"

@@ -11256,3 +11256,67 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_bp"),
         )
     )
+
+
+@q(
+    "semi_filter_strategy",
+    oracle=f"""
+WITH dim AS (SELECT o_orderkey AS key FROM orders WHERE o_custkey % 97 = 0),
+hs AS (SELECT key, {_BLOOM_H_SQL.format(key='key')} AS h FROM dim),
+pos AS (
+  SELECT DISTINCT (h * (2 * i + 1) + i * 2654435769) % 8192 AS p
+  FROM hs, (SELECT unnest([0, 1, 2]) AS i)
+),
+bits AS (SELECT list(p ORDER BY p) AS bs FROM pos),
+probe AS (SELECT l_orderkey, {_BLOOM_H_SQL.format(key='l_orderkey')} AS h FROM lineitem),
+passed AS (
+  SELECT l_orderkey FROM probe, bits
+  WHERE list_contains(bs, (h * 1 + 0) % 8192)
+    AND list_contains(bs, (h * 3 + 2654435769) % 8192)
+    AND list_contains(bs, (h * 5 + 2 * 2654435769) % 8192)
+),
+matched AS (SELECT l_orderkey FROM lineitem SEMI JOIN dim ON l_orderkey = key)
+SELECT 'bloom' AS strategy,
+       (SELECT count(*) FROM dim) AS n_dim,
+       (SELECT count(*) FROM passed) AS n_kept,
+       (SELECT count(*) FROM matched) AS n_exact
+""",
+)
+def q_semi_filter_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANNED semi-join pruning: the engine picks broadcast / bloom /
+    shuffle from ONE bounded dim-side count (operators/bloom.py
+    pick_semi_strategy — the relational sibling of
+    pick_geotag_strategy) and executes the chosen leg. At this corpus
+    the ~1% orders slice lands in the bloom band, so the gate pins the
+    DECISION ('bloom'), the kept-row count through the bloom leg, and
+    the exact semi-join count the later join would reduce it to —
+    decision, filter, and ground truth all in one row. At 100 TB the
+    same three-way split is what a runtime-filter planner does with
+    executor memory as the broadcast bound."""
+    from .operators.bloom import bloom_build, bloom_prune, pick_semi_strategy
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = orders.filter(F.col("o_custkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("key")
+    )
+    n_dim = dim.count()
+    strategy = pick_semi_strategy(n_dim)
+    probe = li.select("l_orderkey")
+    if strategy == "broadcast":
+        kept = probe.join(F.broadcast(dim), probe.l_orderkey == dim.key, "left_semi")
+    elif strategy == "bloom":
+        kept = bloom_prune(probe, "l_orderkey", bloom_build(dim, "key"))
+    else:
+        kept = probe.join(dim, probe.l_orderkey == dim.key, "left_semi")
+    exact = probe.join(dim, probe.l_orderkey == dim.key, "left_semi")
+    return (
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+        .crossJoin(F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_exact"))))
+        .select(
+            F.lit(strategy).alias("strategy"),
+            F.lit(n_dim).cast("long").alias("n_dim"),
+            "n_kept",
+            "n_exact",
+        )
+    )

@@ -56,3 +56,17 @@ def test_build_is_single_sorted_row(spark):
     bits = rows[0]["bits"]
     assert bits == sorted(set(bits))
     assert all(0 <= b < 256 for b in bits)
+
+
+def test_pick_semi_strategy_thresholds():
+    from osm_admin_boundary_conflation_spark.operators.bloom import (
+        BLOOM_MAX_KEYS,
+        BROADCAST_MAX_KEYS,
+        pick_semi_strategy,
+    )
+
+    assert pick_semi_strategy(0) == "broadcast"
+    assert pick_semi_strategy(BROADCAST_MAX_KEYS) == "broadcast"
+    assert pick_semi_strategy(BROADCAST_MAX_KEYS + 1) == "bloom"
+    assert pick_semi_strategy(BLOOM_MAX_KEYS) == "bloom"
+    assert pick_semi_strategy(BLOOM_MAX_KEYS + 1) == "shuffle"

@@ -77,6 +77,7 @@ NESTED_LOOP_SCALAR_OK = {
     "table_checksum_reconcile",  # crossJoin(broadcast(1-row checksums))
     "join_size_estimate",  # crossJoin(broadcast(1-row actual count))
     "bloom_semi_prune",  # 1-row bits broadcast (the filter itself) + 1-row n_dim scalar
+    "semi_filter_strategy",  # same bloom 1-row bits + 1-row exact-count scalar
     "contribution_analysis",  # crossJoin(broadcast(1-row total)); window over 20 groups
     "ann_cosine_topk",
     "ann_lsh_bucketed",
