@@ -11276,9 +11276,13 @@ passed AS (
     AND list_contains(bs, (h * 5 + 2 * 2654435769) % 8192)
 ),
 matched AS (SELECT l_orderkey FROM lineitem SEMI JOIN dim ON l_orderkey = key)
-SELECT 'bloom' AS strategy,
+SELECT CASE WHEN (SELECT count(*) FROM dim) <= 10 THEN 'broadcast'
+            WHEN (SELECT count(*) FROM dim) <= 1000000 THEN 'bloom'
+            ELSE 'shuffle' END AS strategy,
        (SELECT count(*) FROM dim) AS n_dim,
-       (SELECT count(*) FROM passed) AS n_kept,
+       CASE WHEN (SELECT count(*) FROM dim) <= 10
+            THEN (SELECT count(*) FROM matched)
+            ELSE (SELECT count(*) FROM passed) END AS n_kept,
        (SELECT count(*) FROM matched) AS n_exact
 """,
 )
