@@ -298,3 +298,72 @@ def count_triangles(e: DataFrame) -> DataFrame:
         o.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"]
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def sssp(edges: DataFrame, source: int, max_rounds: int = 20) -> DataFrame:
+    """Single-source shortest paths over non-negative integer weights by
+    synchronous Bellman-Ford rounds — the distributed SSSP shape
+    (Malewicz et al., Pregel, SIGMOD'10 §5.2, re-expressed as DataFrame
+    rounds).
+
+    edges: (src, dst, w) DIRECTED, w bigint >= 0. Returns (id, dist) for
+    every node reachable from ``source``.
+
+    Each round is ONE Spark job: relax every edge out of the current
+    tentative set (join on src), fold the old tentative distances back
+    in with a marker column, and take the per-node min — the changed-row
+    count rides the same job via ``observe``, and ``localCheckpoint``
+    cuts lineage so the plan stays O(1) per round. Rounds needed = max
+    edge count over any optimal path; convergence earlier than
+    ``max_rounds`` stops the loop, and exhaustion RAISES (a tentative
+    distance that is still improving is silently wrong, never a result).
+    At cluster scale both sides of the round join partition by vertex
+    id, so each round is a single co-partitioned shuffle over the
+    frontier — never the full graph for low-eccentricity sources.
+    """
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col("w").cast("long")
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "id long, dist long").localCheckpoint(
+        eager=True
+    )
+    changed = None
+    for _ in range(max_rounds):
+        cand = dist.join(e, dist.id == e.src).select(
+            F.col("dst").alias("id"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            F.lit(0).alias("is_old"),
+        )
+        obs = Observation()
+        new = (
+            dist.select("id", "dist", F.lit(1).alias("is_old"))
+            .unionByName(cand)
+            .groupBy("id")
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("is_old") == 1, F.col("dist"))).alias("old_dist"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (
+                        F.col("old_dist").isNull()
+                        | (F.col("dist") < F.col("old_dist"))
+                    ).cast("long")
+                ).alias("changed"),
+            )
+            .select("id", "dist")
+            .localCheckpoint(eager=True)
+        )
+        changed = obs.get["changed"] or 0
+        dist = new
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"sssp did not converge in {max_rounds} rounds ({changed} distances "
+            "still improving) — an optimal path exceeds max_rounds edges; "
+            "raise max_rounds"
+        )
+    return dist

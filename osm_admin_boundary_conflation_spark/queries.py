@@ -11324,3 +11324,289 @@ def q_semi_filter_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
         )
     )
+
+
+# ===========================================================================
+# Density clustering / graph analytics (round-6 batch 2)
+# ===========================================================================
+
+# Deterministic planar point cloud over documents: two dense blobs (30x30
+# and 40x40 unit squares) plus a sparse noise field. Closed form on both
+# sides; whether a stray noise point brushes a blob is irrelevant to the
+# gate because engine and oracle compute the same fixpoint either way.
+_DBSCAN_PTS_SQL = """
+pts AS (
+  SELECT doc_id AS id,
+         CAST(CASE WHEN doc_id % 10 < 3 THEN 10000 + (doc_id * 13) % 30
+              WHEN doc_id % 10 < 5 THEN 50000 + (doc_id * 17) % 40
+              ELSE (doc_id * 9973) % 1000000 END AS BIGINT) AS x,
+         CAST(CASE WHEN doc_id % 10 < 3 THEN 20000 + (doc_id * 29) % 30
+              WHEN doc_id % 10 < 5 THEN 70000 + (doc_id * 37) % 40
+              ELSE (doc_id * 7919) % 1000000 END AS BIGINT) AS y
+  FROM documents
+)"""
+
+
+def _dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    blob_a = d % 10 < 3
+    blob_b = (d % 10 >= 3) & (d % 10 < 5)
+    x = (
+        F.when(blob_a, 10000 + (d * 13) % 30)
+        .when(blob_b, 50000 + (d * 17) % 40)
+        .otherwise((d * 9973) % 1000000)
+    )
+    y = (
+        F.when(blob_a, 20000 + (d * 29) % 30)
+        .when(blob_b, 70000 + (d * 37) % 40)
+        .otherwise((d * 7919) % 1000000)
+    )
+    return docs.select(
+        d.alias("id"), x.cast("long").alias("x"), y.cast("long").alias("y")
+    )
+
+
+@q(
+    "dbscan_clusters",
+    oracle=f"""
+WITH RECURSIVE {_DBSCAN_PTS_SQL},
+pr AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM pts a JOIN pts b
+    ON a.id < b.id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+),
+sym AS (SELECT ia AS id, ib AS nb FROM pr UNION ALL SELECT ib AS id, ia AS nb FROM pr),
+deg AS (SELECT id, count(*) AS d FROM sym GROUP BY id),
+core AS (SELECT p.id FROM pts p JOIN deg USING (id) WHERE deg.d + 1 >= 5),
+ce AS (
+  SELECT ia, ib FROM pr
+  WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+),
+e AS (SELECT ia AS u, ib AS v FROM ce UNION SELECT ib AS u, ia AS v FROM ce),
+r AS (
+  SELECT id, id AS lab FROM core
+  UNION
+  SELECT e.v AS id, r.lab FROM r JOIN e ON e.u = r.id
+),
+clab AS (SELECT id, min(lab) AS cluster_id FROM r GROUP BY id),
+border AS (
+  SELECT s.id, min(c.cluster_id) AS cluster_id
+  FROM sym s JOIN clab c ON s.nb = c.id
+  WHERE s.id NOT IN (SELECT id FROM core)
+  GROUP BY s.id
+)
+SELECT p.id,
+       CASE WHEN cl.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(cl.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id
+FROM pts p
+LEFT JOIN clab cl ON p.id = cl.id
+LEFT JOIN border b ON p.id = b.id
+""",
+)
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked distributed DBSCAN (operators/dbscan.py): eps=25,
+    min_pts=5 over a deterministic two-blob-plus-noise point cloud.
+    Candidate pairs come from the eps-grid 3x3 neighbour-cell equi-join
+    (complete because Euclid<=eps implies Chebyshev<=eps implies cell
+    delta<=1), clusters from connected components of the core-core
+    graph, border points take the MIN core-neighbour cluster. The
+    oracle recomputes the same fixpoint with a quadratic pair join and
+    a recursive transitive-closure CTE. Reference analogue: duplicate-
+    geometry grouping (conflate-boundaries.py:214-258) generalized to
+    density reachability."""
+    from .operators.dbscan import dbscan
+
+    return dbscan(_dbscan_points(spark, sf_dir), eps=25, min_pts=5)
+
+
+@q(
+    "sssp_weighted",
+    oracle=r"""
+WITH RECURSIVE e AS (
+  SELECT u AS src, (2 * u) % 256 AS dst, u % 5 + 1 AS w
+  FROM (SELECT unnest(range(256)) AS u)
+  UNION ALL
+  SELECT u, (2 * u + 1) % 256, u % 3 + 2
+  FROM (SELECT unnest(range(256)) AS u)
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d, 0 AS hop
+  UNION
+  SELECT e.dst, r.d + e.w, r.hop + 1
+  FROM r JOIN e ON e.src = r.id
+  WHERE r.hop < 14
+)
+SELECT id, min(d) AS dist FROM r GROUP BY id
+""",
+)
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (operators/graph.sssp):
+    synchronous Bellman-Ford rounds over a 256-node shuffle-exchange
+    graph (u -> 2u and 2u+1 mod 256, integer weights 1..4), one
+    Observation-folded Spark job per round. Offline Dijkstra pins this
+    graph's optimal paths at <= 11 edges, so the engine's
+    max_rounds=14 convergence bound and the oracle's 14-hop recursive
+    CTE cap are both strict supersets — the capped CTE min equals the
+    true distance."""
+    from .operators.graph import sssp
+
+    u = F.col("id")
+    e1 = spark.range(256).select(
+        u.alias("src"), ((u * 2) % 256).alias("dst"), (u % 5 + 1).alias("w")
+    )
+    e2 = spark.range(256).select(
+        u.alias("src"), ((u * 2 + 1) % 256).alias("dst"), (u % 3 + 2).alias("w")
+    )
+    return sssp(e1.unionByName(e2), source=0, max_rounds=14)
+
+
+# Closed-form resolved link set for the synthetic HTML corpus: the engine
+# PARSES the html bytes (regexp over <a> tags) and resolves relative /
+# protocol-relative hrefs; the oracle reconstructs the same edges
+# arithmetically, so any parse or resolution defect breaks the compare.
+_LINKS_SQL = """
+links AS (
+  SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/'
+           || CAST(doc_id AS VARCHAR) AS src,
+         'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/'
+           || CAST((doc_id * 7 + 1) % 1000 AS VARCHAR) AS dst,
+         'see ' || CAST(doc_id % 13 AS VARCHAR) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/'
+           || CAST(doc_id AS VARCHAR),
+         'https://h' || CAST((doc_id * 3) % 20 AS VARCHAR) || '.example.org/p/'
+           || CAST((doc_id * 11 + 3) % 1000 AS VARCHAR),
+         'ref ' || CAST(doc_id % 5 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/'
+           || CAST(doc_id AS VARCHAR),
+         'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/'
+           || CAST(doc_id AS VARCHAR) || '?utm=x',
+         'self'
+  FROM documents
+  UNION ALL
+  SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/'
+           || CAST(doc_id AS VARCHAR),
+         'https://h' || CAST((doc_id * 5) % 20 AS VARCHAR) || '.example.org/x',
+         'proto'
+  FROM documents WHERE doc_id % 4 = 0
+)"""
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize HTML pages with root-relative, absolute, query+fragment
+    and protocol-relative <a> links, then PARSE them back out JVM-side
+    (regexp_extract_all, arrays_zip, explode — no Python in the row
+    path) and resolve each href against the page's base host. The
+    fragment is stripped; the query string is kept (canonical-URL
+    fragment semantics, RFC 3986 §3.5)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = F.concat(F.lit("h"), s(d % 20), F.lit(".example.org"))
+    a = lambda href, anchor: F.concat(  # noqa: E731
+        F.lit('<a href="'), href, F.lit('">'), anchor, F.lit("</a>")
+    )
+    html = F.concat(
+        F.lit("<html><body><p>intro "),
+        s(d),
+        F.lit("</p>"),
+        a(F.concat(F.lit("/p/"), s((d * 7 + 1) % 1000)), F.concat(F.lit("see "), s(d % 13))),
+        F.lit("<br/>"),
+        a(
+            F.concat(
+                F.lit("https://h"), s((d * 3) % 20), F.lit(".example.org/p/"), s((d * 11 + 3) % 1000)
+            ),
+            F.concat(F.lit("ref "), s(d % 5)),
+        ),
+        a(F.concat(F.lit("/p/"), s(d), F.lit("?utm=x#top")), F.lit("self")),
+        F.when(
+            d % 4 == 0,
+            a(F.concat(F.lit("//h"), s((d * 5) % 20), F.lit(".example.org/x")), F.lit("proto")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), s(d)).alias("src"),
+        host.alias("src_host"),
+        html.alias("html"),
+    )
+    pat = F.lit('<a href="([^"]*)">([^<]*)</a>')
+    parsed = pages.select(
+        "src",
+        "src_host",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all("html", pat, F.lit(1)).alias("href"),
+                F.regexp_extract_all("html", pat, F.lit(2)).alias("anchor"),
+            )
+        ).alias("l"),
+    ).select("src", "src_host", F.col("l.href").alias("href"), F.col("l.anchor").alias("anchor"))
+    href = F.col("href")
+    resolved = (
+        F.when(href.startswith("https://") | href.startswith("http://"), href)
+        .when(href.startswith("//"), F.concat(F.lit("https:"), href))
+        .otherwise(F.concat(F.lit("https://"), F.col("src_host"), href))
+    )
+    return parsed.select(
+        "src",
+        "src_host",
+        F.substring_index(resolved, "#", 1).alias("dst"),
+        "anchor",
+    )
+
+
+@q(
+    "link_graph_extract",
+    oracle=f"WITH {_LINKS_SQL} SELECT src, dst, anchor FROM links",
+)
+def q_link_graph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web link-graph extraction: parse <a href> edges out of raw HTML
+    (JVM regexp, no Python row path), resolve root-relative and
+    protocol-relative hrefs against the page base, strip fragments.
+    The oracle rebuilds the resolved edge set closed-form, so the gate
+    pins parser + resolver byte-for-byte. This is the edge-extraction
+    front of the pagerank_integer / host-graph family."""
+    return _link_edges(spark, sf_dir).select("src", "dst", "anchor")
+
+
+@q(
+    "host_inlink_stats",
+    oracle=f"""
+WITH {_LINKS_SQL},
+e AS (
+  SELECT split_part(substr(src, 9), '/', 1) AS src_host,
+         split_part(substr(dst, 9), '/', 1) AS dst_host,
+         anchor
+  FROM links
+)
+SELECT dst_host, count(*) AS n_in,
+       count(DISTINCT src_host) AS n_src_hosts,
+       min(anchor) AS top_anchor
+FROM e GROUP BY dst_host
+""",
+)
+def q_host_inlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level inlink aggregation over the extracted link graph:
+    inlink count, distinct referring hosts, and a deterministic
+    representative anchor per destination host — the host-graph rollup
+    a crawler frontier / spam scorer runs at corpus scale. One groupBy
+    on the ~20-key host domain; anchor representative is min() so the
+    compare is order-free."""
+    e = _link_edges(spark, sf_dir)
+    dst_host = F.substring_index(F.expr("substr(dst, 9)"), "/", 1)
+    return (
+        e.select("src_host", dst_host.alias("dst_host"), "anchor")
+        .groupBy("dst_host")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.countDistinct("src_host").alias("n_src_hosts"),
+            F.min("anchor").alias("top_anchor"),
+        )
+    )
