@@ -11610,3 +11610,298 @@ def q_host_inlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("anchor").alias("top_anchor"),
         )
     )
+
+
+@q(
+    "pq_ann_adc",
+    oracle=r"""
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM embeddings
+),
+sv AS (SELECT vec_id, CAST((i - 1) // 32 AS INT) AS j, i, v FROM ev),
+cb AS (SELECT vec_id AS cid, j, i, v AS cv FROM sv WHERE vec_id < 4),
+d2 AS (
+  SELECT s.vec_id, s.j, c.cid, sum((s.v - c.cv) * (s.v - c.cv)) AS d2
+  FROM sv s JOIN cb c ON s.j = c.j AND s.i = c.i
+  GROUP BY s.vec_id, s.j, c.cid
+),
+codes AS (
+  SELECT vec_id, j, cid FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) = 1
+),
+qd2 AS (SELECT j, cid, d2 FROM d2 WHERE vec_id = 0),
+adc AS (
+  SELECT c.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN qd2 q ON c.j = q.j AND c.cid = q.cid
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+),
+ex AS (
+  SELECT s.vec_id, CAST(sum((s.v - q.v) * (s.v - q.v)) AS BIGINT) AS exact_d2
+  FROM sv s JOIN (SELECT i, v FROM ev WHERE vec_id = 0) q ON s.i = q.i
+  WHERE s.vec_id <> 0
+  GROUP BY s.vec_id
+)
+SELECT vec_id, adc_d2, exact_d2 FROM (
+  SELECT a.vec_id, a.adc_d2, e.exact_d2,
+         row_number() OVER (ORDER BY a.adc_d2, a.vec_id) AS rn
+  FROM adc a JOIN ex e USING (vec_id))
+WHERE rn <= 10
+""",
+)
+def q_pq_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): m=2 subspaces over the
+    64-dim embeddings, k=4 codebook (the milli-quantized subvectors of
+    vecs 0..3 — training itself is the gated kmeans_clusters path),
+    asymmetric-distance top-10 for query vec 0 with the candidate's
+    EXACT integer distance alongside, so the gate also exposes the
+    quantization error ADC trades for 32x memory compression. All
+    distances are integer BIGINTs — no float summation anywhere."""
+    from .operators import pq as PQ
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = PQ.milli_quantize(emb, "vec_id", "embedding")
+    codebook = vecs.filter(F.col("id") < 4).select(F.col("id").alias("cid"), "qv")
+    query = vecs.filter(F.col("id") == 0)
+    cand = vecs.filter(F.col("id") != 0)
+    codes = PQ.pq_encode(cand, codebook, m=2, dim=64)
+    top = PQ.adc_topk(codes, query, codebook, m=2, dim=64, k=10)
+    qrow = query.select(F.col("qv").alias("q"))
+    exact = cand.crossJoin(F.broadcast(qrow)).select(
+        "id",
+        F.aggregate(
+            F.zip_with("qv", "q", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("exact_d2"),
+    )
+    return top.join(exact, "id").select(
+        F.col("id").alias("vec_id"), "adc_d2", "exact_d2"
+    )
+
+
+@q(
+    "densify_polyline",
+    oracle=r"""
+WITH segs AS (
+  SELECT n_nationkey AS way_id, j,
+         (n_nationkey * 37 % 100) * 1000 + j * ((n_nationkey % 7 + 1) * 30) AS x1,
+         (n_nationkey * 53 % 100) * 1000 + j * j * ((n_nationkey % 5 + 2) * 10) AS y1,
+         (n_nationkey * 37 % 100) * 1000 + (j + 1) * ((n_nationkey % 7 + 1) * 30) AS x2,
+         (n_nationkey * 53 % 100) * 1000 + (j + 1) * (j + 1) * ((n_nationkey % 5 + 2) * 10) AS y2
+  FROM nation, (SELECT unnest(range(4)) AS j)
+),
+st AS (
+  SELECT way_id, j, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+         greatest((greatest(abs(x2 - x1), abs(y2 - y1)) + 39) // 40, 1) AS n
+  FROM segs
+),
+pts AS (
+  SELECT way_id, j, x1, y1, dx, dy, n,
+         unnest(range(CASE WHEN j = 3 THEN n + 1 ELSE n END)) AS i
+  FROM st
+)
+SELECT way_id, CAST(j AS BIGINT) AS seg, CAST(i AS BIGINT) AS i,
+       round(CAST(x1 AS DOUBLE) + (dx * i) / n, 6) AS px,
+       round(CAST(y1 AS DOUBLE) + (dy * i) / n, 6) AS py
+FROM pts
+""",
+)
+def q_densify_polyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline densification (the inverse of simplify_collinear /
+    simplify_vw_rounds): insert vertices so no segment exceeds max step
+    L=40 in Chebyshev length — what a tile renderer or map-matcher runs
+    before reprojection so chord error stays bounded. Steps per segment
+    = ceil(cheb/L) exactly via integer (cheb+L-1) div L; interpolation
+    is one integer multiply and ONE double division (x1 + dx*i/n), so
+    engine and oracle are bit-identical before the round(6). All JVM:
+    explode segments + sequence(0, n) — no Python row path. Interior
+    duplicate vertices are avoided by emitting [0, n) per segment and
+    closing only the final segment at i=n."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.col("n_nationkey").cast("long")
+    j = F.col("j").cast("long")
+    segs = nat.select(
+        n.alias("way_id"), F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    ).select(
+        "way_id",
+        j.alias("j"),
+        ((F.col("way_id") * 37 % 100) * 1000 + j * ((F.col("way_id") % 7 + 1) * 30)).alias("x1"),
+        ((F.col("way_id") * 53 % 100) * 1000 + j * j * ((F.col("way_id") % 5 + 2) * 10)).alias(
+            "y1"
+        ),
+        (
+            (F.col("way_id") * 37 % 100) * 1000 + (j + 1) * ((F.col("way_id") % 7 + 1) * 30)
+        ).alias("x2"),
+        (
+            (F.col("way_id") * 53 % 100) * 1000
+            + (j + 1) * (j + 1) * ((F.col("way_id") % 5 + 2) * 10)
+        ).alias("y2"),
+    )
+    st = segs.select(
+        "way_id",
+        "j",
+        "x1",
+        "y1",
+        (F.col("x2") - F.col("x1")).alias("dx"),
+        (F.col("y2") - F.col("y1")).alias("dy"),
+        F.greatest(
+            F.expr("(greatest(abs(x2 - x1), abs(y2 - y1)) + 39) div 40"), F.lit(1).cast("long")
+        ).alias("n"),
+    )
+    pts = st.select(
+        "way_id",
+        "j",
+        "x1",
+        "y1",
+        "dx",
+        "dy",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.when(F.col("j") == 3, F.col("n")).otherwise(F.col("n") - 1),
+            )
+        ).alias("i"),
+    )
+    return pts.select(
+        "way_id",
+        F.col("j").alias("seg"),
+        "i",
+        F.round(F.col("x1").cast("double") + (F.col("dx") * F.col("i")) / F.col("n"), 6).alias(
+            "px"
+        ),
+        F.round(F.col("y1").cast("double") + (F.col("dy") * F.col("i")) / F.col("n"), 6).alias(
+            "py"
+        ),
+    )
+
+
+@q(
+    "map_match_nearest",
+    oracle=r"""
+WITH p AS (
+  SELECT doc_id, (doc_id * 131) % 2000 AS px, (doc_id * 197) % 2000 AS py FROM documents
+),
+s AS (
+  SELECT n_nationkey * 8 + k AS seg_id,
+         (n_nationkey * 79 + k * 211) % 1900 AS x1,
+         ((n_nationkey * 8 + k) * 157) % 1900 AS y1
+  FROM nation, (SELECT unnest(range(8)) AS k)
+),
+s2 AS (
+  SELECT seg_id, x1, y1, (seg_id % 4) * 30 + 10 AS dx, (seg_id % 6 - 2) * 25 AS dy FROM s
+),
+geo AS (
+  SELECT p.doc_id, s2.seg_id, p.px, p.py, s2.x1, s2.y1, s2.dx, s2.dy,
+         (p.px - s2.x1) * s2.dx + (p.py - s2.y1) * s2.dy AS dot,
+         s2.dx * s2.dx + s2.dy * s2.dy AS len2
+  FROM p CROSS JOIN s2
+),
+tca AS (
+  SELECT *, LEAST(GREATEST(CAST(dot AS DOUBLE) / len2, 0.0), 1.0) AS tc FROM geo
+),
+cand AS (
+  SELECT doc_id, seg_id,
+         round((px - (x1 + tc * dx)) * (px - (x1 + tc * dx))
+             + (py - (y1 + tc * dy)) * (py - (y1 + tc * dy)), 4) AS d2r
+  FROM tca
+),
+best AS (
+  SELECT doc_id, seg_id, d2r FROM cand
+  WHERE d2r <= 10000.0
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY d2r, seg_id) = 1
+)
+SELECT p.doc_id, CAST(COALESCE(b.seg_id, -1) AS BIGINT) AS seg_id,
+       COALESCE(b.d2r, -1.0) AS d2r
+FROM p LEFT JOIN best b USING (doc_id)
+""",
+)
+def q_map_match_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching: snap each point to the nearest road segment within
+    R=100 (clamped point-to-segment distance), or OFF_ROAD (-1) when
+    nothing is in range. Blocking is the R-grid: segments index every
+    cell their bbox touches, points probe their 3x3 neighbourhood —
+    complete because Euclid<=R implies Chebyshev<=R — so the engine
+    never goes quadratic while the oracle does (CROSS JOIN, exact).
+    A segment covering two probed cells meets a point twice; the
+    per-point min(struct(d2r, seg_id)) collapses duplicates without a
+    dropDuplicates shuffle. The distance expression is integer dot/len2
+    then single-division double ops, bit-identical across engines
+    before the round(4)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    d = F.col("doc_id")
+    p = docs.select(
+        "doc_id",
+        ((d * 131) % 2000).alias("px"),
+        ((d * 197) % 2000).alias("py"),
+    )
+    nk = F.col("n_nationkey").cast("long")
+    s = nat.select(
+        nk.alias("n"), F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k")
+    ).select(
+        (F.col("n") * 8 + F.col("k")).alias("seg_id"),
+        ((F.col("n") * 79 + F.col("k") * 211) % 1900).alias("x1"),
+        (((F.col("n") * 8 + F.col("k")) * 157) % 1900).alias("y1"),
+    )
+    s2 = s.select(
+        "seg_id",
+        "x1",
+        "y1",
+        ((F.col("seg_id") % 4) * 30 + 10).alias("dx"),
+        ((F.col("seg_id") % 6 - 2) * 25).alias("dy"),
+    )
+    # segment side: every R-cell its bbox touches
+    seg_cells = s2.select(
+        "seg_id",
+        "x1",
+        "y1",
+        "dx",
+        "dy",
+        F.explode(
+            F.sequence(
+                F.expr("least(x1, x1 + dx) div 100"), F.expr("greatest(x1, x1 + dx) div 100")
+            )
+        ).alias("gx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr("least(y1, y1 + dy) div 100"), F.expr("greatest(y1, y1 + dy) div 100")
+            )
+        ).alias("gy"),
+    )
+    # point side: 3x3 probe
+    probes = p.select(
+        "doc_id",
+        "px",
+        "py",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 8), "
+                "i -> struct(px div 100 + i div 3 - 1 AS gx, py div 100 + i % 3 - 1 AS gy))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "px", "py", F.col("c.gx").alias("gx"), F.col("c.gy").alias("gy"))
+    cand = probes.join(F.broadcast(seg_cells), ["gx", "gy"])
+    dot = (F.col("px") - F.col("x1")) * F.col("dx") + (F.col("py") - F.col("y1")) * F.col("dy")
+    len2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    tc = F.least(F.greatest(dot / len2, F.lit(0.0)), F.lit(1.0))
+    ex = F.col("px") - (F.col("x1") + tc * F.col("dx"))
+    ey = F.col("py") - (F.col("y1") + tc * F.col("dy"))
+    scored = cand.select(
+        "doc_id", "seg_id", F.round(ex * ex + ey * ey, 4).alias("d2r")
+    ).filter(F.col("d2r") <= 10000.0)
+    best = (
+        scored.groupBy("doc_id")
+        .agg(F.min(F.struct("d2r", "seg_id")).alias("m"))
+        .select("doc_id", F.col("m.seg_id").alias("seg_id"), F.col("m.d2r").alias("d2r"))
+    )
+    return p.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("seg_id", F.lit(-1).cast("long")).alias("seg_id"),
+        F.coalesce("d2r", F.lit(-1.0)).alias("d2r"),
+    )
