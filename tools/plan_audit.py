@@ -79,6 +79,7 @@ NESTED_LOOP_SCALAR_OK = {
     "bloom_semi_prune",  # 1-row bits broadcast (the filter itself) + 1-row n_dim scalar
     "semi_filter_strategy",  # same bloom 1-row bits + 1-row exact-count scalar
     "contribution_analysis",  # crossJoin(broadcast(1-row total)); window over 20 groups
+    "pq_ann_adc",  # crossJoin(broadcast(1-row query vector)) for the exact-d2 column
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
