@@ -11905,3 +11905,243 @@ def q_map_match_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("seg_id", F.lit(-1).cast("long")).alias("seg_id"),
         F.coalesce("d2r", F.lit(-1.0)).alias("d2r"),
     )
+
+
+# Script alphabets for the mixed-script corpus — identical literals on
+# both sides; the oracle recomputes COUNTS closed-form while the engine
+# must recover them by actually classifying characters, so a wrong
+# regexp class or a byte/char length confusion breaks the compare.
+_LAT_ALPHA = "abcdefghijklmnopqrstuvwxyzabcdef"
+_CYR_ALPHA = "абвгдежзиклмнопрстуфхцчшщэюяабвгдежз"
+_CJK_ALPHA = "地図都市山川海道路国境界村町州省"
+
+
+@q(
+    "script_mix_detect",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id,
+         4 + doc_id % 3 AS n_latin,
+         3 + doc_id % 4 AS n_cyrillic,
+         1 + doc_id % 3 AS n_cjk,
+         2 AS n_digit
+  FROM documents
+)
+SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+       CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+       CAST(n_cjk AS BIGINT) AS n_cjk, CAST(n_digit AS BIGINT) AS n_digit,
+       CASE greatest(n_latin * 4 + 0, n_cyrillic * 4 + 2, n_cjk * 4 + 3, n_digit * 4 + 1) % 4
+            WHEN 0 THEN 'latin' WHEN 1 THEN 'digit'
+            WHEN 2 THEN 'cyrillic' ELSE 'cjk' END AS dominant
+FROM c
+""",
+)
+def q_script_mix_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script classification: per-document character counts by
+    script class (Latin / Cyrillic / CJK / digit) plus the dominant
+    script — the language-ID front line for non-Latin webtext, where
+    byte-level heuristics fail. The engine builds a deterministic
+    mixed-script text and must recover the per-script counts by
+    CLASSIFYING characters (JVM regexp_count over Unicode ranges, char
+    semantics not bytes); the oracle knows the synthesis closed-form,
+    so any classifier defect (byte/char confusion, wrong range) breaks
+    the compare. Dominant-script argmax is an integer greatest() with
+    an alphabetic tie-break encoded in the low bits — identical
+    expression both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    seg = lambda alpha, start, ln: F.substring(F.lit(alpha), start, ln)  # noqa: E731
+    text = F.concat(
+        seg(_LAT_ALPHA, (d % 20 + 1).cast("int"), (4 + d % 3).cast("int")),
+        F.lit(" "),
+        seg(_CYR_ALPHA, (d % 25 + 1).cast("int"), (3 + d % 4).cast("int")),
+        F.lit(" "),
+        seg(_CJK_ALPHA, (d % 10 + 1).cast("int"), (1 + d % 3).cast("int")),
+        F.lit(" "),
+        F.substring(F.lit("0123456789"), (d % 5 + 1).cast("int"), 2),
+    )
+    t = docs.select("doc_id", text.alias("text"))
+    n_lat = F.regexp_count("text", F.lit("[a-z]")).cast("long")
+    n_cyr = F.regexp_count("text", F.lit("[а-яё]")).cast("long")
+    n_cjk = F.regexp_count("text", F.lit("[一-鿿]")).cast("long")
+    n_dig = F.regexp_count("text", F.lit("[0-9]")).cast("long")
+    counted = t.select(
+        "doc_id",
+        n_lat.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_cjk.alias("n_cjk"),
+        n_dig.alias("n_digit"),
+    )
+    g = F.greatest(
+        F.col("n_latin") * 4 + 0,
+        F.col("n_cyrillic") * 4 + 2,
+        F.col("n_cjk") * 4 + 3,
+        F.col("n_digit") * 4 + 1,
+    )
+    dom = (
+        F.when(g % 4 == 0, "latin")
+        .when(g % 4 == 1, "digit")
+        .when(g % 4 == 2, "cyrillic")
+        .otherwise("cjk")
+    )
+    return counted.select("doc_id", "n_latin", "n_cyrillic", "n_cjk", "n_digit", dom.alias("dominant"))
+
+
+@q(
+    "rect_overlay_area",
+    oracle=r"""
+WITH z AS (
+  SELECT n_nationkey AS zone_id,
+         (n_nationkey % 5) * 380 + 7 AS ax0, (n_nationkey // 5) * 380 + 11 AS ay0,
+         (n_nationkey % 5) * 380 + 407 AS ax1, (n_nationkey // 5) * 380 + 411 AS ay1
+  FROM nation
+),
+p AS (
+  SELECT doc_id, (doc_id * 61) % 1900 AS bx0, (doc_id * 83) % 1900 AS by0,
+         (doc_id * 61) % 1900 + 20 + doc_id % 80 AS bx1,
+         (doc_id * 83) % 1900 + 20 + (doc_id * 3) % 80 AS by1
+  FROM documents
+),
+hits AS (
+  SELECT z.zone_id,
+         (least(z.ax1, p.bx1) - greatest(z.ax0, p.bx0))
+         * (least(z.ay1, p.by1) - greatest(z.ay0, p.by0)) AS area
+  FROM z JOIN p
+    ON z.ax0 < p.bx1 AND p.bx0 < z.ax1 AND z.ay0 < p.by1 AND p.by0 < z.ay1
+),
+agg AS (
+  SELECT zone_id, count(*) AS n_parcels, sum(area) AS total_area, max(area) AS max_area
+  FROM hits GROUP BY zone_id
+)
+SELECT z.zone_id, CAST(COALESCE(a.n_parcels, 0) AS BIGINT) AS n_parcels,
+       CAST(COALESCE(a.total_area, 0) AS BIGINT) AS total_area,
+       CAST(COALESCE(a.max_area, 0) AS BIGINT) AS max_area
+FROM z LEFT JOIN agg a USING (zone_id)
+""",
+)
+def q_rect_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal overlay statistics: intersection AREA of a parcel layer
+    against a zone layer (the area-weighted-interpolation basis of
+    census downscaling / land-use accounting). Candidate pairs come
+    from rect_overlap_join's reference-cell grid (each overlapping pair
+    meets exactly once, no post-join dedup shuffle); the intersection
+    area is exact integer min/max arithmetic. The oracle is the
+    quadratic overlap join. Zones with no parcels report zeros via the
+    left join."""
+    from .operators.spatial_join import rect_overlap_join
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.col("n_nationkey").cast("long")
+    zones = nat.select(
+        n.alias("zone_id"),
+        ((n % 5) * 380 + 7).alias("ax0"),
+        ((n / 5).cast("long") * 380 + 11).alias("ay0"),
+        ((n % 5) * 380 + 407).alias("ax1"),
+        ((n / 5).cast("long") * 380 + 411).alias("ay1"),
+    )
+    d = F.col("doc_id")
+    parcels = docs.select(
+        d.alias("parcel_id"),
+        ((d * 61) % 1900).alias("bx0"),
+        ((d * 83) % 1900).alias("by0"),
+        ((d * 61) % 1900 + 20 + d % 80).alias("bx1"),
+        ((d * 83) % 1900 + 20 + (d * 3) % 80).alias("by1"),
+    )
+    pairs = rect_overlap_join(zones, parcels, width=200)
+    area = (
+        F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
+    ) * (F.least("ay1", "by1") - F.greatest("ay0", "by0"))
+    agg = pairs.select("zone_id", area.alias("area")).groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_parcels"),
+        F.sum("area").alias("total_area"),
+        F.max("area").alias("max_area"),
+    )
+    return zones.select("zone_id").join(agg, "zone_id", "left").select(
+        "zone_id",
+        F.coalesce("n_parcels", F.lit(0)).cast("long").alias("n_parcels"),
+        F.coalesce("total_area", F.lit(0)).cast("long").alias("total_area"),
+        F.coalesce("max_area", F.lit(0)).cast("long").alias("max_area"),
+    )
+
+
+@q(
+    "staypoint_detect",
+    oracle=r"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_id % 10 < 6 THEN (user_id * 13) % 1000 + event_id % 8
+              ELSE (event_id * 37) % 1000 END AS px,
+         CASE WHEN event_id % 10 < 6 THEN (user_id * 29) % 1000 + event_id % 5
+              ELSE (event_id * 53) % 1000 END AS py
+  FROM events
+),
+lagged AS (
+  SELECT *, lag(px) OVER w AS ppx, lag(py) OVER w AS ppy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+brk AS (
+  SELECT *, CASE WHEN ppx IS NULL
+                   OR greatest(abs(px - ppx), abs(py - ppy)) > 50 THEN 1 ELSE 0 END AS is_break
+  FROM lagged
+),
+seg AS (
+  SELECT *, sum(is_break) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM brk
+),
+stays AS (
+  SELECT user_id, seg_id, count(*) AS n_pts, min(us) AS start_us, max(us) AS end_us,
+         sum(px) AS sum_x, sum(py) AS sum_y
+  FROM seg GROUP BY user_id, seg_id
+)
+SELECT user_id, start_us, end_us, CAST(n_pts AS BIGINT) AS n_pts,
+       CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y
+FROM stays
+WHERE n_pts >= 3 AND end_us - start_us >= 60000000
+""",
+)
+def q_staypoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection over user trajectories (Li et al., GIS'08):
+    split each user's time-ordered point stream where the Chebyshev
+    jump from the previous fix exceeds 50 units (lag + running-sum
+    gaps-and-islands, ONE shuffle on user_id), then keep segments with
+    >= 3 fixes spanning >= 60 s. Coordinates are a deterministic
+    home-plus-excursion synthesis over events; centroids are reported
+    as exact integer (sum_x, sum_y, n_pts) so no float division enters
+    the compare. Window order is tie-broken by event_id (the r01
+    lesson)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    e = F.col("event_id")
+    u = F.col("user_id")
+    home = e % 10 < 6
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(home, (u * 13) % 1000 + e % 8).otherwise((e * 37) % 1000).alias("px"),
+        F.when(home, (u * 29) % 1000 + e % 5).otherwise((e * 53) % 1000).alias("py"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = pts.select(
+        "*", F.lag("px").over(w).alias("ppx"), F.lag("py").over(w).alias("ppy")
+    )
+    jump = F.greatest(F.abs(F.col("px") - F.col("ppx")), F.abs(F.col("py") - F.col("ppy")))
+    brk = lagged.select(
+        "*",
+        F.when(F.col("ppx").isNull() | (jump > 50), 1).otherwise(0).alias("is_break"),
+    )
+    seg = brk.select(
+        "*", F.sum("is_break").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("seg_id")
+    )
+    stays = seg.groupBy("user_id", "seg_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        F.sum("px").alias("sum_x"),
+        F.sum("py").alias("sum_y"),
+    )
+    return stays.filter(
+        (F.col("n_pts") >= 3) & (F.col("end_us") - F.col("start_us") >= 60000000)
+    ).select("user_id", "start_us", "end_us", "n_pts", "sum_x", "sum_y")
