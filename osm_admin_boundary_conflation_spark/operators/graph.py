@@ -367,3 +367,63 @@ def sssp(edges: DataFrame, source: int, max_rounds: int = 20) -> DataFrame:
             "raise max_rounds"
         )
     return dist
+
+
+def label_propagation(
+    nodes: DataFrame, seeds: DataFrame, edges: DataFrame, rounds: int
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    synchronous clamped variant), determinized: seeds keep their label
+    forever; every other node takes the majority label among its
+    LABELED neighbours each round (ties -> smallest label), or keeps
+    its previous label when no neighbour is labeled yet. A FIXED round
+    count (no convergence test) keeps the operator deterministic even
+    on graphs where asynchronous LPA oscillates.
+
+    nodes: (id). seeds: (id, label). edges: (src, dst) undirected.
+    Returns (id, label) after ``rounds`` synchronous updates; never-
+    reached nodes keep label -1. Each round is one edge join + one
+    two-level groupBy (vote count then argmax) — vertex-partitioned
+    shuffles, lineage cut per round.
+    """
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sd = seeds.select("id", F.col("label").cast("long").alias("seed_label")).localCheckpoint(
+        eager=True
+    )
+    state = (
+        nodes.select("id")
+        .join(sd, "id", "left")
+        .select("id", F.col("seed_label").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                state.filter(F.col("label").isNotNull()).select(
+                    F.col("id").alias("u"), "label"
+                ),
+                "u",
+            )
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        arg = (
+            votes.groupBy("v")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+            .select(F.col("v").alias("id"), F.col("m.label").alias("vote_label"))
+        )
+        state = (
+            state.join(arg, "id", "left")
+            .join(sd, "id", "left")
+            .select(
+                "id",
+                F.coalesce("seed_label", "vote_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("id", F.coalesce("label", F.lit(-1)).cast("long").alias("label"))

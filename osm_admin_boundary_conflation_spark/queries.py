@@ -12145,3 +12145,281 @@ def q_staypoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stays.filter(
         (F.col("n_pts") >= 3) & (F.col("end_us") - F.col("start_us") >= 60000000)
     ).select("user_id", "start_us", "end_us", "n_pts", "sum_x", "sum_y")
+
+
+def _lp_stage_sql(t: int) -> str:
+    """One unrolled synchronous label-propagation round for the oracle."""
+    p = t - 1
+    return f"""
+v{t} AS (
+  SELECT e.v AS id, s.label, count(*) AS c
+  FROM e JOIN s{p} s ON e.u = s.id WHERE s.label IS NOT NULL GROUP BY e.v, s.label
+),
+a{t} AS (
+  SELECT id, label FROM v{t}
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label) = 1
+),
+s{t} AS (
+  SELECT s{p}.id, COALESCE(sd.label, a{t}.label, s{p}.label) AS label
+  FROM s{p} LEFT JOIN seeds sd ON s{p}.id = sd.id LEFT JOIN a{t} ON s{p}.id = a{t}.id
+)"""
+
+
+_LP_ORACLE = (
+    """
+WITH raw AS (
+  SELECT u, (u * 2 + 1) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 7 + 5) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+),
+e AS (
+  SELECT u, v FROM raw WHERE u != v
+  UNION
+  SELECT v AS u, u AS v FROM raw WHERE u != v
+),
+n AS (SELECT DISTINCT u AS id FROM e),
+seeds AS (SELECT id, id % 3 AS label FROM n WHERE id < 10),
+s0 AS (SELECT n.id, seeds.label FROM n LEFT JOIN seeds USING (id)),"""
+    + ",".join(_lp_stage_sql(t) for t in (1, 2, 3))
+    + """
+SELECT id, CAST(COALESCE(label, -1) AS BIGINT) AS label FROM s3
+"""
+)
+
+
+@q("label_propagation_k", oracle=_LP_ORACLE)
+def q_label_propagation_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (operators/graph.
+    label_propagation): 10 seed nodes carry 3 class labels; 3
+    SYNCHRONOUS clamped rounds spread them over the 400-node
+    shuffle-exchange graph — majority vote among labeled neighbours,
+    ties to the smallest label, unlabeled-neighbour-free nodes keep
+    their previous state. Fixed round count keeps the fixpointless
+    variant deterministic; the oracle unrolls the same three rounds.
+    This is the graph-side spam/quality classifier a link graph feeds
+    (TrustRank-style seed expansion) with integer votes only."""
+    from .operators.graph import label_propagation
+
+    u = F.col("id")
+    raw = (
+        spark.range(400)
+        .select(u.alias("src"), ((u * 2 + 1) % 400).alias("dst"))
+        .unionByName(spark.range(400).select(u.alias("src"), ((u * 7 + 5) % 400).alias("dst")))
+        .filter("src != dst")
+    )
+    nodes = (
+        raw.select(F.col("src").alias("id"))
+        .union(raw.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("id") < 10).select("id", (F.col("id") % 3).alias("label"))
+    return label_propagation(nodes, seeds, raw, rounds=3)
+
+
+@q(
+    "hll_intersect_estimate",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, CAST(('0x' || substr(md5('h:' || text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+a AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+b AS (SELECT DISTINCT h FROM d WHERE doc_id % 3 = 0),
+u AS (SELECT h FROM a UNION SELECT h FROM b),
+mk AS (
+  SELECT 'a' AS tag, h FROM a
+  UNION ALL SELECT 'b', h FROM b
+  UNION ALL SELECT 'u', h FROM u
+),
+reg AS (
+  SELECT tag, h % 64 AS bucket,
+         max(coalesce(list_position(list_transform(range(53), k -> (h >> (6+k)) & 1), 1), 54))
+           AS M
+  FROM mk GROUP BY tag, bucket
+),
+spine AS (
+  SELECT t.tag, s.bucket
+  FROM (SELECT unnest(['a', 'b', 'u']) AS tag) t
+  CROSS JOIN (SELECT unnest(range(64)) AS bucket) s
+),
+sums AS (
+  SELECT sp.tag, CAST(sum(CAST(1 AS HUGEINT) << (54 - coalesce(reg.M, 0))) AS BIGINT)
+           AS sum_scaled
+  FROM spine sp LEFT JOIN reg ON sp.tag = reg.tag AND sp.bucket = reg.bucket
+  GROUP BY sp.tag
+),
+w AS (
+  SELECT max(CASE WHEN tag = 'a' THEN sum_scaled END) AS sum_a,
+         max(CASE WHEN tag = 'b' THEN sum_scaled END) AS sum_b,
+         max(CASE WHEN tag = 'u' THEN sum_scaled END) AS sum_u
+  FROM sums
+),
+truth AS (
+  SELECT count(*) AS n_inter_true FROM a SEMI JOIN b ON a.h = b.h
+)
+SELECT truth.n_inter_true, w.sum_a, w.sum_b, w.sum_u,
+       round((0.7213 / (1 + 1.079 / 64) * 64 * 64) * 18014398509481984
+               / sum_a
+             + (0.7213 / (1 + 1.079 / 64) * 64 * 64) * 18014398509481984
+               / sum_b
+             - (0.7213 / (1 + 1.079 / 64) * 64 * 64) * 18014398509481984
+               / sum_u, 4) AS est_inter
+FROM w, truth
+""",
+)
+def q_hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA via inclusion-exclusion: |A ∩ B| est = est(A) +
+    est(B) - est(A ∪ B), where the union sketch is the register-wise
+    max MERGE of the two set sketches (never a re-scan of the data) —
+    the cardinality-overlap probe an audience/dedup planner runs
+    across shards at 100 TB. Register states and harmonic sums are
+    exact integers (hll_distinct_sketch family); exactly three double
+    divisions and two additions happen at the very end in a pinned
+    order before round(4). The exact intersection count rides along as
+    ground truth for the estimate's error."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.concat(F.lit("h:"), F.col("text")), "UTF-8")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    d = docs.select("doc_id", h.alias("h"))
+    a = d.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    b = d.filter(F.col("doc_id") % 3 == 0).select("h").distinct()
+    # register build over the tagged union; 'u' rows come from the MERGE
+    # (register-wise max of a and b), not from re-hashing the union
+    mk = a.select(F.lit("a").alias("tag"), "h").unionByName(
+        b.select(F.lit("b").alias("tag"), "h")
+    )
+    bits = F.array(
+        *[
+            F.shiftrightunsigned(F.col("h"), 6 + k).bitwiseAND(F.lit(1)).cast("int")
+            for k in range(53)
+        ]
+    )
+    rho = F.array_position(bits, 1)
+    reg = (
+        mk.select("tag", (F.col("h") % 64).alias("bucket"),
+                  F.when(rho == 0, 54).otherwise(rho).alias("M"))
+        .groupBy("tag", "bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    union_reg = reg.groupBy("bucket").agg(F.max("M").alias("M")).select(
+        F.lit("u").alias("tag"), "bucket", "M"
+    )
+    all_reg = reg.unionByName(union_reg)
+    spine = (
+        spark.createDataFrame([("a",), ("b",), ("u",)], "tag string")
+        .crossJoin(spark.range(64).select(F.col("id").alias("bucket")))
+    )
+    pow_term = F.pow(F.lit(2.0), 54 - F.coalesce(F.col("M"), F.lit(0))).cast("long")
+    sums = (
+        spine.join(all_reg, ["tag", "bucket"], "left")
+        .groupBy("tag")
+        .agg(F.sum(pow_term).alias("sum_scaled"))
+    )
+    w = sums.groupBy().pivot("tag", ["a", "b", "u"]).agg(F.first("sum_scaled")).select(
+        F.col("a").alias("sum_a"), F.col("b").alias("sum_b"), F.col("u").alias("sum_u")
+    )
+    truth = a.join(b, "h", "left_semi").agg(F.count(F.lit(1)).alias("n_inter_true"))
+    alpha = 0.7213 / (1 + 1.079 / 64) * 64 * 64
+    est = lambda c: F.lit(alpha) * F.lit(18014398509481984.0) / F.col(c)  # noqa: E731
+    return truth.crossJoin(F.broadcast(w)).select(
+        "n_inter_true",
+        "sum_a",
+        "sum_b",
+        "sum_u",
+        F.round(est("sum_a") + est("sum_b") - est("sum_u"), 4).alias("est_inter"),
+    )
+
+
+@q(
+    "entity_resolution_fs",
+    oracle=r"""
+WITH l AS (
+  SELECT c_custkey AS lid, c_name AS name, c_nationkey AS nat,
+         CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS cents,
+         c_mktsegment AS seg
+  FROM customer
+),
+r AS (
+  SELECT c_custkey + 100000 AS rid,
+         CASE WHEN c_custkey % 6 = 0 THEN c_name || 'x'
+              WHEN c_custkey % 6 = 2 THEN substr(c_name, 1, length(c_name) - 1)
+              ELSE c_name END AS name,
+         c_nationkey AS nat,
+         CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 10 = 4 THEN 5 ELSE 0 END AS cents,
+         c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey + 200000, 'Nobody#' || CAST(c_custkey AS VARCHAR), c_nationkey,
+         CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) + 1234567, c_mktsegment
+  FROM customer WHERE c_custkey % 15 = 1
+),
+cand AS (
+  SELECT l.lid, l.name, l.cents, l.seg,
+         r.rid, r.name AS r_name, r.cents AS r_cents, r.seg AS r_seg
+  FROM l JOIN r ON l.nat = r.nat
+   AND (substr(l.name, 10, 4) = substr(r.name, 10, 4) OR l.seg = r.seg)
+),
+sc AS (
+  SELECT lid, rid,
+         CAST(CASE WHEN name = r_name THEN 40
+                   WHEN levenshtein(name, r_name) <= 1 THEN 25 ELSE 0 END
+              + CASE WHEN cents = r_cents THEN 20 ELSE 0 END
+              + CASE WHEN seg = r_seg THEN 15 ELSE 0 END AS BIGINT) AS score
+  FROM cand
+)
+SELECT lid, rid, score FROM sc WHERE score >= 40
+""",
+)
+def q_entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/entity_resolution.py): a clean registry
+    vs a corrupted re-registration (appended char, truncated char,
+    shifted balance) plus decoy records. Union-of-blockers candidates
+    — (nation, stable name-digit slice) recovers truncation, (nation,
+    segment) recovers digit noise — then integer Fellegi-Sunter
+    agreement weights and a >= 40 decision. The threshold deliberately
+    sits ON the fuzzy+segment boundary so near-serial neighbours
+    exercise the decision edge; engine and oracle agree exactly
+    because every comparison is integer/string-exact. The reference's
+    ref-key -> name -> geometry conflation ladder
+    (conflate.py:516-556) is this same blocking-escalation pattern."""
+    from .operators.entity_resolution import resolve
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    cents = F.round(F.col("c_acctbal").cast("double") * 100).cast("long")
+    left = cust.select(
+        k.alias("lid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        cents.alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    pert_name = (
+        F.when(k % 6 == 0, F.concat("c_name", F.lit("x")))
+        .when(k % 6 == 2, F.expr("substr(c_name, 1, length(c_name) - 1)"))
+        .otherwise(F.col("c_name"))
+    )
+    right = (
+        cust.filter(k % 2 == 0)
+        .select(
+            (k + 100000).alias("rid"),
+            pert_name.alias("name"),
+            F.col("c_nationkey").alias("nat"),
+            (cents + F.when(k % 10 == 4, 5).otherwise(0)).alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .unionByName(
+            cust.filter(k % 15 == 1).select(
+                (k + 200000).alias("rid"),
+                F.concat(F.lit("Nobody#"), k.cast("string")).alias("name"),
+                F.col("c_nationkey").alias("nat"),
+                (cents + 1234567).alias("cents"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+        )
+    )
+    return resolve(left, right, threshold=40)
