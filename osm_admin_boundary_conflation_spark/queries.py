@@ -12423,3 +12423,159 @@ def q_entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return resolve(left, right, threshold=40)
+
+
+@q(
+    "convex_hull_ring",
+    oracle=r"""
+WITH RECURSIVE ids AS (
+  SELECT n_nationkey * 4 + k AS id FROM nation, (SELECT unnest(range(4)) AS k)
+),
+pts AS (
+  SELECT DISTINCT (id * id * 7 + id * 37) % 200 AS x,
+                  (id * id * 11 + id * 89) % 200 AS y
+  FROM ids
+),
+cand AS (
+  SELECT p.x AS px, p.y AS py, q.x AS qx, q.y AS qy
+  FROM pts p JOIN pts q ON NOT (p.x = q.x AND p.y = q.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts r
+    WHERE (q.x - p.x) * (r.y - p.y) - (q.y - p.y) * (r.x - p.x) < 0
+  )
+),
+nxt AS (
+  SELECT px, py, qx, qy FROM cand
+  QUALIFY row_number() OVER (PARTITION BY px, py
+     ORDER BY (qx - px) * (qx - px) + (qy - py) * (qy - py) DESC) = 1
+),
+s2 AS (SELECT x AS sx, y AS sy FROM pts ORDER BY x, y LIMIT 1),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS pos, sx AS x, sy AS y FROM s2
+  UNION ALL
+  SELECT w.pos + 1, n.qx, n.qy
+  FROM walk w JOIN nxt n ON n.px = w.x AND n.py = w.y
+  WHERE NOT (n.qx = (SELECT sx FROM s2) AND n.qy = (SELECT sy FROM s2))
+    AND w.pos < 200
+)
+SELECT pos, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM walk
+""",
+)
+def q_convex_hull_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed convex hull (operators/hull.py): per-partition
+    monotone chain reduces each partition to its local hull vertices
+    (Arrow mapInPandas, exact int64 cross products), then a tiny
+    single-task merge — the skyline-style exact finish over O(h *
+    n_partitions) candidates, never the corpus. Output is the strict
+    hull as a canonical CCW ring from the lexicographic minimum. The
+    oracle computes the same ring by gift wrapping in SQL: a per-point
+    all-left NOT EXISTS next-edge test (farthest-collinear tie-break
+    drops mid-edge points) walked by a recursive CTE."""
+    from .operators.hull import convex_hull
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.col("n_nationkey").cast("long")
+    ids = nat.select(n.alias("n"), F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")).select(
+        (F.col("n") * 4 + F.col("k")).alias("id")
+    )
+    i = F.col("id")
+    pts = ids.select(
+        ((i * i * 7 + i * 37) % 200).alias("x"), ((i * i * 11 + i * 89) % 200).alias("y")
+    )
+    return convex_hull(pts)
+
+
+@q(
+    "morans_i_grid",
+    oracle=r"""
+WITH g AS (
+  SELECT ((doc_id * 61) % 1900) // 380 AS gx, ((doc_id * 83) % 1900) // 380 AS gy
+  FROM documents
+),
+counts AS (SELECT gx, gy, count(*) AS v FROM g GROUP BY gx, gy),
+spine AS (
+  SELECT a.gx, b.gy
+  FROM (SELECT unnest(range(5)) AS gx) a CROSS JOIN (SELECT unnest(range(5)) AS gy) b
+),
+cells AS (
+  SELECT s.gx, s.gy, COALESCE(c.v, 0) AS v
+  FROM spine s LEFT JOIN counts c ON s.gx = c.gx AND s.gy = c.gy
+),
+tot AS (SELECT sum(v) AS sv, count(*) AS n FROM cells),
+z AS (SELECT gx, gy, 25 * v - (SELECT sv FROM tot) AS zz FROM cells),
+adj AS (
+  SELECT a.zz AS za, b.zz AS zb
+  FROM z a JOIN z b
+    ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+),
+agg AS (
+  SELECT CAST((SELECT count(*) FROM adj) AS BIGINT) AS w_pairs,
+         CAST((SELECT sum(za * zb) FROM adj) AS BIGINT) AS cross_sum,
+         CAST((SELECT sum(zz * zz) FROM z) AS BIGINT) AS z2_sum
+)
+SELECT w_pairs, cross_sum, z2_sum,
+       CAST(25 * cross_sum AS BIGINT) AS num,
+       CAST(w_pairs * z2_sum AS BIGINT) AS den,
+       round(CAST(25 * cross_sum AS DOUBLE) / (w_pairs * z2_sum), 6) AS morans_i
+FROM agg
+""",
+)
+def q_morans_i_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spatial autocorrelation — Moran's I with rook-adjacency
+    binary weights over a 5x5 zone grid of the document point field.
+    Deviations are kept integral by scaling (z_i = n*x_i - sum x), so
+    numerator and denominator are exact BIGINTs and exactly ONE double
+    division happens at the end (I = n * sum_w(z_i z_j) / (W * sum
+    z_i^2), the textbook statistic under the scaling). The adjacency
+    join is a 25-row broadcast self-join; at corpus scale the same
+    shape runs per-region with the grid as the small side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    g = docs.select(
+        F.expr("((doc_id * 61) % 1900) div 380").alias("gx"),
+        F.expr("((doc_id * 83) % 1900) div 380").alias("gy"),
+    )
+    counts = g.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("v"))
+    spine = (
+        spark.range(5)
+        .select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(5).select(F.col("id").alias("gy")))
+    )
+    cells = spine.join(counts, ["gx", "gy"], "left").select(
+        "gx", "gy", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    tot = cells.agg(F.sum("v").alias("sv"))
+    z = cells.crossJoin(F.broadcast(tot)).select(
+        "gx", "gy", (F.lit(25) * F.col("v") - F.col("sv")).alias("zz")
+    )
+    # rook adjacency as an EQUI join: each cell explodes to its 4
+    # neighbour coordinates and meets the neighbour's home cell on
+    # (gx, gy) — no inequality nested loop, the shape that still works
+    # when the grid is millions of cells
+    zb = z.select(F.col("gx").alias("bx"), F.col("gy").alias("by"), F.col("zz").alias("zb"))
+    probes = z.select(
+        "zz",
+        F.explode(
+            F.expr(
+                "array(struct(gx + 1 AS bx, gy AS by), struct(gx - 1 AS bx, gy AS by), "
+                "struct(gx AS bx, gy + 1 AS by), struct(gx AS bx, gy - 1 AS by))"
+            )
+        ).alias("nb"),
+    ).select("zz", F.col("nb.bx").alias("bx"), F.col("nb.by").alias("by"))
+    adj = probes.join(F.broadcast(zb), ["bx", "by"])
+    stats = adj.agg(
+        F.count(F.lit(1)).alias("w_pairs"), F.sum(F.col("zz") * F.col("zb")).alias("cross_sum")
+    )
+    z2 = z.agg(F.sum(F.col("zz") * F.col("zz")).alias("z2_sum"))
+    return stats.crossJoin(F.broadcast(z2)).select(
+        "w_pairs",
+        "cross_sum",
+        "z2_sum",
+        (F.lit(25) * F.col("cross_sum")).alias("num"),
+        (F.col("w_pairs") * F.col("z2_sum")).alias("den"),
+        F.round(
+            (F.lit(25) * F.col("cross_sum")).cast("double")
+            / (F.col("w_pairs") * F.col("z2_sum")),
+            6,
+        ).alias("morans_i"),
+    )

@@ -80,6 +80,8 @@ NESTED_LOOP_SCALAR_OK = {
     "semi_filter_strategy",  # same bloom 1-row bits + 1-row exact-count scalar
     "contribution_analysis",  # crossJoin(broadcast(1-row total)); window over 20 groups
     "pq_ann_adc",  # crossJoin(broadcast(1-row query vector)) for the exact-d2 column
+    "hll_intersect_estimate",  # 1-row truth x 1-row pivoted sums scalar join
+    "morans_i_grid",  # constant 5x5 spine + 1-row total scalar joins; adjacency itself is equi
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
