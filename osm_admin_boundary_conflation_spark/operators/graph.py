@@ -427,3 +427,47 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return state.select("id", F.coalesce("label", F.lit(-1)).cast("long").alias("label"))
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
+    """The k-core: the maximal induced subgraph with minimum degree >= k
+    (Seidman 1983), by synchronous peeling — each round recomputes
+    degrees over the surviving induced subgraph and drops every node
+    below k, until nothing drops. Rounds needed = the peel depth of the
+    graph, typically tiny; convergence is checked on the survivor count
+    (one number per round, no extra scan: the groupBy's row count rides
+    the checkpoint job via ``observe``), and exhaustion RAISES because
+    a partially-peeled graph is not a k-core.
+
+    edges: (src, dst) undirected. Returns (id, deg) for core members,
+    deg = degree WITHIN the core. Scale shape per round: two semi-joins
+    on the alive set + one vertex-keyed groupBy.
+    """
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=True)
+    n_prev = None
+    for _ in range(max_rounds):
+        obs = Observation()
+        deg = (
+            sym.join(alive.select(F.col("id").alias("u")), "u", "semi")
+            .join(alive.select(F.col("id").alias("v")), "v", "semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("u").alias("id"), "deg")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = obs.get["n"] or 0
+        alive = deg.select("id")
+        if n_new == n_prev:
+            return deg
+        n_prev = n_new
+        if n_new == 0:
+            return deg
+    raise RuntimeError(f"k_core did not stabilize in {max_rounds} peeling rounds")

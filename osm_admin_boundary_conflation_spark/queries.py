@@ -12579,3 +12579,131 @@ def q_morans_i_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("morans_i"),
     )
+
+
+# Peel-structured graph for k-core / assortativity: a 400-cycle with
+# sporadic chords (peels away under k=3) plus a dense 40-node block
+# (every node also linked +2 and +3 mod 40 — the surviving 3-core).
+_KCORE_EDGES_SQL = """
+raw AS (
+  SELECT u, (u + 1) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 13 + 7) % 400 FROM (SELECT unnest(range(400)) AS u) WHERE u % 3 = 0
+  UNION ALL
+  SELECT u, (u + 2) % 40 FROM (SELECT unnest(range(40)) AS u)
+  UNION ALL
+  SELECT u, (u + 3) % 40 FROM (SELECT unnest(range(40)) AS u)
+),
+e AS (
+  SELECT u, v FROM raw WHERE u != v
+  UNION
+  SELECT v AS u, u AS v FROM raw WHERE u != v
+)"""
+
+
+def _kcore_round_sql(t: int) -> str:
+    p = t - 1
+    return f"""
+d{t} AS (
+  SELECT e.u AS id, count(*) AS dg
+  FROM e JOIN a{p} x ON e.u = x.id JOIN a{p} y ON e.v = y.id
+  GROUP BY e.u
+),
+a{t} AS (SELECT id FROM d{t} WHERE dg >= 3)"""
+
+
+_KCORE_ORACLE = (
+    f"WITH {_KCORE_EDGES_SQL},\na0 AS (SELECT DISTINCT u AS id FROM e),"
+    + ",".join(_kcore_round_sql(t) for t in (1, 2, 3, 4, 5, 6))
+    + """
+SELECT id, CAST(dg AS BIGINT) AS deg FROM d6 WHERE dg >= 3
+"""
+)
+
+
+def _kcore_edges(spark: SparkSession):
+    u = F.col("id")
+    cyc = spark.range(400).select(u.alias("src"), ((u + 1) % 400).alias("dst"))
+    chords = (
+        spark.range(400)
+        .filter(u % 3 == 0)
+        .select(u.alias("src"), ((u * 13 + 7) % 400).alias("dst"))
+    )
+    b2 = spark.range(40).select(u.alias("src"), ((u + 2) % 40).alias("dst"))
+    b3 = spark.range(40).select(u.alias("src"), ((u + 3) % 40).alias("dst"))
+    return cyc.unionByName(chords).unionByName(b2).unionByName(b3).filter("src != dst")
+
+
+@q("k_core_decompose", oracle=_KCORE_ORACLE)
+def q_k_core_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (operators/graph.k_core, k=3): synchronous
+    peeling over a cycle-plus-chords graph whose only 3-core is a dense
+    40-node block; the cycle and its chords cascade away over 4 peel
+    rounds (pinned offline). The oracle unrolls 6 induced-degree rounds
+    — two more than needed, so the fixpoint is reached on both sides.
+    Output is core membership WITH in-core degree. The same peeling
+    loop is the spam-farm/community-core primitive over link graphs."""
+    from .operators.graph import k_core
+
+    return k_core(_kcore_edges(spark), k=3, max_rounds=8)
+
+
+@q(
+    "degree_assortativity",
+    oracle=f"""
+WITH {_KCORE_EDGES_SQL},
+dg AS (SELECT u AS id, count(*) AS d FROM e GROUP BY u),
+ej AS (
+  SELECT du.d AS da, dv.d AS db
+  FROM e JOIN dg du ON e.u = du.id JOIN dg dv ON e.v = dv.id
+),
+s AS (
+  SELECT count(*) AS m, sum(da) AS s1, sum(da * da) AS s2, sum(da * db) AS s3 FROM ej
+)
+SELECT CAST(m AS BIGINT) AS n_directed_edges, CAST(s1 AS BIGINT) AS sum_d,
+       CAST(s3 AS BIGINT) AS sum_dd, CAST(s2 AS BIGINT) AS sum_d2,
+       CAST(m * s3 - s1 * s1 AS BIGINT) AS num,
+       CAST(m * s2 - s1 * s1 AS BIGINT) AS den,
+       round(CAST(m * s3 - s1 * s1 AS DOUBLE) / (m * s2 - s1 * s1), 6) AS assortativity
+FROM s
+""",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over the directed edge multiset, computed entirely
+    from exact integer sums (m*S3 - S1^2 over m*S2 - S1^2) with one
+    double division at the end — the disassortative-hub diagnostic run
+    on web/link graphs before choosing a partitioning strategy. One
+    degree groupBy + two vertex-keyed joins + one global sum."""
+    from .operators.graph import _orient  # noqa: F401  (module import only)
+
+    raw = _kcore_edges(spark)
+    sym = (
+        raw.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(raw.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    dg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ej = (
+        sym.join(dg.select(F.col("u"), F.col("d").alias("da")), "u")
+        .join(dg.select(F.col("u").alias("v"), F.col("d").alias("db")), "v")
+        .select("da", "db")
+    )
+    s = ej.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("da").alias("s1"),
+        F.sum(F.col("da") * F.col("da")).alias("s2"),
+        F.sum(F.col("da") * F.col("db")).alias("s3"),
+    )
+    m, s1, s2, s3 = F.col("m"), F.col("s1"), F.col("s2"), F.col("s3")
+    return s.select(
+        m.alias("n_directed_edges"),
+        s1.alias("sum_d"),
+        s3.alias("sum_dd"),
+        s2.alias("sum_d2"),
+        (m * s3 - s1 * s1).alias("num"),
+        (m * s2 - s1 * s1).alias("den"),
+        F.round((m * s3 - s1 * s1).cast("double") / (m * s2 - s1 * s1), 6).alias(
+            "assortativity"
+        ),
+    )
