@@ -727,20 +727,23 @@ _DRIVER_HEAD = [
     "media_decode_raw",
     "media_meta_real",
     "media_decode_progressive",
-    # TPC-H
-    "shipping_priority",
-    "customer_distribution",
-    "large_volume_orders",
-    "local_supplier_volume",
-    "promo_revenue_share",
     # SCD2 / temporal
     "scd2_dimension_build",
     "scd2_asof_enrich",
-    "attribution_join",
     # sketches
     "hll_merge_rollup",
-    "countmin_sketch",
-    "heavy_hitters",
+    # round-6 batch-2 operators (this session's additions; the TPC-H
+    # five, countmin_sketch, heavy_hitters and attribution_join they
+    # displaced are all long-green in the full sim sweep and rotate
+    # back next round)
+    "dbscan_clusters",
+    "sssp_weighted",
+    "pq_ann_adc",
+    "convex_hull_ring",
+    "entity_resolution_fs",
+    "map_match_nearest",
+    "link_graph_extract",
+    "k_core_decompose",
     # SURVEY rows previously sim-only
     "shapefile_roundtrip",
     "results_sink_metrics",
