@@ -471,3 +471,58 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 30) -> DataFrame:
         if n_new == 0:
             return deg
     raise RuntimeError(f"k_core did not stabilize in {max_rounds} peeling rounds")
+
+
+def temporal_reachability(
+    edges: DataFrame, source: int, max_rounds: int = 20
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability (Holme & Saramäki,
+    temporal networks): a path may only traverse an edge whose timestamp
+    is >= the arrival time at its tail. Synchronous relaxation of
+    arr(v) = min{ t : (u, v, t) in E, t >= arr(u) }, one Spark job per
+    round (edge join + min fold + Observation-carried changed count),
+    converging because arrivals only decrease and are bounded below.
+    Exhaustion raises. edges: (src, dst, t) bigint; the source starts
+    at arrival -1 (before all edge times). Returns (id, arr).
+    """
+    e = edges.select("src", "dst", F.col("t").cast("long")).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    arr = spark.createDataFrame([(source, -1)], "id long, arr long").localCheckpoint(
+        eager=True
+    )
+    changed = None
+    for _ in range(max_rounds):
+        cand = (
+            arr.join(e, arr.id == e.src)
+            .filter(F.col("t") >= F.col("arr"))
+            .select(F.col("dst").alias("id"), F.col("t").alias("arr"), F.lit(0).alias("is_old"))
+        )
+        obs = Observation()
+        new = (
+            arr.select("id", "arr", F.lit(1).alias("is_old"))
+            .unionByName(cand)
+            .groupBy("id")
+            .agg(
+                F.min("arr").alias("arr"),
+                F.min(F.when(F.col("is_old") == 1, F.col("arr"))).alias("old_arr"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("old_arr").isNull() | (F.col("arr") < F.col("old_arr"))).cast(
+                        "long"
+                    )
+                ).alias("changed"),
+            )
+            .select("id", "arr")
+            .localCheckpoint(eager=True)
+        )
+        changed = obs.get["changed"] or 0
+        arr = new
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"temporal_reachability did not converge in {max_rounds} rounds"
+        )
+    return arr

@@ -12710,3 +12710,217 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "assortativity"
         ),
     )
+
+
+@q(
+    "temporal_reachability",
+    oracle=r"""
+WITH RECURSIVE e AS (
+  SELECT u AS src, (u * 3 + 1) % 500 AS dst, (u * 7 + k * 33) % 100 AS t
+  FROM (SELECT unnest(range(500)) AS u), (SELECT unnest(range(3)) AS k)
+  UNION ALL
+  SELECT u, (u * 11 + 4) % 500, (u * 7 + k * 33) % 100
+  FROM (SELECT unnest(range(500)) AS u), (SELECT unnest(range(3)) AS k)
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS id, CAST(-1 AS BIGINT) AS a, 0 AS hop
+  UNION
+  SELECT e.dst, CAST(e.t AS BIGINT), r.hop + 1
+  FROM r JOIN e ON e.src = r.id
+  WHERE e.t >= r.a AND r.hop < 12
+)
+SELECT id, min(a) AS arr FROM r GROUP BY id
+""",
+)
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (operators/graph.
+    temporal_reachability): earliest arrival from node 0 over a
+    temporal graph where every structural edge exists at three
+    escalating times — a path may only use an edge no earlier than its
+    current arrival. This is the contagion/influence primitive that
+    static reachability (bfs_hops) gets WRONG on temporal data: only
+    117 of 500 nodes are time-reachable here though the static graph is
+    strongly connected. Offline relaxation pins the fixpoint at 8
+    rounds; the engine caps at 12 converge-or-raise and the oracle's
+    recursive CTE caps hops at 12, both strict supersets."""
+    from .operators.graph import temporal_reachability
+
+    u = F.col("id")
+    k = F.col("k")
+    base = spark.range(500).select(u.alias("u")).crossJoin(
+        spark.range(3).select(F.col("id").alias("k"))
+    )
+    t = (F.col("u") * 7 + k * 33) % 100
+    e = base.select(
+        F.col("u").alias("src"), ((F.col("u") * 3 + 1) % 500).alias("dst"), t.alias("t")
+    ).unionByName(
+        base.select(
+            F.col("u").alias("src"), ((F.col("u") * 11 + 4) % 500).alias("dst"), t.alias("t")
+        )
+    )
+    return temporal_reachability(e, source=0, max_rounds=12)
+
+
+@q(
+    "theil_sen_trend",
+    oracle=r"""
+WITH daily AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, day
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.cnt - a.cnt AS DOUBLE) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+ranked AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+),
+med AS (
+  SELECT event_type, max(n) AS n_pairs,
+         avg(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN slope END) AS m
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs, round(m, 6) AS slope_median
+FROM med
+""",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all pairwise
+    slopes of the daily count series — the outlier-immune trend
+    estimator (breakdown point 29%) a monitoring pipeline prefers over
+    OLS on spiky traffic. Slopes are one exact double division each;
+    the median is an ORDER-STATISTIC pick (avg of the two middles for
+    even counts, same two elements both engines), so no float summation
+    order enters. The pair join is per-group (days^2 within each
+    event_type, ~30 days), partitioned by type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("cnt").alias("ca"))
+    b = daily.select("event_type", F.col("day").alias("db"), F.col("cnt").alias("cb"))
+    pairs = a.join(b, "event_type").filter(F.col("da") < F.col("db")).select(
+        "event_type",
+        ((F.col("cb") - F.col("ca")).cast("double") / (F.col("db") - F.col("da"))).alias(
+            "slope"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo = (F.col("n") + 1) / 2
+    hi = (F.col("n") + 2) / 2
+    med = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_pairs"),
+        F.avg(
+            F.when(
+                (F.col("rn") == F.floor(lo)) | (F.col("rn") == F.floor(hi)), F.col("slope")
+            )
+        ).alias("m"),
+    )
+    return med.select(
+        "event_type", F.col("n_pairs").cast("long"), F.round("m", 6).alias("slope_median")
+    )
+
+
+def _walk_stage_sql(t: int) -> str:
+    p = t - 1
+    return f"""
+w{t} AS (
+  SELECT w.walk_id, {t} AS step, nb.v AS node
+  FROM w{p} w
+  JOIN dg ON dg.u = w.node
+  JOIN nb ON nb.u = w.node
+   AND nb.idx = 1 + CAST(('0x' || substr(md5('w:' || CAST(w.walk_id AS VARCHAR)
+        || ':' || CAST({t} AS VARCHAR)), 1, 15)) AS BIGINT) % dg.deg
+)"""
+
+
+_WALK_ORACLE = (
+    r"""
+WITH raw AS (
+  SELECT u, (u * 3 + 1) % 200 AS v FROM (SELECT unnest(range(200)) AS u)
+  UNION ALL SELECT u, (u * 7 + 3) % 200 FROM (SELECT unnest(range(200)) AS u)
+  UNION ALL SELECT u, (u * 11 + 9) % 200 FROM (SELECT unnest(range(200)) AS u)
+),
+adj AS (SELECT DISTINCT u, v FROM raw WHERE u != v),
+nb AS (
+  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS idx FROM adj
+),
+dg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u),
+w0 AS (SELECT u AS walk_id, 0 AS step, u AS node FROM (SELECT unnest(range(200)) AS u)),"""
+    + ",".join(_walk_stage_sql(t) for t in (1, 2, 3))
+    + """
+SELECT walk_id, CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node FROM w0
+UNION ALL SELECT walk_id, step, node FROM w1
+UNION ALL SELECT walk_id, step, node FROM w2
+UNION ALL SELECT walk_id, step, node FROM w3
+"""
+)
+
+
+@q("random_walks_deterministic", oracle=_WALK_ORACLE)
+def q_random_walks_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation, DETERMINIZED: one
+    walk per start node, 3 steps; at each step the walker picks
+    neighbour index md5(walk_id, step) mod degree over the v-sorted
+    adjacency — reproducible across engines and runs, which is exactly
+    what a training-data pipeline wants from its walk corpus (re-runs
+    must not churn the corpus). Each step is one join against the
+    indexed adjacency (vertex-partitioned); the oracle unrolls the
+    three steps with the same md5 arithmetic. Walks feed skip-gram
+    embedding training the way documents feed word2vec."""
+    u = F.col("id")
+    raw = (
+        spark.range(200)
+        .select(u.alias("u"), ((u * 3 + 1) % 200).alias("v"))
+        .unionByName(spark.range(200).select(u.alias("u"), ((u * 7 + 3) % 200).alias("v")))
+        .unionByName(spark.range(200).select(u.alias("u"), ((u * 11 + 9) % 200).alias("v")))
+        .filter("u != v")
+        .distinct()
+    )
+    nb = raw.select(
+        "u", "v", F.row_number().over(Window.partitionBy("u").orderBy("v")).alias("idx")
+    )
+    dg = raw.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nbd = nb.join(dg, "u").localCheckpoint(eager=True)
+    cur = spark.range(200).select(
+        u.alias("walk_id"), F.lit(0).alias("step"), u.alias("node")
+    )
+    out = cur
+    for t in (1, 2, 3):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("w:"),
+                        F.col("walk_id").cast("string"),
+                        F.lit(":"),
+                        F.lit(str(t)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = (
+            cur.join(nbd, cur.node == nbd.u)
+            .filter(F.col("idx") == 1 + h % F.col("deg"))
+            .select("walk_id", F.lit(t).alias("step"), F.col("v").alias("node"))
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out.select("walk_id", F.col("step").cast("long"), F.col("node").cast("long"))
