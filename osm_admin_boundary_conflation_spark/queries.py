@@ -12924,3 +12924,204 @@ def q_random_walks_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(nxt)
         cur = nxt
     return out.select("walk_id", F.col("step").cast("long"), F.col("node").cast("long"))
+
+
+@q(
+    "ppjoin_prefix_filter",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id AS id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, text || ' qqx qqy' FROM documents WHERE doc_id % 5 = 0
+),
+words AS (SELECT id, string_split_regex(trim(lower(t)), '\s+') AS w FROM corpus),
+toks AS (
+  SELECT id, list_distinct(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+       ELSE list_transform(generate_series(1, len(w) - 4),
+                           i -> array_to_string(w[i:i+4], ' ')) END) AS s
+  FROM words
+),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib,
+         len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+         len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))) AS un
+  FROM toks a JOIN toks b ON a.id < b.id
+)
+SELECT ia, ib, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un
+FROM pairs WHERE 5 * inter >= 4 * un
+""",
+)
+def q_ppjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs set-similarity join with PPJoin prefix filtering (Xiao
+    et al., WWW'08): tokens are globally ordered rare-first by
+    (document frequency, token), each set exposes only its first
+    |x| - ceil(t*|x|) + 1 tokens under that order, and only pairs
+    sharing a PREFIX token are verified — complete for Jaccard >= t
+    because two sets with J >= t must overlap inside their prefixes.
+    The verify step is exact integer set arithmetic (5*inter >= 4*union
+    for t = 0.8), so the engine equals the oracle's quadratic
+    brute-force join. No global row-number is materialized: the global
+    order is just the (df, token) comparator inside a PER-DOC window.
+    This replaces positional blocking (prefix_block_pairs) where
+    near-dups disagree on leading tokens."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(F.col("doc_id").alias("id"), F.col("text").alias("t"))
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 5000000).alias("id"), F.concat("text", F.lit(" qqx qqy")).alias("t")
+    )
+    corpus = base.unionByName(planted)
+    from .operators.dedup import shingle_expr
+
+    toks = corpus.select(
+        "id", F.explode(F.array_distinct(shingle_expr(F.col("t")))).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(dfreq, "tok").select(
+        "id",
+        "tok",
+        F.row_number()
+        .over(Window.partitionBy("id").orderBy("df", "tok"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("size"),
+    )
+    # prefix length for Jaccard t=0.8: |x| - ceil(0.8|x|) + 1
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("size") - F.expr("(4 * size + 4) div 5") + 1
+    ).select("id", "tok")
+    cand = (
+        prefix.select(F.col("id").alias("ia"), "tok")
+        .join(prefix.select(F.col("id").alias("ib"), "tok"), "tok")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    sets = corpus.select(
+        "id", F.array_distinct(shingle_expr(F.col("t"))).alias("s")
+    )
+    verified = (
+        cand.join(sets.select(F.col("id").alias("ia"), F.col("s").alias("sa")), "ia")
+        .join(sets.select(F.col("id").alias("ib"), F.col("s").alias("sb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb")))
+            .cast("long")
+            .alias("un"),
+        )
+        .filter(5 * F.col("inter") >= 4 * F.col("un"))
+    )
+    return verified
+
+
+@q(
+    "merge_three_clause",
+    oracle=r"""
+WITH tgt AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 4 != 3
+),
+src AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) + 100 AS new_cents
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+j AS (
+  SELECT t.key AS tkey, t.status, t.cents, s.key AS skey, s.op, s.new_cents
+  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key
+),
+actions AS (
+  SELECT CASE
+           WHEN tkey IS NOT NULL AND skey IS NULL THEN 'keep'
+           WHEN tkey IS NOT NULL AND op = 'delete' THEN 'delete'
+           WHEN tkey IS NOT NULL THEN 'update'
+           WHEN op = 'delete' THEN 'noop'
+           ELSE 'insert'
+         END AS action,
+         COALESCE(tkey, skey) AS key, status, cents, new_cents
+  FROM j
+),
+result AS (
+  SELECT key, status, cents FROM actions WHERE action = 'keep'
+  UNION ALL
+  SELECT key, 'U', new_cents FROM actions WHERE action = 'update'
+  UNION ALL
+  SELECT key, 'N', new_cents FROM actions WHERE action = 'insert'
+)
+SELECT (SELECT count(*) FROM actions WHERE action = 'update') AS n_updated,
+       (SELECT count(*) FROM actions WHERE action = 'delete') AS n_deleted,
+       (SELECT count(*) FROM actions WHERE action = 'insert') AS n_inserted,
+       (SELECT count(*) FROM actions WHERE action = 'keep') AS n_kept,
+       (SELECT count(*) FROM actions WHERE action = 'noop') AS n_noop,
+       (SELECT count(*) FROM result) AS n_rows,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM result) AS sum_cents,
+       (SELECT count(*) FROM result WHERE status = 'U') AS n_status_u
+""",
+)
+def q_merge_three_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full three-clause MERGE semantics in one pass: WHEN MATCHED AND
+    op=delete THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+    AND op!=delete THEN INSERT / NOT MATCHED BY SOURCE THEN KEEP —
+    classified by a single full-outer join (one shuffle, both sides
+    key-partitioned) exactly like snapshot_merge_upsert's MoR writer,
+    but gating the COMPLETE clause matrix including the
+    delete-of-absent-row noop. Output pins per-action counts plus
+    result-table invariants (row count, cents sum, updated-status
+    count)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice").cast("double") * 100).cast("long")
+    tgt = orders.filter(F.col("o_orderkey") % 4 != 3).select(
+        F.col("o_orderkey").alias("tkey"), F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+    )
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("skey"),
+        F.when(F.col("o_orderkey") % 5 == 0, "delete").otherwise("upsert").alias("op"),
+        (cents + 100).alias("new_cents"),
+    )
+    j = tgt.join(src, tgt.tkey == src.skey, "full_outer")
+    action = (
+        F.when(F.col("tkey").isNotNull() & F.col("skey").isNull(), "keep")
+        .when(F.col("tkey").isNotNull() & (F.col("op") == "delete"), "delete")
+        .when(F.col("tkey").isNotNull(), "update")
+        .when(F.col("op") == "delete", "noop")
+        .otherwise("insert")
+    )
+    acts = j.select(
+        action.alias("action"),
+        F.coalesce("tkey", "skey").alias("key"),
+        "status",
+        "cents",
+        "new_cents",
+    ).persist()
+    result = (
+        acts.filter("action = 'keep'").select("key", "status", "cents")
+        .unionByName(
+            acts.filter("action = 'update'").select(
+                "key", F.lit("U").alias("status"), F.col("new_cents").alias("cents")
+            )
+        )
+        .unionByName(
+            acts.filter("action = 'insert'").select(
+                "key", F.lit("N").alias("status"), F.col("new_cents").alias("cents")
+            )
+        )
+    )
+    cnt = lambda a: F.sum((F.col("action") == a).cast("long")).alias(f"n_{a}")  # noqa: E731
+    counts = acts.agg(
+        cnt("update").alias("n_updated"),
+        cnt("delete").alias("n_deleted"),
+        cnt("insert").alias("n_inserted"),
+        cnt("keep").alias("n_kept"),
+        cnt("noop").alias("n_noop"),
+    )
+    inv = result.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum((F.col("status") == "U").cast("long")).alias("n_status_u"),
+    )
+    out = counts.crossJoin(F.broadcast(inv))
+    acts.unpersist()
+    return out
