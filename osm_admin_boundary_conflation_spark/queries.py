@@ -13125,3 +13125,131 @@ def q_merge_three_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = counts.crossJoin(F.broadcast(inv))
     acts.unpersist()
     return out
+
+
+# One Hilbert level of the oracle's recursive walk (matches
+# functions/hilbert.py level-by-level: quadrant Gray code + reflect/
+# transpose with the FULL n-1, s halving each round).
+_HILBERT_ORACLE_TMPL = r"""
+WITH RECURSIVE pts AS (
+  SELECT doc_id, (doc_id * 37) %% 256 AS x, (doc_id * 113) %% 256 AS y FROM documents
+),
+r AS (
+  SELECT doc_id, x AS ox, y AS oy, CAST(128 AS BIGINT) AS s,
+         CAST(x AS BIGINT) AS hx, CAST(y AS BIGINT) AS hy, CAST(0 AS BIGINT) AS d
+  FROM pts
+  UNION ALL
+  SELECT doc_id, ox, oy, s // 2,
+         CASE WHEN (hy // s) %% 2 = 1 THEN hx
+              WHEN (hx // s) %% 2 = 1 THEN 255 - hy
+              ELSE hy END,
+         CASE WHEN (hy // s) %% 2 = 1 THEN hy
+              WHEN (hx // s) %% 2 = 1 THEN 255 - hx
+              ELSE hx END,
+         d + s * s * (CASE ((hx // s) %% 2) * 2 + ((hy // s) %% 2)
+                      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END)
+  FROM r WHERE s > 0
+)
+SELECT doc_id, CAST(ox AS BIGINT) AS x, CAST(oy AS BIGINT) AS y, d AS h
+FROM r WHERE s = 0
+"""
+
+
+@q("hilbert_encode", oracle=_HILBERT_ORACLE_TMPL.replace("%%", "%"))
+def q_hilbert_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert space-filling index (functions/hilbert.py): the canonical
+    xy2d walk over 8 bit levels, each level one projection of pure
+    integer div/mod/CASE arithmetic (no bitwise-XOR dialect risk), all
+    JVM. Hilbert clustering is the tighter alternative to zorder_key
+    for multi-dimensional file clustering — see
+    hilbert_locality_vs_zorder for the measured locality win. The
+    oracle replays the identical walk as a recursive CTE."""
+    from .functions.hilbert import with_hilbert
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    pts = docs.select(
+        "doc_id", ((d * 37) % 256).alias("x"), ((d * 113) % 256).alias("y")
+    )
+    return with_hilbert(pts, "x", "y", out="h", bits=8)
+
+
+# bit-interleave Z-order generated from ONE template for both engines
+def _z6(div: str) -> str:
+    """Bit-interleave Z-order as one SQL expression; integer division is
+    the only dialect seam (Spark `div`, DuckDB `//`)."""
+    return " + ".join(
+        f"((gx {div} {1 << k}) % 2) * {1 << (2 * k)}"
+        f" + ((gy {div} {1 << k}) % 2) * {1 << (2 * k + 1)}"
+        for k in range(6)
+    )
+
+
+@q(
+    "hilbert_locality_vs_zorder",
+    oracle=rf"""
+WITH RECURSIVE g AS (
+  SELECT CAST(u % 64 AS BIGINT) AS gx, CAST(u // 64 AS BIGINT) AS gy
+  FROM (SELECT unnest(range(4096)) AS u)
+),
+r AS (
+  SELECT gx, gy, CAST(32 AS BIGINT) AS s, gx AS hx, gy AS hy, CAST(0 AS BIGINT) AS d
+  FROM g
+  UNION ALL
+  SELECT gx, gy, s // 2,
+         CASE WHEN (hy // s) % 2 = 1 THEN hx
+              WHEN (hx // s) % 2 = 1 THEN 63 - hy
+              ELSE hy END,
+         CASE WHEN (hy // s) % 2 = 1 THEN hy
+              WHEN (hx // s) % 2 = 1 THEN 63 - hx
+              ELSE hx END,
+         d + s * s * (CASE ((hx // s) % 2) * 2 + ((hy // s) % 2)
+                      WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 2 END)
+  FROM r WHERE s > 0
+),
+hz AS (
+  SELECT gx, gy, d AS h, CAST({_z6('//')} AS BIGINT) AS z FROM r WHERE s = 0
+),
+adj AS (
+  SELECT a.h AS ha, b.h AS hb, a.z AS za, b.z AS zb
+  FROM hz a JOIN hz b ON b.gx = a.gx + 1 AND b.gy = a.gy
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(ha - hb)) AS BIGINT) AS sum_dh,
+       CAST(sum(abs(za - zb)) AS BIGINT) AS sum_dz,
+       round(CAST(sum(abs(za - zb)) AS DOUBLE) / sum(abs(ha - hb)), 6) AS z_over_h
+FROM adj
+""",
+)
+def q_hilbert_locality_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY Hilbert clustering: over the full 64x64 grid, sum the index
+    jump between every pair of horizontally adjacent cells under
+    Hilbert vs Z-order. Z-order's seam jumps make its total several
+    times larger (z_over_h > 1) — exactly the locality that turns into
+    tighter min/max file-stat ranges when a snapshot table clusters by
+    the index (snapshot_zorder_skipping's scale path). Exact integer
+    sums; the adjacency is an equi-join on (gx+1, gy)."""
+    from .functions.hilbert import with_hilbert
+
+    u = F.col("id")
+    g = spark.range(4096).select(
+        (u % 64).alias("gx"), (u / 64).cast("long").alias("gy")
+    )
+    hz = with_hilbert(g, "gx", "gy", out="h", bits=6).withColumn(
+        "z", F.expr(_z6("div")).cast("long")
+    )
+    a = hz.select(F.col("gx"), F.col("gy"), F.col("h").alias("ha"), F.col("z").alias("za"))
+    b = hz.select(
+        (F.col("gx") - 1).alias("gx"), F.col("gy"), F.col("h").alias("hb"), F.col("z").alias("zb")
+    )
+    adj = a.join(b, ["gx", "gy"])
+    return adj.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.abs(F.col("ha") - F.col("hb"))).alias("sum_dh"),
+        F.sum(F.abs(F.col("za") - F.col("zb"))).alias("sum_dz"),
+        F.round(
+            F.sum(F.abs(F.col("za") - F.col("zb"))).cast("double")
+            / F.sum(F.abs(F.col("ha") - F.col("hb"))),
+            6,
+        ).alias("z_over_h"),
+    )
