@@ -13253,3 +13253,114 @@ def q_hilbert_locality_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_over_h"),
     )
+
+
+@q(
+    "snapshot_refs_tags",
+    oracle=r"""
+WITH base AS (
+  SELECT n_nationkey AS k FROM nation
+),
+refs AS (
+  SELECT 'audit' AS name, 'branch' AS kind, 2 AS version,
+         (SELECT count(*) FROM base WHERE k % 3 IN (0, 1)) AS n_rows
+  UNION ALL
+  SELECT 'main', 'branch', 3, (SELECT count(*) FROM base)
+  UNION ALL
+  SELECT 'train-v1', 'tag', 1, (SELECT count(*) FROM base WHERE k % 3 = 0)
+)
+SELECT name, kind, CAST(version AS BIGINT) AS version, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS tag_immutable
+FROM refs
+""",
+)
+def q_snapshot_refs_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs on the snapshot table (sources/snapshot_table.py
+    create_ref/advance_branch/read_snapshot_ref): TAGS are immutable
+    dataset pins ('train-v1' — the reproducible-training-set contract)
+    claimed with the same atomic os.link discipline as commits, so a
+    re-tag RAISES; BRANCHES are movable heads ('main' advances with the
+    table, 'audit' stays at its pin until re-pointed). The gate commits
+    three versions, tags v1, branches at v2 and latest, advances
+    'main', verifies the tag-overwrite conflict fires, and reads row
+    counts THROUGH each ref — name resolution composing with the
+    format's chain resolution."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("k")
+    )
+    loc = tempfile.mkdtemp(prefix="snapref_")
+    ST.write_snapshot(nat.filter(F.col("k") % 3 == 0), loc, commit_ms=1000)
+    ST.write_append_snapshot(nat.filter(F.col("k") % 3 == 1), loc, commit_ms=2000)
+    ST.create_ref(loc, "train-v1", "tag", version=1)
+    ST.create_ref(loc, "audit", "branch")  # pins the current head (v2)
+    ST.create_ref(loc, "main", "branch")
+    ST.write_append_snapshot(nat.filter(F.col("k") % 3 == 2), loc, commit_ms=3000)
+    ST.advance_branch(loc, "main")  # follows the table; 'audit' stays
+    try:
+        ST.create_ref(loc, "train-v1", "tag", version=3)
+        tag_immutable = 0
+    except ST.SnapshotConflictError:
+        tag_immutable = 1
+    rows = []
+    for ref in ST.list_refs(loc):
+        n = ST.read_snapshot_ref(spark, loc, ref["name"]).count()
+        rows.append((ref["name"], ref["kind"], ref["version"], n, tag_immutable))
+    return spark.createDataFrame(
+        rows, "name string, kind string, version long, n_rows long, tag_immutable long"
+    )
+
+
+@q(
+    "sequence_pattern_count",
+    oracle=r"""
+WITH ev AS (
+  SELECT user_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' ELSE 'x' END AS ch,
+         epoch_us(ts) AS us, event_id
+  FROM events
+),
+seqs AS (
+  SELECT user_id, string_agg(ch, '' ORDER BY us, event_id) AS s
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(s, 'vc+p')) AS BIGINT) AS n_patterns
+FROM seqs
+""",
+)
+def q_sequence_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: compress each
+    user's time-ordered event stream to an initials string and count
+    non-overlapping 'view (click)+ purchase' runs with one regexp —
+    the CEP/journey-mining shape (pattern matching over ordered rows)
+    without a row-at-a-time state machine. The sort is a per-user
+    array_sort of (us, event_id, ch) structs (one shuffle); both
+    engines use leftmost non-overlapping regexp semantics, identical
+    for this pattern."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    seqs = (
+        ev.select("user_id", F.struct(us.alias("us"), F.col("event_id").alias("eid"), ch.alias("ch")).alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("t")), lambda s: s["ch"]), ""
+            ).alias("s")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.size(F.expr("regexp_extract_all(s, 'vc+p', 0)")).cast("long").alias("n_patterns"),
+    )

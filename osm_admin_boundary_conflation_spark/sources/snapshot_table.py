@@ -60,6 +60,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -856,3 +857,76 @@ def read_snapshot_pruned(
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
     return df
+
+
+# ---------------------------------------------------------------------------
+# Named refs: tags (immutable) and branches (movable), Iceberg-style
+# ---------------------------------------------------------------------------
+
+
+def _refs_dir(location: str) -> str:
+    return os.path.join(_meta_dir(location), "refs")
+
+
+def create_ref(location: str, name: str, kind: str, version: int | None = None) -> int:
+    """Create a named ref pointing at `version` (latest when None).
+
+    kind='tag' is IMMUTABLE — creating an existing tag raises (the
+    atomic os.link claim, same discipline as _commit_manifest), so a
+    tag can never silently move; kind='branch' may be re-pointed with
+    advance_branch. Refs are tiny JSON files under metadata/refs/ and
+    resolve to a pinned snapshot version, so every read path (time
+    travel, pruning, CDC) composes with them unchanged."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"unknown ref kind {kind!r}")
+    vs = _versions(location)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {location}")
+    v = max(vs) if version is None else version
+    if v not in vs:
+        raise ValueError(f"version {v} does not exist")
+    rd = _refs_dir(location)
+    os.makedirs(rd, exist_ok=True)
+    payload = json.dumps({"name": name, "kind": kind, "version": v}).encode()
+    final = os.path.join(rd, f"{name}.json")
+    tmp = final + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    if kind == "tag":
+        try:
+            os.link(tmp, final)  # atomic claim: fails if the tag exists
+        except FileExistsError:
+            raise SnapshotConflictError(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+    else:
+        os.replace(tmp, final)  # branches move atomically
+    return v
+
+
+def advance_branch(location: str, name: str, version: int | None = None) -> int:
+    """Re-point a branch (latest when None). Raises on tags."""
+    ref = read_ref(location, name)
+    if ref["kind"] != "branch":
+        raise SnapshotConflictError(f"ref {name!r} is a tag; tags are immutable")
+    return create_ref(location, name, "branch", version)
+
+
+def read_ref(location: str, name: str) -> dict:
+    with open(os.path.join(_refs_dir(location), f"{name}.json"), "rb") as f:
+        return json.loads(f.read())
+
+
+def list_refs(location: str) -> list[dict]:
+    rd = _refs_dir(location)
+    if not os.path.isdir(rd):
+        return []
+    out = [read_ref(location, f[:-5]) for f in sorted(os.listdir(rd)) if f.endswith(".json")]
+    return out
+
+
+def read_snapshot_ref(spark: SparkSession, location: str, name: str) -> DataFrame:
+    """Read the snapshot a named ref points at — `FOR VERSION AS OF` by
+    name. Tags give reproducible dataset pins ('train-v1'); branches
+    give movable heads ('main', 'audit')."""
+    return read_snapshot(spark, location, version=read_ref(location, name)["version"])
