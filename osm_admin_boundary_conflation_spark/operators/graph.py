@@ -526,3 +526,41 @@ def temporal_reachability(
             f"temporal_reachability did not converge in {max_rounds} rounds"
         )
     return arr
+
+
+def multi_source_bfs(
+    edges: DataFrame, sources: DataFrame, max_hops: int
+) -> DataFrame:
+    """Minimum hop counts from EVERY source at once: bfs_hops with the
+    pivot folded into the frontier key, so k pivots cost one traversal
+    of rounds = max_hops instead of k traversals — the shape sampled
+    centrality estimators use (Eppstein-Wang style pivot sampling).
+    edges: (src, dst) undirected; sources: (pivot). Returns
+    (pivot, id, hop), hop 0 at each pivot itself.
+    """
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = sources.select(
+        F.col("pivot"), F.col("pivot").alias("id"), F.lit(0).cast("int").alias("hop")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        obs = Observation()
+        nxt = (
+            frontier.join(sym, frontier.id == sym.u)
+            .select("pivot", F.col("v").alias("id"))
+            .distinct()
+            .join(visited.select("pivot", "id"), ["pivot", "id"], "left_anti")
+            .select("pivot", "id", F.lit(hop).cast("int").alias("hop"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        if (obs.get["n"] or 0) == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

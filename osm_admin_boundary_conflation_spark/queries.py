@@ -13364,3 +13364,216 @@ def q_sequence_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("s").cast("long").alias("seq_len"),
         F.size(F.expr("regexp_extract_all(s, 'vc+p', 0)")).cast("long").alias("n_patterns"),
     )
+
+
+@q(
+    "harmonic_centrality_sampled",
+    oracle=r"""
+WITH RECURSIVE raw AS (
+  SELECT u, (u * 2 + 1) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 7 + 5) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+),
+e AS (
+  SELECT u, v FROM raw WHERE u != v
+  UNION
+  SELECT v AS u, u AS v FROM raw WHERE u != v
+),
+r AS (
+  SELECT p AS pv, CAST(p AS BIGINT) AS id, 0 AS hop
+  FROM (SELECT unnest([0, 7, 13, 99]) AS p)
+  UNION
+  SELECT r.pv, e.v AS id, r.hop + 1
+  FROM r JOIN e ON e.u = r.id WHERE r.hop < 4
+),
+d AS (SELECT pv, id, min(hop) AS hop FROM r GROUP BY pv, id)
+SELECT id, CAST(sum(840 // hop) AS BIGINT) AS harmonic_scaled,
+       CAST(count(*) AS BIGINT) AS n_pivots_reaching
+FROM d WHERE hop > 0
+GROUP BY id
+""",
+)
+def q_harmonic_centrality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality (Boldi-Vigna; pivots per
+    Eppstein-Wang): sum of 1/d from 4 pivot nodes within radius 4,
+    computed by ONE multi-source BFS with the pivot folded into the
+    frontier key (operators/graph.multi_source_bfs) — k pivots cost one
+    traversal, the way a 1000-executor centrality job samples instead
+    of running all-pairs. Scores stay EXACT integers by scaling with
+    lcm(1..4)*35 = 840 (840/d is integral for d <= 4); truncation at
+    radius 4 is the standard bounded-radius estimator."""
+    from .operators.graph import multi_source_bfs
+
+    u = F.col("id")
+    raw = (
+        spark.range(400)
+        .select(u.alias("src"), ((u * 2 + 1) % 400).alias("dst"))
+        .unionByName(spark.range(400).select(u.alias("src"), ((u * 7 + 5) % 400).alias("dst")))
+        .filter("src != dst")
+    )
+    pivots = spark.createDataFrame([(0,), (7,), (13,), (99,)], "pivot long")
+    d = multi_source_bfs(raw, pivots, max_hops=4)
+    return (
+        d.filter(F.col("hop") > 0)
+        .groupBy("id")
+        .agg(
+            F.sum(F.expr("840 div hop")).alias("harmonic_scaled"),
+            F.count(F.lit(1)).alias("n_pivots_reaching"),
+        )
+    )
+
+
+# md5-derived 60-bit ring/key hash (the engine's portable hash idiom)
+_CH_H = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+@q(
+    "consistent_hash_rebalance",
+    oracle=f"""
+WITH shards AS (SELECT 's' || CAST(unnest(range(5)) AS VARCHAR) AS shard),
+vn AS (SELECT unnest(range(8)) AS i),
+ring AS (
+  SELECT shard, {_CH_H.format(expr="'ring:' || shard || ':' || CAST(i AS VARCHAR)")} AS rh
+  FROM shards, vn
+),
+keys AS (
+  SELECT o_orderkey AS k, {_CH_H.format(expr="'k:' || CAST(o_orderkey AS VARCHAR)")} AS kh
+  FROM orders
+),
+assign1 AS (
+  SELECT k, kh,
+         coalesce(
+           (SELECT min_by(r.shard, r.rh) FROM ring r WHERE r.rh >= keys.kh),
+           (SELECT min_by(r.shard, r.rh) FROM ring r)) AS shard
+  FROM keys
+),
+assign2 AS (
+  SELECT k, kh,
+         coalesce(
+           (SELECT min_by(r.shard, r.rh) FROM ring r WHERE r.shard != 's2' AND r.rh >= keys.kh),
+           (SELECT min_by(r.shard, r.rh) FROM ring r WHERE r.shard != 's2')) AS shard
+  FROM keys
+)
+SELECT a1.shard AS old_shard, a2.shard AS new_shard, count(*) AS n_keys
+FROM assign1 a1 JOIN assign2 a2 USING (k)
+GROUP BY 1, 2
+""",
+)
+def q_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring assignment + single-shard decommission
+    (Karger et al. 1997): 5 shards x 8 virtual nodes, each key routed
+    to its ring successor (wrap to the global min). Removing s2 moves
+    ONLY s2's keys — every (old != s2) row lands on the old=new
+    diagonal, the minimal-movement property that makes the scheme the
+    shard-rebalancing standard. The ring is a 40-row broadcast; the
+    successor probe is a broadcast join + per-key min_by(struct), no
+    correlated subqueries engine-side. All hashes are the portable
+    md5->BIGINT idiom."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mdh = lambda c: F.conv(F.substring(F.md5(F.encode(c, "UTF-8")), 1, 15), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    shards = spark.range(5).select(F.concat(F.lit("s"), F.col("id").cast("string")).alias("shard"))
+    ring = shards.crossJoin(spark.range(8).select(F.col("id").alias("i"))).select(
+        "shard",
+        mdh(
+            F.concat(F.lit("ring:"), F.col("shard"), F.lit(":"), F.col("i").cast("string"))
+        ).alias("rh"),
+    )
+    keys = orders.select(
+        F.col("o_orderkey").alias("k"),
+        mdh(F.concat(F.lit("k:"), F.col("o_orderkey").cast("string"))).alias("kh"),
+    )
+
+    def assign(ring_df, out):
+        probe = keys.crossJoin(F.broadcast(ring_df))
+        # successor = min rh >= kh; fall back to the ring's global min
+        succ = probe.groupBy("k").agg(
+            F.min(
+                F.when(F.col("rh") >= F.col("kh"), F.struct("rh", "shard"))
+            ).alias("s1"),
+            F.min(F.struct("rh", "shard")).alias("s0"),
+        )
+        return succ.select(
+            "k", F.coalesce(F.col("s1.shard"), F.col("s0.shard")).alias(out)
+        )
+
+    a1 = assign(ring, "old_shard")
+    a2 = assign(ring.filter(F.col("shard") != "s2"), "new_shard")
+    return (
+        a1.join(a2, "k")
+        .groupBy("old_shard", "new_shard")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+@q(
+    "incremental_cc",
+    oracle=r"""
+WITH RECURSIVE e1 AS (
+  SELECT u, u + 1 AS v FROM (SELECT unnest(range(400)) AS u) WHERE u % 4 != 3
+),
+delta AS (
+  SELECT u * 4 + 3 AS u, u * 4 + 4 AS v
+  FROM (SELECT unnest(range(99)) AS u) WHERE u % 3 = 0
+),
+alle AS (SELECT u, v FROM e1 UNION ALL SELECT u, v FROM delta),
+e AS (SELECT u, v FROM alle UNION SELECT v, u FROM alle),
+n AS (SELECT unnest(range(400)) AS id),
+r AS (
+  SELECT CAST(id AS BIGINT) AS id, CAST(id AS BIGINT) AS lab FROM n
+  UNION
+  SELECT e.v AS id, r.lab FROM r JOIN e ON e.u = r.id
+)
+SELECT id, min(lab) AS cluster_id FROM r GROUP BY id
+""",
+)
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components — the graph analogue of
+    ivm_incremental_aggs: given labels for the base edge set (chains of
+    4), new bridge edges are CONTRACTED through the old labels and CC
+    runs only on the contracted graph (one supernode per old component
+    touched by a delta edge — here 66 nodes instead of 400), then the
+    refined labels broadcast back over the old assignment. The gate
+    proves contract-solve-expand == full recompute (the oracle's
+    transitive closure over base+delta), which is the invariant that
+    lets a 100 TB dedup graph absorb a daily pair delta without
+    re-clustering the corpus."""
+    from .operators.graph import connected_components
+
+    u = F.col("id")
+    nodes = spark.range(400).select(u.alias("id"))
+    e1 = (
+        spark.range(400)
+        .filter(u % 4 != 3)
+        .select(u.alias("src"), (u + 1).alias("dst"))
+    )
+    delta = (
+        spark.range(99)
+        .filter(u % 3 == 0)
+        .select((u * 4 + 3).alias("src"), (u * 4 + 4).alias("dst"))
+    )
+    labels1 = connected_components(nodes, e1)
+    # contract the delta through the old labels
+    l_src = labels1.select(F.col("id").alias("src"), F.col("cluster_id").alias("csrc"))
+    l_dst = labels1.select(F.col("id").alias("dst"), F.col("cluster_id").alias("cdst"))
+    contracted = (
+        delta.join(l_src, "src").join(l_dst, "dst").select(
+            F.col("csrc").alias("src"), F.col("cdst").alias("dst")
+        )
+    )
+    supernodes = (
+        contracted.select(F.col("src").alias("id"))
+        .union(contracted.select(F.col("dst").alias("id")))
+        .union(labels1.select(F.col("cluster_id").alias("id")))
+        .distinct()
+    )
+    labels2 = connected_components(supernodes, contracted)
+    # expand: every node takes its supernode's refined label
+    return (
+        labels1.join(
+            labels2.select(F.col("id").alias("cluster_id"), F.col("cluster_id").alias("x")),
+            "cluster_id",
+        )
+        .select("id", F.col("x").alias("cluster_id"))
+    )
