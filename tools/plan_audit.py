@@ -83,6 +83,7 @@ NESTED_LOOP_SCALAR_OK = {
     "hll_intersect_estimate",  # 1-row truth x 1-row pivoted sums scalar join
     "morans_i_grid",  # constant 5x5 spine + 1-row total scalar joins; adjacency itself is equi
     "merge_three_clause",  # 1-row action counts x 1-row result invariants scalar join
+    "consistent_hash_rebalance",  # keys x constant 40-row broadcast ring (bounded multiplier)
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
