@@ -45,3 +45,54 @@ def asof_join(
     w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     carried = both.withColumn(val, F.last(val, ignorenulls=True).over(w))
     return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    val: str = "val",
+    tolerance: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right value with
+    right.ts >= left.ts (and right.ts - left.ts <= tolerance when set)
+    — the "next quote / next response" direction pandas calls
+    merge_asof(direction='forward'). Same window-over-union shape as
+    asof_join but ordered DESCENDING, so the nearest FOLLOWING right
+    row is carried; the right timestamp rides along in a struct and the
+    tolerance is applied after the carry (a match beyond tolerance
+    nulls out). Adds ``val`` and ``val_ts`` to the left columns. One
+    shuffle on the key."""
+    extra = [c for c in left.columns if c not in (key, ts)]
+    rv_t = F.struct(F.col(ts).alias("rts"), F.col(val).alias("v"))
+    l_tag = left.select(
+        key,
+        ts,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(f"struct<rts:{right.schema[ts].dataType.simpleString()},v:{right.schema[val].dataType.simpleString()}>").alias("_rv"),
+        *extra,
+    )
+    r_extras = [
+        F.col(c) if c == tiebreak else F.lit(None).cast(left.schema[c].dataType).alias(c)
+        for c in extra
+    ]
+    r_tag = right.select(key, ts, F.lit(0).alias("_side"), rv_t.alias("_rv"), *r_extras)
+    both = l_tag.unionByName(r_tag)
+    order = [F.col(ts).desc(), F.col("_side")] + (
+        [F.col(tiebreak).desc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    carried = both.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    ok = F.col("_rv").isNotNull() & (
+        F.lit(True)
+        if tolerance is None
+        else (F.col("_rv.rts") - F.col(ts) <= F.lit(tolerance))
+    )
+    return out.select(
+        *[c for c in out.columns if c != "_rv"],
+        F.when(ok, F.col("_rv.v")).alias(val),
+        F.when(ok, F.col("_rv.rts")).alias(f"{val}_ts"),
+    )

@@ -13577,3 +13577,154 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id", F.col("x").alias("cluster_id"))
     )
+
+
+@q(
+    "asof_forward_tolerance",
+    oracle=r"""
+WITH clicks AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+  WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT c.event_id AS click_id, c.user_id, c.us AS click_us,
+         p.us AS p_us, p.value AS p_value,
+         row_number() OVER (PARTITION BY c.event_id ORDER BY p.us, p.event_id) AS rn
+  FROM clicks c JOIN purch p
+    ON p.user_id = c.user_id AND p.us >= c.us AND p.us - c.us <= 7200000000
+)
+SELECT c.event_id AS click_id, c.user_id, c.us AS click_us,
+       m.p_value AS next_value, m.p_us AS next_us
+FROM clicks c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) m ON c.event_id = m.click_id
+""",
+)
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with tolerance (operators/asof.asof_join_forward):
+    each click matches the next purchase by the same user within 2
+    hours, or NULL — pandas merge_asof(direction='forward',
+    tolerance=...) as one window-over-union shuffle, no range
+    cross-join engine-side (the oracle IS the range join + pick).
+    The matched right timestamp is carried in a struct so tolerance
+    applies after the carry."""
+    from .operators.asof import asof_join_forward
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"), us.alias("uts"), F.col("event_id").alias("click_id")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), us.alias("uts"), F.col("value").alias("val")
+    )
+    out = asof_join_forward(
+        clicks, purch, key="key", ts="uts", val="val", tolerance=7200000000
+    )
+    return out.select(
+        "click_id",
+        F.col("key").alias("user_id"),
+        F.col("uts").alias("click_us"),
+        F.col("val").alias("next_value"),
+        F.col("val_ts").alias("next_us"),
+    )
+
+
+@q(
+    "k_anonymity_suppress",
+    oracle=r"""
+WITH qi AS (
+  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) // 100000 AS bucket
+  FROM customer
+),
+g0 AS (
+  SELECT nat, seg, bucket, count(*) AS n FROM qi GROUP BY nat, seg, bucket
+),
+lvl0 AS (
+  SELECT q.id, q.nat, q.seg, q.bucket FROM qi q JOIN g0
+    ON q.nat = g0.nat AND q.seg = g0.seg AND q.bucket = g0.bucket
+  WHERE g0.n >= 4
+),
+rest AS (SELECT * FROM qi WHERE id NOT IN (SELECT id FROM lvl0)),
+g1 AS (
+  SELECT nat, bucket // 4 AS band, count(*) AS n FROM rest GROUP BY nat, band
+),
+lvl1 AS (
+  SELECT r.id, r.nat, r.bucket // 4 AS band FROM rest r JOIN g1
+    ON r.nat = g1.nat AND r.bucket // 4 = g1.band
+  WHERE g1.n >= 4
+),
+lvl2 AS (
+  SELECT id FROM rest WHERE id NOT IN (SELECT id FROM lvl1)
+),
+census AS (
+  SELECT 0 AS level, count(*) AS n_rows,
+         count(DISTINCT (nat, seg, bucket)) AS n_groups,
+         (SELECT min(n) FROM g0 WHERE n >= 4) AS min_group
+  FROM lvl0
+  UNION ALL
+  SELECT 1, count(*), count(DISTINCT (nat, band)),
+         (SELECT min(n) FROM g1 WHERE n >= 4)
+  FROM lvl1
+  UNION ALL
+  SELECT 2, count(*), 0, NULL FROM lvl2
+)
+SELECT CAST(level AS BIGINT) AS level, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_groups AS BIGINT) AS n_groups, CAST(min_group AS BIGINT) AS min_group
+FROM census
+""",
+)
+def q_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity enforcement (Sweeney 2002) with a generalization
+    ladder — the privacy gate a training-data release runs after PII
+    redaction: quasi-identifier groups (nation, segment, balance
+    bucket) of size >= k=4 release at level 0; the rest coarsen
+    (drop segment, 4x-wider band) and re-test at level 1; stragglers
+    suppress (level 2). Output census pins row/group counts per level
+    and the min released group size (>= k by construction). Two
+    groupBys + two anti-joins; at 100 TB each level is one shuffle on
+    the QI key."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qi = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) div 100000"
+        ).alias("bucket"),
+    )
+    g0 = qi.groupBy("nat", "seg", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    lvl0 = qi.join(g0.filter(F.col("n") >= 4), ["nat", "seg", "bucket"], "left_semi")
+    rest = qi.join(lvl0.select("id"), "id", "left_anti").withColumn(
+        "band", F.expr("bucket div 4")
+    )
+    g1 = rest.groupBy("nat", "band").agg(F.count(F.lit(1)).alias("n"))
+    lvl1 = rest.join(g1.filter(F.col("n") >= 4), ["nat", "band"], "left_semi")
+    lvl2 = rest.join(lvl1.select("id"), "id", "left_anti")
+    c0 = lvl0.agg(
+        F.lit(0).cast("long").alias("level"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("nat", "seg", "bucket").alias("n_groups"),
+    ).crossJoin(
+        F.broadcast(
+            g0.filter(F.col("n") >= 4).agg(F.min("n").cast("long").alias("min_group"))
+        )
+    )
+    c1 = lvl1.agg(
+        F.lit(1).cast("long").alias("level"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("nat", "band").alias("n_groups"),
+    ).crossJoin(
+        F.broadcast(
+            g1.filter(F.col("n") >= 4).agg(F.min("n").cast("long").alias("min_group"))
+        )
+    )
+    c2 = lvl2.agg(
+        F.lit(2).cast("long").alias("level"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("long").alias("n_groups"),
+        F.lit(None).cast("long").alias("min_group"),
+    )
+    return c0.unionByName(c1).unionByName(c2)

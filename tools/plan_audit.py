@@ -84,6 +84,7 @@ NESTED_LOOP_SCALAR_OK = {
     "morans_i_grid",  # constant 5x5 spine + 1-row total scalar joins; adjacency itself is equi
     "merge_three_clause",  # 1-row action counts x 1-row result invariants scalar join
     "consistent_hash_rebalance",  # keys x constant 40-row broadcast ring (bounded multiplier)
+    "k_anonymity_suppress",  # 1-row census x 1-row min-group scalar joins
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
