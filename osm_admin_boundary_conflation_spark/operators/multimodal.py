@@ -567,3 +567,32 @@ def extract_media_meta_real(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in REAL_META_SCHEMA.fields])
 
     return media.mapInPandas(batches, REAL_META_SCHEMA)
+
+
+def resize_bmp_nn(blob: bytes, ow: int, oh: int) -> tuple[int, int, int, int, int]:
+    """Nearest-neighbour resize of a decoded 24-bit BMP to (ow, oh) —
+    the thumbnailing/feature-prep kernel of an image pipeline, pure
+    numpy fancy indexing (no per-pixel Python). Source pixel for output
+    (x, y) is the floor map (x*w div ow, y*h div oh) on the LOGICAL
+    top-down image (the bottom-up BMP rows are flipped first, so the
+    map is orientation-correct, not just sum-correct). Returns
+    (ow, oh, sum_r, sum_g, sum_b) of the resized image."""
+    import numpy as np
+
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", blob, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    row_padded = (w * 3 + 3) // 4 * 4
+    n_rows = abs(h)
+    px = np.frombuffer(
+        blob, dtype=np.uint8, count=row_padded * n_rows, offset=off
+    ).reshape(n_rows, row_padded)[:, : w * 3].reshape(n_rows, w, 3)
+    logical = px[::-1] if h > 0 else px  # bottom-up -> top-down
+    sx = (np.arange(ow, dtype=np.int64) * w) // ow
+    sy = (np.arange(oh, dtype=np.int64) * n_rows) // oh
+    out = logical[sy][:, sx]
+    sums = out.sum(axis=(0, 1), dtype=np.int64)
+    return ow, oh, int(sums[2]), int(sums[1]), int(sums[0])  # BGR -> RGB

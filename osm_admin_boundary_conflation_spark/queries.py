@@ -13728,3 +13728,53 @@ def q_k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("min_group"),
     )
     return c0.unionByName(c1).unionByName(c2)
+
+
+@q(
+    "media_resize_nn",
+    oracle=r"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+ox AS (SELECT unnest(range(4)) AS x),
+oy AS (SELECT unnest(range(8)) AS y),
+mapped AS (
+  SELECT i.doc_id, (x.x * 6) // 4 AS sx, (y.y * 5) // 8 AS sy
+  FROM ids i CROSS JOIN ox x CROSS JOIN oy y
+)
+SELECT doc_id, CAST(4 AS BIGINT) AS ow, CAST(8 AS BIGINT) AS oh,
+       CAST(sum((doc_id + sx + sy) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 2 + sx) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 3 + sy) % 256) AS BIGINT) AS sum_b
+FROM mapped GROUP BY doc_id
+""",
+)
+def q_media_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE in the multimodal lane (multimodal.resize_bmp_nn):
+    decode the 6x5 BMP corpus and nearest-neighbour resample to 4x8
+    (down in x, up in y in one op) with numpy fancy indexing inside the
+    Arrow batch — the thumbnail/feature-prep kernel. The floor source
+    map runs on the LOGICAL top-down image (bottom-up BMP rows flipped
+    first), so the oracle's closed-form per-channel sums over the
+    mapped source coordinates pin orientation handling, not just pixel
+    algebra."""
+    from .operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 3 == 0
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for b in it:
+            rows = []
+            for did in b["doc_id"]:
+                blob = MM.build_bmp(int(did))
+                ow, oh, sr, sg, sb = MM.resize_bmp_nn(blob, 4, 8)
+                rows.append((int(did), ow, oh, sr, sg, sb))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ow", "oh", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "doc_id long, ow long, oh long, sum_r long, sum_g long, sum_b long"
+    )
