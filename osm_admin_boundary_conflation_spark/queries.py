@@ -13884,3 +13884,99 @@ def q_hub_removal_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("id").alias("h3"),
     )
     return hub_row.crossJoin(F.broadcast(before)).crossJoin(F.broadcast(after))
+
+
+@q(
+    "allen_relations",
+    oracle=r"""
+WITH iv AS (
+  SELECT doc_id AS id, (doc_id * 173) % 5000 AS s,
+         (doc_id * 173) % 5000 + doc_id % 60 + 1 AS e
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib, a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+  FROM iv a JOIN iv b ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+),
+cls AS (
+  SELECT ia, ib,
+         CASE
+           WHEN sa = sb AND ea = eb THEN 'equal'
+           WHEN ea = sb THEN 'meets'
+           WHEN eb = sa THEN 'met_by'
+           WHEN sa = sb AND ea < eb THEN 'starts'
+           WHEN sa = sb THEN 'started_by'
+           WHEN ea = eb AND sa > sb THEN 'finishes'
+           WHEN ea = eb THEN 'finished_by'
+           WHEN sa > sb AND ea < eb THEN 'during'
+           WHEN sa < sb AND ea > eb THEN 'contains'
+           WHEN sa < sb THEN 'overlaps'
+           ELSE 'overlapped_by'
+         END AS rel
+  FROM pairs
+)
+SELECT rel, count(*) AS n_pairs, min(ia * 1000000 + ib) AS min_pair
+FROM cls GROUP BY rel
+""",
+)
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (CACM 1983): classify every touching-or-
+    overlapping interval pair into the 11 applicable relations (equal,
+    meets/met-by, starts/started-by, finishes/finished-by, during/
+    contains, overlaps/overlapped-by) — the temporal-reasoning kernel
+    under SCD2 validity checks and event-containment audits. Candidate
+    pairs come from the width-64 bucket grid with REFERENCE-BUCKET
+    dedup (the 1-D form of rect_overlap_join: a pair is emitted only in
+    the bucket of the later start), so the engine never goes quadratic;
+    the oracle does, with the identical CASE ladder (order matters:
+    meets/met-by outrank starts/finishes at shared endpoints)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    iv = docs.select(
+        d.alias("id"),
+        ((d * 173) % 5000).alias("s"),
+        ((d * 173) % 5000 + d % 60 + 1).alias("e"),
+    )
+    W = 64
+    cover = iv.select(
+        "id", "s", "e", F.explode(F.sequence(F.expr(f"s div {W}"), F.expr(f"e div {W}"))).alias("bk")
+    )
+    a = cover.select(
+        F.col("id").alias("ia"), F.col("s").alias("sa"), F.col("e").alias("ea"), "bk"
+    )
+    b = cover.select(
+        F.col("id").alias("ib"), F.col("s").alias("sb"), F.col("e").alias("eb"), "bk"
+    )
+    pairs = (
+        a.join(b, "bk")
+        .filter(
+            (F.col("ia") < F.col("ib"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            # reference bucket: the later start's bucket — each
+            # intersecting pair covers it on both sides exactly once
+            & (F.col("bk") == F.expr(f"greatest(sa, sb) div {W}"))
+        )
+        .select("ia", "ib", "sa", "ea", "sb", "eb")
+    )
+    rel = (
+        F.when((F.col("sa") == F.col("sb")) & (F.col("ea") == F.col("eb")), "equal")
+        .when(F.col("ea") == F.col("sb"), "meets")
+        .when(F.col("eb") == F.col("sa"), "met_by")
+        .when((F.col("sa") == F.col("sb")) & (F.col("ea") < F.col("eb")), "starts")
+        .when(F.col("sa") == F.col("sb"), "started_by")
+        .when((F.col("ea") == F.col("eb")) & (F.col("sa") > F.col("sb")), "finishes")
+        .when(F.col("ea") == F.col("eb"), "finished_by")
+        .when((F.col("sa") > F.col("sb")) & (F.col("ea") < F.col("eb")), "during")
+        .when((F.col("sa") < F.col("sb")) & (F.col("ea") > F.col("eb")), "contains")
+        .when(F.col("sa") < F.col("sb"), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        pairs.select("ia", "ib", rel.alias("rel"))
+        .groupBy("rel")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.col("ia") * 1000000 + F.col("ib")).alias("min_pair"),
+        )
+    )
