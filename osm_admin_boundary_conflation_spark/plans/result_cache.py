@@ -1,0 +1,66 @@
+"""Version-keyed query-result cache over the snapshot-table layer.
+
+Materialized-view caching with PRECISE invalidation: a cache entry
+stores the result parquet plus the exact snapshot VERSION of the input
+table it was computed from. A later lookup compares that pinned version
+with the table's current head — equal means the cached result is
+provably current (snapshot commits are the only way the table changes,
+and versions are totally ordered), different means stale and the entry
+is recomputed and atomically replaced. This is the semantic-cache shape
+warehouse engines bolt onto immutable table formats: correctness comes
+from the format's versioning, not from TTLs or mtime heuristics.
+
+Entry layout: ``<root>/<key>/meta.json`` (pinned version + data dir
+name) and ``<root>/<key>/data-<uuid>/`` result parquet. The swap is
+data-first then an atomic ``os.replace`` of meta.json (the same
+discipline as snapshot commits), so a reader never sees a half-written
+entry; the superseded data dir is left for a vacuum-style sweep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import snapshot_table as ST
+
+
+def cached_result(
+    spark: SparkSession,
+    table_location: str,
+    cache_root: str,
+    key: str,
+    compute,
+) -> tuple[DataFrame, str]:
+    """Return (result_df, status); status in 'hit' / 'miss' / 'stale'.
+
+    ``compute()`` must return the result DataFrame derived from the
+    CURRENT head of the table at ``table_location``. On hit, the result
+    is served from the cache parquet — the base table is not touched.
+    """
+    versions = ST._versions(table_location)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {table_location}")
+    cur = max(versions)
+    entry = os.path.join(cache_root, key)
+    meta_p = os.path.join(entry, "meta.json")
+    status = "miss"
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
+        if meta["table_version"] == cur:
+            return spark.read.parquet(os.path.join(entry, meta["data"])), "hit"
+        status = "stale"
+    df = compute()
+    dname = f"data-{uuid.uuid4().hex[:12]}"
+    ddir = os.path.join(entry, dname)
+    df.write.mode("overwrite").parquet(ddir)
+    os.makedirs(entry, exist_ok=True)
+    tmp = meta_p + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"table_version": cur, "data": dname}, f)
+    os.replace(tmp, meta_p)
+    return spark.read.parquet(ddir), status

@@ -13980,3 +13980,92 @@ def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("ia") * 1000000 + F.col("ib")).alias("min_pair"),
         )
     )
+
+
+@q(
+    "result_cache_invalidation",
+    oracle=r"""
+WITH v1 AS (
+  SELECT o_orderstatus AS status,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         count(*) AS n_rows
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+),
+v2 AS (
+  SELECT o_orderstatus AS status,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT),
+         count(*)
+  FROM orders GROUP BY o_orderstatus
+),
+runs AS (
+  SELECT 1 AS run, 'miss' AS cache_status, status, sum_cents, n_rows FROM v1
+  UNION ALL SELECT 2, 'hit', * FROM v1
+  UNION ALL SELECT 3, 'stale', * FROM v2
+  UNION ALL SELECT 4, 'hit', * FROM v2
+)
+SELECT CAST(run AS BIGINT) AS run, cache_status, status,
+       sum_cents, CAST(n_rows AS BIGINT) AS n_rows
+FROM runs
+""",
+)
+def q_result_cache_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-result caching with PRECISE version-keyed
+    invalidation (plans/result_cache.py): the cache pins the snapshot
+    version its result was computed from, so hit/stale is decided by
+    the table format's total version order — no TTLs, no mtimes. Four
+    runs over an evolving table: miss (computes), hit (served from
+    cache — a counting reader proves the BASE TABLE is not touched),
+    append → stale (recomputes), hit again. The oracle states the
+    contract: runs 1-2 see v1 aggregates, runs 3-4 see v2."""
+    import os
+    import tempfile
+
+    from .plans.result_cache import cached_result
+    from .sources import snapshot_table as ST
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice").cast("double") * 100).cast("long")
+    rows = orders.select("o_orderkey", F.col("o_orderstatus").alias("status"), cents.alias("cents"))
+    root = tempfile.mkdtemp(prefix="rescache_")
+    loc = os.path.join(root, "tbl")
+    cache = os.path.join(root, "cache")
+    ST.write_append_snapshot(rows.filter(F.col("o_orderkey") % 2 == 0), loc, commit_ms=1)
+
+    def compute():
+        return (
+            ST.read_snapshot(spark, loc)
+            .groupBy("status")
+            .agg(F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    out = []
+    for run in (1, 2):
+        df, st = cached_result(spark, loc, cache, "by_status", compute)
+        if run == 2:
+            # hit must not touch the base table: count reads under loc
+            orig = type(spark.read).parquet
+            reads = {"n": 0}
+
+            def counting(self, *paths, **kw):
+                if any(os.path.abspath(p).startswith(os.path.abspath(loc)) for p in paths):
+                    reads["n"] += 1
+                return orig(self, *paths, **kw)
+
+            type(spark.read).parquet = counting
+            try:
+                df, st = cached_result(spark, loc, cache, "by_status", compute)
+                df.localCheckpoint(eager=True)
+            finally:
+                type(spark.read).parquet = orig
+            assert reads["n"] == 0, "cache hit must not read the base table"
+        for r in df.collect():
+            out.append((run, st, r["status"], r["sum_cents"], r["n_rows"]))
+    ST.write_append_snapshot(rows.filter(F.col("o_orderkey") % 2 == 1), loc, commit_ms=2)
+    for run in (3, 4):
+        df, st = cached_result(spark, loc, cache, "by_status", compute)
+        for r in df.collect():
+            out.append((run, st, r["status"], r["sum_cents"], r["n_rows"]))
+    return spark.createDataFrame(
+        out, "run long, cache_status string, status string, sum_cents long, n_rows long"
+    )
