@@ -14069,3 +14069,90 @@ def q_result_cache_invalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "run long, cache_status string, status string, sum_cents long, n_rows long"
     )
+
+
+@q(
+    "stream_staypoints",
+    oracle=r"""
+WITH pts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN event_id % 10 < 6 THEN (user_id * 13) % 1000 + event_id % 8
+              ELSE (event_id * 37) % 1000 END AS px,
+         CASE WHEN event_id % 10 < 6 THEN (user_id * 29) % 1000 + event_id % 5
+              ELSE (event_id * 53) % 1000 END AS py
+  FROM events
+),
+lagged AS (
+  SELECT *, lag(px) OVER w AS ppx, lag(py) OVER w AS ppy
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+brk AS (
+  SELECT *, CASE WHEN ppx IS NULL
+                   OR greatest(abs(px - ppx), abs(py - ppy)) > 50 THEN 1 ELSE 0 END AS is_break
+  FROM lagged
+),
+seg AS (
+  SELECT *, sum(is_break) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM brk
+),
+segs AS (
+  SELECT user_id, seg_id, count(*) AS n_pts, min(us) AS start_us, max(us) AS end_us,
+         sum(px) AS sum_x, sum(py) AS sum_y
+  FROM seg GROUP BY user_id, seg_id
+),
+lastseg AS (SELECT user_id, max(seg_id) AS last_id FROM segs GROUP BY user_id)
+SELECT s.user_id, s.start_us, s.end_us, CAST(s.n_pts AS BIGINT) AS n_pts,
+       CAST(s.sum_x AS BIGINT) AS sum_x, CAST(s.sum_y AS BIGINT) AS sum_y
+FROM segs s JOIN lastseg l USING (user_id)
+WHERE s.seg_id <> l.last_id
+  AND s.n_pts >= 3 AND s.end_us - s.start_us >= 60000000
+""",
+)
+def q_stream_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING stay-point detection (streaming/
+    stream_staypoints.py): the trajectory stream replays as two
+    time-ordered micro-batches through applyInPandasWithState; per-user
+    state carries one open segment (7 longs) and a segment closes only
+    when a fix arrives beyond the spatial jump — so emissions are
+    exactly the batch stay-points (staypoint_detect) minus each user's
+    FINAL segment, which the oracle states in closed form. A purely
+    spatial close needs no timeout machinery, and state size is
+    constant per user regardless of stream length."""
+    import os
+    import tempfile
+
+    from .streaming.stream_staypoints import stream_staypoints
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = F.col("event_id")
+    u = F.col("user_id")
+    home = e % 10 < 6
+    fixes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(home, (u * 13) % 1000 + e % 8).otherwise((e * 37) % 1000).alias("px"),
+        F.when(home, (u * 29) % 1000 + e % 5).otherwise((e * 53) % 1000).alias("py"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_stay_")
+    in_dir = os.path.join(tmp, "in")
+    cut = fixes.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    fixes.filter(F.col("ts") <= cut).write.mode("overwrite").parquet(in_dir)
+    fixes.filter(F.col("ts") > cut).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, event_id bigint, px bigint, py bigint"
+    ).parquet(in_dir)
+    out_dir = os.path.join(tmp, "stays_out")
+    q = (
+        stream_staypoints(stream)
+        .writeStream.foreachBatch(lambda df, _id: df.write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    schema = "user_id bigint, start_us bigint, end_us bigint, n_pts bigint, sum_x bigint, sum_y bigint"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(out_dir)

@@ -32,6 +32,7 @@ HARNESS = {
     "stream_dedup",
     "stream_window_counts",
     "stream_sessions",
+    "stream_staypoints",
     "stream_geotag_gate",
     "geotag_checkpointed",
     "results_sink_metrics",
