@@ -14156,3 +14156,249 @@ def q_stream_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(out_dir)
+
+
+@q(
+    "classification_eval",
+    oracle=f"""
+WITH {_LANG_SCORE_SQL},
+pred AS (
+  SELECT c.doc_id, d.lang AS truth,
+         CASE WHEN s_en = 0 AND s_sr = 0 AND s_de = 0 THEN 'und'
+              WHEN s_en >= s_sr AND s_en >= s_de THEN 'en'
+              WHEN s_sr >= s_de THEN 'sr'
+              ELSE 'de' END AS pred
+  FROM counted c JOIN documents d ON c.doc_id = d.doc_id
+),
+conf AS (SELECT truth, pred, count(*) AS n FROM pred GROUP BY truth, pred),
+tm AS (SELECT truth, sum(n) AS truth_total FROM conf GROUP BY truth),
+pm AS (SELECT pred, sum(n) AS pred_total FROM conf GROUP BY pred)
+SELECT c.truth, c.pred, CAST(c.n AS BIGINT) AS n,
+       CAST(tm.truth_total AS BIGINT) AS truth_total,
+       CAST(pm.pred_total AS BIGINT) AS pred_total,
+       round(CAST(c.n AS DOUBLE) / pm.pred_total, 6) AS cell_precision,
+       round(CAST(c.n AS DOUBLE) / tm.truth_total, 6) AS cell_recall
+FROM conf c JOIN tm USING (truth) JOIN pm USING (pred)
+""",
+)
+def q_classification_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a distributed op: run the REAL lang-id
+    heuristic (Arrow UDF) against the corpus's labeled truth and emit
+    the full confusion matrix with row/column marginals — diagonal
+    cells carry per-class precision (n / pred_total) and recall
+    (n / truth_total), each a single exact division. The shape every
+    model-quality gate in a data pipeline reduces to: one groupBy on
+    (truth, pred) plus two marginal re-aggs, all counts exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = docs.select(
+        F.col("lang").alias("truth"), U.lang_id_udf("text").alias("pred")
+    )
+    conf = pred.groupBy("truth", "pred").agg(F.count(F.lit(1)).alias("n"))
+    tm = conf.groupBy("truth").agg(F.sum("n").alias("truth_total"))
+    pm = conf.groupBy("pred").agg(F.sum("n").alias("pred_total"))
+    return (
+        conf.join(tm, "truth")
+        .join(pm, "pred")
+        .select(
+            "truth",
+            "pred",
+            "n",
+            "truth_total",
+            "pred_total",
+            F.round(F.col("n").cast("double") / F.col("pred_total"), 6).alias(
+                "cell_precision"
+            ),
+            F.round(F.col("n").cast("double") / F.col("truth_total"), 6).alias("cell_recall"),
+        )
+    )
+
+
+@q(
+    "retrieval_metrics",
+    oracle=r"""
+WITH ev AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS qlabel, i, v FROM ev WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, label AS clabel, i, v FROM ev WHERE vec_id >= 5),
+dots AS (
+  SELECT q.qid, q.qlabel, c.cid, c.clabel, sum(q.v * c.v) AS dot
+  FROM q JOIN c USING (i) GROUP BY q.qid, q.qlabel, c.cid, c.clabel
+),
+ranked AS (
+  SELECT qid, qlabel, cid, clabel, dot,
+         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
+  FROM dots
+),
+rel_total AS (
+  SELECT q2.qid, count(*) AS n_rel_total
+  FROM (SELECT DISTINCT qid, qlabel FROM dots) q2
+  JOIN (SELECT DISTINCT cid, clabel FROM dots) c2 ON c2.clabel = q2.qlabel
+  GROUP BY q2.qid
+),
+top AS (SELECT * FROM ranked WHERE rnk <= 10),
+m AS (
+  SELECT qid,
+         coalesce(min(CASE WHEN clabel = qlabel THEN rnk END), 0) AS first_rel_rank,
+         sum(CASE WHEN clabel = qlabel AND rnk <= 5 THEN 1 ELSE 0 END) AS p_at_5_hits,
+         sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS rel_found_10
+  FROM top GROUP BY qid
+)
+SELECT m.qid AS query_id, CAST(m.first_rel_rank AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN m.first_rel_rank = 0 THEN 0
+                 ELSE 2520 // m.first_rel_rank END AS BIGINT) AS mrr_scaled_2520,
+       CAST(m.p_at_5_hits AS BIGINT) AS p_at_5_hits,
+       CAST(m.rel_found_10 AS BIGINT) AS rel_found_10,
+       CAST(r.n_rel_total AS BIGINT) AS n_rel_total
+FROM m JOIN rel_total r USING (qid)
+""",
+)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION over a real ranking: 5 query vectors score
+    all candidates by exact integer milli-quantized dot product, rank
+    top-10 per query, and compute MRR (scaled by lcm(1..10)/2 = 2520 so
+    reciprocal ranks stay integral), precision@5 hits, and recall@10
+    numerator/denominator against same-label relevance — the eval
+    harness an embedding/ANN stack runs per release. Per-query windows
+    partition by query id; nothing global."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = F.transform(F.col("embedding"), lambda c: F.round(c.cast("double") * 1000).cast("long"))
+    base = emb.select("vec_id", "label", qv.alias("qv"))
+    qs = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"), F.col("qv").alias("q")
+    )
+    cs = base.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("label").alias("clabel"), F.col("qv").alias("c")
+    )
+    dots = qs.crossJoin(cs).select(
+        "qid",
+        "qlabel",
+        "cid",
+        "clabel",
+        F.aggregate(
+            F.zip_with("q", "c", lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), "cid")
+    ranked = dots.select("*", F.row_number().over(w).alias("rnk"))
+    rel_total = (
+        qs.select("qid", "qlabel")
+        .join(cs.select("cid", "clabel"), qs.qlabel == cs.clabel)
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_rel_total"))
+    )
+    top = ranked.filter(F.col("rnk") <= 10)
+    rel = F.col("clabel") == F.col("qlabel")
+    m = top.groupBy("qid").agg(
+        F.coalesce(F.min(F.when(rel, F.col("rnk"))), F.lit(0)).alias("first_rel_rank"),
+        F.sum((rel & (F.col("rnk") <= 5)).cast("long")).alias("p_at_5_hits"),
+        F.sum(rel.cast("long")).alias("rel_found_10"),
+    )
+    return (
+        m.join(rel_total, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "first_rel_rank",
+            F.when(F.col("first_rel_rank") == 0, 0)
+            .otherwise(F.expr("2520 div first_rel_rank"))
+            .cast("long")
+            .alias("mrr_scaled_2520"),
+            "p_at_5_hits",
+            "rel_found_10",
+            "n_rel_total",
+        )
+    )
+
+
+@q(
+    "modularity_score",
+    oracle=_LP_ORACLE.replace(
+        """
+SELECT id, CAST(COALESCE(label, -1) AS BIGINT) AS label FROM s3
+""",
+        """,
+lab AS (SELECT id, COALESCE(label, -1) AS label FROM s3),
+m AS (SELECT count(*) // 2 AS m2 FROM e),
+ec AS (
+  SELECT la.label, count(*) // 2 AS in_c
+  FROM e JOIN lab la ON e.u = la.id JOIN lab lb ON e.v = lb.id
+  WHERE la.label = lb.label
+  GROUP BY la.label
+),
+dc AS (
+  SELECT la.label, count(*) AS deg_c
+  FROM e JOIN lab la ON e.u = la.id
+  GROUP BY la.label
+),
+parts AS (
+  SELECT d.label, COALESCE(ec.in_c, 0) AS in_c, d.deg_c FROM dc d
+  LEFT JOIN ec ON d.label = ec.label
+),
+agg AS (
+  SELECT CAST(sum(4 * (SELECT m2 FROM m) * in_c - deg_c * deg_c) AS BIGINT) AS num,
+         CAST(4 * (SELECT m2 FROM m) * (SELECT m2 FROM m) AS BIGINT) AS den,
+         count(*) AS n_communities
+  FROM parts
+)
+SELECT num, den, CAST(n_communities AS BIGINT) AS n_communities,
+       round(CAST(num AS DOUBLE) / den, 6) AS modularity
+FROM agg
+""",
+    ),
+)
+def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition, exactly:
+    Q = sum_c (in_c/m - (deg_c/2m)^2) computed as integer
+    num = sum_c (4*m*in_c - deg_c^2) over den = 4*m^2 — one double
+    division at the end. The community-quality score that decides
+    whether a propagation/clustering result is usable; computed with
+    two vertex-keyed joins and per-community sums."""
+    from .operators.graph import label_propagation
+
+    u = F.col("id")
+    raw = (
+        spark.range(400)
+        .select(u.alias("src"), ((u * 2 + 1) % 400).alias("dst"))
+        .unionByName(spark.range(400).select(u.alias("src"), ((u * 7 + 5) % 400).alias("dst")))
+        .filter("src != dst")
+    )
+    sym = (
+        raw.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(raw.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+    seeds = nodes.filter(F.col("id") < 10).select("id", (F.col("id") % 3).alias("label"))
+    lab = label_propagation(nodes, seeds, raw, rounds=3)
+    m2 = sym.agg((F.count(F.lit(1)) / 2).cast("long").alias("m2"))
+    lu = lab.select(F.col("id").alias("u"), F.col("label").alias("lu"))
+    lv = lab.select(F.col("id").alias("v"), F.col("label").alias("lv"))
+    ej = sym.join(lu, "u").join(lv, "v")
+    ec = (
+        ej.filter(F.col("lu") == F.col("lv"))
+        .groupBy("lu")
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("in_c"))
+        .select(F.col("lu").alias("label"), "in_c")
+    )
+    dc = ej.groupBy("lu").agg(F.count(F.lit(1)).alias("deg_c")).select(
+        F.col("lu").alias("label"), "deg_c"
+    )
+    parts = dc.join(ec, "label", "left").select(
+        "label", F.coalesce("in_c", F.lit(0)).alias("in_c"), "deg_c"
+    )
+    agg = parts.crossJoin(F.broadcast(m2)).agg(
+        F.sum(F.lit(4) * F.col("m2") * F.col("in_c") - F.col("deg_c") * F.col("deg_c")).alias(
+            "num"
+        ),
+        F.max(F.lit(4) * F.col("m2") * F.col("m2")).alias("den"),
+        F.count(F.lit(1)).alias("n_communities"),
+    )
+    return agg.select(
+        "num",
+        "den",
+        "n_communities",
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("modularity"),
+    )
