@@ -87,6 +87,8 @@ NESTED_LOOP_SCALAR_OK = {
     "consistent_hash_rebalance",  # keys x constant 40-row broadcast ring (bounded multiplier)
     "k_anonymity_suppress",  # 1-row census x 1-row min-group scalar joins
     "hub_removal_resilience",  # 1-row hub ids x 1-row before x 1-row after scalar joins
+    "retrieval_metrics",  # candidates x constant 5-query broadcast (bounded multiplier)
+    "modularity_score",  # communities x 1-row edge-count scalar join
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
