@@ -89,3 +89,72 @@ def resolve(left: DataFrame, right: DataFrame, threshold: int) -> DataFrame:
     return score_pairs(block_candidates(left, right)).filter(
         F.col("score") >= threshold
     )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame, window: int, bucket_prefix_len: int = 17
+) -> DataFrame:
+    """Sorted-Neighborhood Method blocking (Hernandez & Stolfo,
+    SIGMOD'95): sort all records by the blocking key and compare only
+    records within ``window`` positions — the complement of hash
+    blocking for keys whose noise is positional (truncations, suffix
+    edits) rather than token-level.
+
+    records: (id, name). The GLOBAL rank over (name, id) is computed
+    without a single-partition window: records group into
+    order-preserving KEY-PREFIX buckets (a prefix comparator is
+    monotone in the full key), rank within each bucket in parallel,
+    then add bucket offsets from a bounded driver collect of bucket
+    counts — the global_row_number shape. Candidate pairs join on the
+    rank block (rank div window) with the a-side exploded to its own
+    and the following block, so each in-window pair meets exactly
+    once. Returns (ia, ib, ra, rb, name_a, name_b) with ra < rb.
+    """
+    import pyspark.sql.functions as _F
+    from pyspark.sql import Window as _W
+
+    keyed = records.select(
+        "id", "name", _F.substring("name", 1, bucket_prefix_len).alias("bk")
+    )
+    per_bucket = keyed.select(
+        "id",
+        "name",
+        "bk",
+        _F.row_number().over(_W.partitionBy("bk").orderBy("name", "id")).alias("brn"),
+    )
+    counts = sorted(
+        (r["bk"], r["n"])
+        for r in keyed.groupBy("bk").agg(_F.count(_F.lit(1)).alias("n")).collect()
+    )
+    offs, acc = {}, 0
+    for bk, n in counts:
+        offs[bk] = acc
+        acc += n
+    off_df = records.sparkSession.createDataFrame(
+        [(bk, off) for bk, off in offs.items()], "bk string, off long"
+    )
+    ranked = per_bucket.join(_F.broadcast(off_df), "bk").select(
+        "id", "name", (_F.col("brn") + _F.col("off")).alias("rank")
+    )
+    a = ranked.select(
+        _F.col("id").alias("ia"),
+        _F.col("name").alias("name_a"),
+        _F.col("rank").alias("ra"),
+        _F.explode(
+            _F.array(
+                _F.expr(f"(rank - 1) div {window}"),
+                _F.expr(f"(rank - 1) div {window} + 1"),
+            )
+        ).alias("blk"),
+    )
+    b = ranked.select(
+        _F.col("id").alias("ib"),
+        _F.col("name").alias("name_b"),
+        _F.col("rank").alias("rb"),
+        _F.expr(f"(rank - 1) div {window}").alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter((_F.col("rb") > _F.col("ra")) & (_F.col("rb") - _F.col("ra") < window))
+        .select("ia", "ib", "ra", "rb", "name_a", "name_b")
+    )

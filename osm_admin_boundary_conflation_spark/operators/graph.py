@@ -564,3 +564,69 @@ def multi_source_bfs(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def bidirectional_bfs_distance(
+    edges: DataFrame, source: int, target: int, max_hops: int = 20
+) -> int | None:
+    """Point-to-point unweighted distance by MEET-IN-THE-MIDDLE BFS:
+    expand the smaller frontier (ties: source side) one hop at a time
+    from both endpoints; when the visited sets intersect, the distance
+    is min over meet nodes of d_s + d_t. Each side explores O(b^(d/2))
+    instead of O(b^d) — the reason every routing engine searches from
+    both ends. Frontier sizes ride the checkpoint job via ``observe``;
+    the meet check is a broadcast-able semi-join per round. Returns the
+    hop distance, or None if the sides exhaust without meeting."""
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    sides = {}
+    for name, root in (("s", source), ("t", target)):
+        vis = spark.createDataFrame([(root, 0)], "id long, hop int").localCheckpoint(
+            eager=True
+        )
+        sides[name] = {"visited": vis, "frontier": vis, "fsize": 1, "alive": True, "hop": 0}
+
+    def meet_distance() -> int | None:
+        j = sides["s"]["visited"].join(
+            sides["t"]["visited"].select(F.col("id"), F.col("hop").alias("hop_t")), "id"
+        )
+        row = j.agg(F.min(F.col("hop") + F.col("hop_t")).alias("d")).collect()[0]
+        return None if row["d"] is None else int(row["d"])
+
+    d = meet_distance()
+    if d is not None:
+        return d
+    for _ in range(2 * max_hops):
+        live = [n for n in ("s", "t") if sides[n]["alive"]]
+        if not live:
+            return None
+        side = min(live, key=lambda n: (sides[n]["fsize"], n != "s"))
+        st = sides[side]
+        hop = st["hop"] + 1
+        obs = Observation()
+        nxt = (
+            st["frontier"].join(sym, st["frontier"].id == sym.u)
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(st["visited"].select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).cast("int").alias("hop"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n = obs.get["n"] or 0
+        if n == 0:
+            st["alive"] = False
+            continue
+        st["visited"] = st["visited"].unionByName(nxt).localCheckpoint(eager=True)
+        st["frontier"] = nxt
+        st["fsize"] = n
+        st["hop"] = hop
+        d = meet_distance()
+        if d is not None:
+            return d
+    return None

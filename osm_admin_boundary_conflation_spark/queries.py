@@ -14402,3 +14402,181 @@ def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_communities",
         F.round(F.col("num").cast("double") / F.col("den"), 6).alias("modularity"),
     )
+
+
+@q(
+    "bidir_bfs_distance",
+    oracle=r"""
+WITH RECURSIVE raw AS (
+  SELECT u, (u * 2 + 1) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 7 + 5) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+),
+e AS (
+  SELECT u, v FROM raw WHERE u != v
+  UNION
+  SELECT v AS u, u AS v FROM raw WHERE u != v
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS id, 0 AS hop
+  UNION
+  SELECT e.v AS id, r.hop + 1 FROM r JOIN e ON e.u = r.id WHERE r.hop < 12
+)
+SELECT CAST(0 AS BIGINT) AS source, CAST(137 AS BIGINT) AS target,
+       CAST(min(hop) AS BIGINT) AS dist
+FROM r WHERE id = 137
+""",
+)
+def q_bidir_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-to-point distance by MEET-IN-THE-MIDDLE BFS (operators/
+    graph.bidirectional_bfs_distance): both endpoints expand
+    alternately (smaller frontier first), stopping at the first
+    visited-set intersection — each side explores O(b^(d/2)) of the
+    O(b^d) a one-sided BFS touches, the standard routing-engine trick
+    the one-sided bfs_hops docstring promises. With full-layer
+    expansion the first-meet minimum of d_s + d_t is exact (any
+    shorter path would already register a meet — proof in the
+    operator). Oracle: one-sided hop-capped closure to the target."""
+    from .operators.graph import bidirectional_bfs_distance
+
+    u = F.col("id")
+    raw = (
+        spark.range(400)
+        .select(u.alias("src"), ((u * 2 + 1) % 400).alias("dst"))
+        .unionByName(spark.range(400).select(u.alias("src"), ((u * 7 + 5) % 400).alias("dst")))
+        .filter("src != dst")
+    )
+    d = bidirectional_bfs_distance(raw, source=0, target=137, max_hops=12)
+    return spark.createDataFrame([(0, 137, d)], "source long, target long, dist long")
+
+
+@q(
+    "sorted_neighborhood_pairs",
+    oracle=r"""
+WITH l AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+),
+r AS (
+  SELECT c_custkey + 100000 AS id,
+         CASE WHEN c_custkey % 6 = 0 THEN c_name || 'x'
+              WHEN c_custkey % 6 = 2 THEN substr(c_name, 1, length(c_name) - 1)
+              ELSE c_name END AS name
+  FROM customer WHERE c_custkey % 2 = 0
+),
+rec AS (SELECT id, name FROM l UNION ALL SELECT id, name FROM r),
+ranked AS (
+  SELECT id, name, row_number() OVER (ORDER BY name, id) AS rank FROM rec
+),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib, a.rank AS ra, b.rank AS rb,
+         a.name AS name_a, b.name AS name_b
+  FROM ranked a JOIN ranked b
+    ON b.rank > a.rank AND b.rank - a.rank < 4
+)
+SELECT ia, ib, CAST(ra AS BIGINT) AS ra, CAST(rb AS BIGINT) AS rb
+FROM pairs WHERE levenshtein(name_a, name_b) <= 1
+""",
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood blocking (Hernandez-Stolfo SIGMOD'95,
+    operators/entity_resolution.sorted_neighborhood_pairs): both
+    registries sort together by name and only records within a
+    4-position window are compared — catching the positional noise
+    (truncated/suffixed keys) that hash blockers scatter. The global
+    rank uses order-preserving prefix buckets + parallel in-bucket
+    windows + a bounded offset broadcast (never one giant partition);
+    the oracle uses DuckDB's single window, which is exactly the
+    shortcut the engine side must avoid at scale. Output: in-window
+    pairs with edit distance <= 1."""
+    from .operators.entity_resolution import sorted_neighborhood_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    left = cust.select(k.alias("id"), F.col("c_name").alias("name"))
+    pert = (
+        F.when(k % 6 == 0, F.concat("c_name", F.lit("x")))
+        .when(k % 6 == 2, F.expr("substr(c_name, 1, length(c_name) - 1)"))
+        .otherwise(F.col("c_name"))
+    )
+    right = cust.filter(k % 2 == 0).select((k + 100000).alias("id"), pert.alias("name"))
+    rec = left.unionByName(right)
+    pairs = sorted_neighborhood_pairs(rec, window=4)
+    return pairs.filter(F.levenshtein("name_a", "name_b") <= 1).select(
+        "ia", "ib", "ra", "rb"
+    )
+
+
+@q(
+    "seasonal_decompose_daily",
+    oracle=r"""
+WITH daily0 AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day, count(*) AS y
+  FROM events GROUP BY day
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily0),
+spine AS (SELECT unnest(range((SELECT lo FROM bounds), (SELECT hi FROM bounds) + 1)) AS day),
+daily AS (
+  SELECT s.day, COALESCE(d.y, 0) AS y FROM spine s LEFT JOIN daily0 d USING (day)
+),
+tr AS (
+  SELECT day, y,
+         CASE WHEN count(*) OVER w = 7
+              THEN CAST(sum(y) OVER w AS DOUBLE) / 7 END AS trend
+  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+dow AS (
+  SELECT day % 7 AS dw, CAST(sum(y) AS DOUBLE) / count(*) AS dow_mean
+  FROM daily GROUP BY dw
+),
+grand AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS g FROM daily)
+SELECT t.day, CAST(t.y AS BIGINT) AS y, round(t.trend, 6) AS trend,
+       round(d.dow_mean, 6) AS dow_mean,
+       round(t.y - t.trend - (d.dow_mean - grand.g), 6) AS resid
+FROM tr t JOIN dow d ON t.day % 7 = d.dw CROSS JOIN grand
+""",
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event series:
+    centered 7-day moving-average trend (full windows only), synthetic
+    day-of-week means, residual y - trend - (dow_mean - grand_mean).
+    Every float is an exact-integer-sum divided ONCE, and the residual
+    expression is the same pinned op sequence on both engines, so the
+    decomposition is gateable where a loess/STL fit would not be. The
+    day spine closes gaps with zeros (a missing day IS zero traffic).
+    One window over the day spine, one dow groupBy."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily0 = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    bounds = daily0.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    daily = spine.join(daily0, "day", "left").select(
+        "day", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.sum("y").over(w).cast("double") / 7
+        ).alias("trend"),
+    )
+    dow = daily.groupBy((F.col("day") % 7).alias("dw")).agg(
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("dow_mean")
+    )
+    grand = daily.agg((F.sum("y").cast("double") / F.count(F.lit(1))).alias("g"))
+    return (
+        tr.join(dow, tr.day % 7 == dow.dw)
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "day",
+            "y",
+            F.round("trend", 6).alias("trend"),
+            F.round("dow_mean", 6).alias("dow_mean"),
+            F.round(
+                F.col("y") - F.col("trend") - (F.col("dow_mean") - F.col("g")), 6
+            ).alias("resid"),
+        )
+    )

@@ -89,6 +89,7 @@ NESTED_LOOP_SCALAR_OK = {
     "hub_removal_resilience",  # 1-row hub ids x 1-row before x 1-row after scalar joins
     "retrieval_metrics",  # candidates x constant 5-query broadcast (bounded multiplier)
     "modularity_score",  # communities x 1-row edge-count scalar join
+    "seasonal_decompose_daily",  # 1-row grand-mean scalar join; day spine is a bounded artifact
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
