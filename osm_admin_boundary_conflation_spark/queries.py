@@ -14580,3 +14580,128 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resid"),
         )
     )
+
+
+@q(
+    "clustering_coefficient",
+    oracle=f"""
+WITH {_KCORE_EDGES_SQL},
+ce AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1 JOIN ce e2 ON e2.a = e1.b JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tv AS (
+  SELECT unnest([x, y, z]) AS id, count(*) AS dummy FROM tri GROUP BY x, y, z
+),
+tcount AS (SELECT id, count(*) AS t FROM tv GROUP BY id),
+dg AS (SELECT u AS id, count(*) AS d FROM e GROUP BY u)
+SELECT dg.id, CAST(dg.d AS BIGINT) AS deg,
+       CAST(COALESCE(tcount.t, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * COALESCE(tcount.t, 0) AS BIGINT) AS num,
+       CAST(dg.d * (dg.d - 1) AS BIGINT) AS den,
+       round(CAST(2 * COALESCE(tcount.t, 0) AS DOUBLE) / (dg.d * (dg.d - 1)), 6) AS coeff
+FROM dg LEFT JOIN tcount ON dg.id = tcount.id
+WHERE dg.d >= 2
+""",
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (Watts-Strogatz):
+    2*T_v / (d_v * (d_v - 1)) with exact integer numerator and
+    denominator and a single final division. Triangles come from the
+    degree-ordered wedge closure (operators/graph.orient_by_degree +
+    degree_ordered_wedges — O(m^1.5) total even on power-law graphs),
+    each closed triangle credited to its three corners by an explode —
+    the hub-aware version of the naive per-vertex wedge count that
+    melts on celebrity nodes. On the cycle-plus-dense-block gate graph
+    the block members score high and the cycle scores zero."""
+    from .operators.graph import degree_ordered_wedges, orient_by_degree
+
+    raw = _kcore_edges(spark)
+    sym = (
+        raw.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(raw.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ce = sym.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    o = orient_by_degree(ce)
+    wedges = degree_ordered_wedges(o)
+    closed = wedges.join(
+        o.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"]
+    )
+    tv = closed.select(
+        F.explode(F.array(F.col("src"), F.col("y"), F.col("z"))).alias("id")
+    )
+    tcount = tv.groupBy("id").agg(F.count(F.lit(1)).alias("t"))
+    dg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("u").alias("id"), "d"
+    )
+    j = dg.filter(F.col("d") >= 2).join(tcount, "id", "left").select(
+        "id",
+        F.col("d").alias("deg"),
+        F.coalesce("t", F.lit(0)).alias("n_triangles"),
+    )
+    return j.select(
+        "id",
+        "deg",
+        "n_triangles",
+        (2 * F.col("n_triangles")).alias("num"),
+        (F.col("deg") * (F.col("deg") - 1)).alias("den"),
+        F.round(
+            (2 * F.col("n_triangles")).cast("double") / (F.col("deg") * (F.col("deg") - 1)),
+            6,
+        ).alias("coeff"),
+    )
+
+
+@q(
+    "snapshot_partition_evolution",
+    oracle=r"""
+WITH v1 AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0),
+v2 AS (SELECT doc_id, lang FROM documents)
+SELECT 1 AS version, count(*) AS n_rows,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(1 AS BIGINT) AS pruned_read
+FROM v1
+UNION ALL
+SELECT 2, count(*),
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(1 AS BIGINT)
+FROM v2
+""",
+)
+def q_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION on the snapshot table: v1 commits
+    unpartitioned, v2 re-commits the table hive-partitioned by lang —
+    each manifest records ITS OWN layout, so time travel to v1 reads
+    the flat files while the latest read prunes partitions, with no
+    rewrite of history (the Iceberg property that partitioning is
+    metadata, not schema). The gate asserts IN-PLAN that the v2
+    filtered read carries a lang partition filter and touches fewer
+    files than the table holds, then pins both versions' contents."""
+    import re
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    loc = tempfile.mkdtemp(prefix="snapevo_") + "/tbl"
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 2 == 0), loc, commit_ms=1000)
+    ST.write_snapshot(docs, loc, commit_ms=2000, partition_by=["lang"])
+
+    rows = []
+    for version in (1, 2):
+        df = ST.read_snapshot(spark, loc, version=version)
+        n = df.count()
+        en = df.filter(F.col("lang") == "en")
+        if version == 2:
+            plan = en._jdf.queryExecution().executedPlan().toString()
+            if not re.search(r"PartitionFilters: \[[^\]]*lang", plan):
+                raise AssertionError(
+                    "v2 filtered read must prune on the lang partition column"
+                )
+        rows.append((version, n, en.count(), 1))
+    return spark.createDataFrame(rows, "version long, n_rows long, n_en long, pruned_read long")
