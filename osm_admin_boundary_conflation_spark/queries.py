@@ -14705,3 +14705,146 @@ def q_snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFram
                 )
         rows.append((version, n, en.count(), 1))
     return spark.createDataFrame(rows, "version long, n_rows long, n_en long, pruned_read long")
+
+
+@q(
+    "sparse_cosine_pairs",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+),
+bg AS (
+  SELECT id, array_to_string(w[i:i+1], ' ') AS term
+  FROM words, unnest(range(1, len(w))) r(i)
+),
+tf AS (SELECT id, term, count(*) AS tf FROM bg GROUP BY id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+kept AS (SELECT tf.id, tf.term, tf.tf FROM tf JOIN dfq USING (term) WHERE dfq.df <= 100),
+nrm AS (SELECT id, sum(tf * tf) AS n2 FROM kept GROUP BY id),
+dots AS (
+  SELECT a.id AS ia, b.id AS ib, sum(a.tf * b.tf) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT d.ia, d.ib, CAST(d.dot AS BIGINT) AS dot,
+       round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+FROM dots d JOIN nrm na ON d.ia = na.id JOIN nrm nb ON d.ib = nb.id
+WHERE d.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.75
+""",
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE cosine similarity join via term postings — the inverted-
+    index path that complements dense ANN (operators/ann) and shingle
+    Jaccard (dedup): word-BIGRAM tf vectors, stop-terms pruned by
+    document frequency (df <= 100, the cooccurrence-style semantic
+    prune that bounds every posting list), pair partial dot products
+    accumulated per shared term — never an all-pairs join — and
+    cosine = dot / (sqrt(n2a)*sqrt(n2b)) with integer dot and norms,
+    two correctly-rounded sqrts and one division in pinned order. The
+    oracle mirrors the same postings algebra."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bg = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1), "
+                "i -> array_join(slice(split(trim(lower(text)), '\\\\s+'), i, 2), ' '))"
+            )
+        ).alias("term"),
+    )
+    tf = bg.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = tf.join(dfq.filter(F.col("df") <= 100), "term").select("id", "term", "tf")
+    nrm = kept.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = kept.select(F.col("id").alias("ia"), "term", F.col("tf").alias("tfa"))
+    b = kept.select(F.col("id").alias("ib"), "term", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    return (
+        dots.join(nrm.select(F.col("id").alias("ia"), F.col("n2").alias("na")), "ia")
+        .join(nrm.select(F.col("id").alias("ib"), F.col("n2").alias("nb")), "ib")
+        .filter(cos >= 0.75)
+        .select("ia", "ib", "dot", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@q(
+    "trigram_search_index",
+    oracle=r"""
+WITH pats AS (
+  SELECT unnest(['scan slow', 'merge batch', 'window spark']) AS pat
+),
+ptri AS (
+  SELECT pat, substr(pat, CAST(i AS BIGINT) + 1, 3) AS tri,
+         length(pat) - 2 AS n_tri
+  FROM pats, unnest(range(length(pat) - 2)) r(i)
+),
+dtri AS (
+  SELECT doc_id, substr(text, CAST(i AS BIGINT) + 1, 3) AS tri
+  FROM documents, unnest(range(length(text) - 2)) r(i)
+),
+dd AS (SELECT DISTINCT doc_id, tri FROM dtri),
+pd AS (SELECT DISTINCT pat, tri, n_tri FROM ptri),
+cand AS (
+  SELECT pd.pat, dd.doc_id
+  FROM pd JOIN dd USING (tri)
+  GROUP BY pd.pat, dd.doc_id, pd.n_tri
+  HAVING count(*) = pd.n_tri
+),
+ver AS (
+  SELECT c.pat, c.doc_id,
+         CASE WHEN position(c.pat IN d.text) > 0 THEN 1 ELSE 0 END AS hit
+  FROM cand c JOIN documents d USING (doc_id)
+)
+SELECT pat, count(*) AS n_candidates, CAST(sum(hit) AS BIGINT) AS n_verified,
+       min(CASE WHEN hit = 1 THEN doc_id END) AS min_hit_doc
+FROM ver GROUP BY pat
+""",
+)
+def q_trigram_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search through a TRIGRAM index (the pg_trgm / code-
+    search shape): documents index their distinct character trigrams
+    once; a pattern probes with its own trigrams and only documents
+    containing ALL of them are verified with a real substring test —
+    filter-then-verify with exact false-positive accounting
+    (n_candidates vs n_verified), the structure that turns LIKE
+    '%pat%' from a full scan into a postings intersection. The
+    all-trigrams check is one groupBy with a HAVING count = n_tri;
+    verification joins back only the candidates."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pats = spark.createDataFrame(
+        [("scan slow",), ("merge batch",), ("window spark",)], "pat string"
+    )
+    tri_of = lambda c: F.expr(  # noqa: E731
+        f"transform(sequence(1, length({c}) - 2), i -> substr({c}, i, 3))"
+    )
+    ptri = pats.select(
+        "pat", (F.length("pat") - 2).alias("n_tri"), F.explode(tri_of("pat")).alias("tri")
+    ).distinct()
+    dtri = docs.select(
+        "doc_id", F.explode(F.array_distinct(tri_of("text"))).alias("tri")
+    )
+    cand = (
+        ptri.join(dtri, "tri")
+        .groupBy("pat", "doc_id", "n_tri")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") == F.col("n_tri"))
+        .select("pat", "doc_id")
+    )
+    ver = cand.join(docs.select("doc_id", "text"), "doc_id").select(
+        "pat",
+        "doc_id",
+        F.when(F.instr("text", F.col("pat").cast("string")) > 0, 1)
+        .otherwise(0)
+        .alias("hit"),
+    )
+    return ver.groupBy("pat").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("hit").alias("n_verified"),
+        F.min(F.when(F.col("hit") == 1, F.col("doc_id"))).alias("min_hit_doc"),
+    )
