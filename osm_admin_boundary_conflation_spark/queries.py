@@ -14848,3 +14848,162 @@ def q_trigram_search_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").alias("n_verified"),
         F.min(F.when(F.col("hit") == 1, F.col("doc_id"))).alias("min_hit_doc"),
     )
+
+
+@q(
+    "snapshot_meta_tables",
+    oracle=r"""
+WITH v1 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 = 0),
+v2 AS (SELECT count(*) AS n FROM documents WHERE doc_id % 3 = 1)
+SELECT 1 AS version, 'data' AS type, CAST(v1.n AS BIGINT) AS n_rows,
+       CAST(3 AS BIGINT) AS n_files, CAST(v1.n AS BIGINT) AS sum_file_rows
+FROM v1
+UNION ALL
+SELECT 2, 'append', CAST(v2.n AS BIGINT), CAST(2 AS BIGINT), CAST(v2.n AS BIGINT)
+FROM v2
+""",
+)
+def q_snapshot_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style METADATA TABLES (snapshot_table.meta_table): the
+    table's history, per-version data files (row counts read from the
+    parquet footers), and refs are themselves queryable DataFrames, so
+    operational questions join through the same engine as data. The
+    gate commits two versions with pinned hash-repartition file counts
+    (3 then 2 — deterministic under repartition(n, col)) and
+    cross-checks the files table against the history manifest row
+    counts: sum(file rows) must equal the manifest's n_rows, the
+    invariant a table-format health check lives on."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    loc = tempfile.mkdtemp(prefix="snapmeta_") + "/tbl"
+    ST.write_snapshot(
+        docs.filter(F.col("doc_id") % 3 == 0).repartition(3, "doc_id"), loc, commit_ms=1
+    )
+    ST.write_append_snapshot(
+        docs.filter(F.col("doc_id") % 3 == 1).repartition(2, "doc_id"), loc, commit_ms=2
+    )
+    hist = ST.meta_table(spark, loc, "history").select(
+        "version", "type", F.coalesce("n_rows", "n_appended").alias("n_rows")
+    )
+    files = (
+        ST.meta_table(spark, loc, "files")
+        .groupBy("version")
+        .agg(F.count(F.lit(1)).alias("n_files"), F.sum("n_rows").alias("sum_file_rows"))
+    )
+    return hist.join(files, "version").select(
+        "version", "type", "n_rows", "n_files", "sum_file_rows"
+    )
+
+
+@q(
+    "skew_diagnosis",
+    oracle=r"""
+WITH keyed AS (
+  SELECT CASE WHEN doc_id % 10 < 4 THEN 0 ELSE doc_id END AS k FROM documents
+),
+kc AS (SELECT k, count(*) AS c FROM keyed GROUP BY k),
+tot AS (SELECT count(*) AS n_keys, sum(c) AS total FROM kc),
+ranked AS (SELECT k, c, row_number() OVER (ORDER BY c, k) AS i FROM kc),
+gini AS (
+  SELECT CAST(sum((2 * r.i - t.n_keys - 1) * r.c) AS BIGINT) AS gini_num,
+         CAST(t.n_keys * t.total AS BIGINT) AS gini_den
+  FROM ranked r CROSS JOIN tot t
+  GROUP BY t.n_keys, t.total
+),
+top3 AS (
+  SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn FROM kc
+)
+SELECT t.n_keys, CAST(t.total AS BIGINT) AS total,
+       (SELECT k FROM top3 WHERE rn = 1) AS hot1_key,
+       CAST((SELECT c FROM top3 WHERE rn = 1) AS BIGINT) AS hot1_count,
+       (SELECT k FROM top3 WHERE rn = 2) AS hot2_key,
+       g.gini_num, g.gini_den,
+       round(CAST(g.gini_num AS DOUBLE) / g.gini_den, 6) AS gini
+FROM tot t CROSS JOIN gini g
+""",
+)
+def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW DIAGNOSIS — the pre-flight a planner runs before
+    choosing salt counts (the geotag_skewed_salted remedy): per-key
+    histogram, the hottest keys (TakeOrdered), and the exact integer
+    Gini coefficient of the key distribution (sum((2i-n-1)x_i) over
+    n*sum(x), ranks ascending with a key tie-break). On this corpus a
+    planted 40%-one-key world scores gini ~0.4 where uniform keys
+    score ~0. The rank window runs over POST-AGGREGATION key counts
+    (one row per key), the same bounded shape as quality_deciles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = docs.select(
+        F.when(F.col("doc_id") % 10 < 4, 0).otherwise(F.col("doc_id")).alias("k")
+    )
+    kc = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    tot = kc.agg(F.count(F.lit(1)).alias("n_keys"), F.sum("c").alias("total"))
+    ranked = kc.select(
+        "k", "c", F.row_number().over(Window.orderBy("c", "k")).alias("i")
+    )
+    gini = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.sum((2 * F.col("i") - F.col("n_keys") - 1) * F.col("c")).alias("gini_num"),
+        F.max(F.col("n_keys") * F.col("total")).alias("gini_den"),
+    )
+    top = kc.orderBy(F.col("c").desc(), "k").limit(3).collect()
+    return (
+        tot.crossJoin(F.broadcast(gini))
+        .select(
+            "n_keys",
+            "total",
+            F.lit(top[0]["k"]).cast("long").alias("hot1_key"),
+            F.lit(top[0]["c"]).cast("long").alias("hot1_count"),
+            F.lit(top[1]["k"]).cast("long").alias("hot2_key"),
+            "gini_num",
+            "gini_den",
+            F.round(F.col("gini_num").cast("double") / F.col("gini_den"), 6).alias("gini"),
+        )
+    )
+
+
+@q(
+    "join_hint_battery",
+    oracle=r"""
+WITH j AS (
+  SELECT CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         count(*) AS n_rows
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+)
+SELECT s.strategy, j.n_rows, j.sum_cents
+FROM (SELECT unnest(['broadcast', 'merge', 'shuffle_hash']) AS strategy) s
+CROSS JOIN j
+""",
+)
+def q_join_hint_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANNER CONTROL: the same fact-dim join executed under three
+    explicit strategies — broadcast, sort-merge, shuffled-hash — each
+    ASSERTED in the executed plan (BroadcastHashJoin / SortMergeJoin /
+    ShuffledHashJoin) and all three pinned to identical results. This
+    is the knob a 100 TB deployment turns when the optimizer's estimate
+    is wrong (a dim that outgrows broadcast, an SMJ whose sort spills
+    where a hash join would not); the gate proves the hints actually
+    take effect rather than being silently dropped."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cents = F.round(F.col("o_totalprice").cast("double") * 100).cast("long")
+    out = []
+    for strategy, expect in (
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ):
+        dim = cust.select("c_custkey")
+        dim = F.broadcast(dim) if strategy == "broadcast" else dim.hint(strategy)
+        j = orders.join(dim, orders.o_custkey == dim.c_custkey).select(cents.alias("cents"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if expect not in plan:
+            raise AssertionError(f"hint {strategy!r} did not produce {expect}")
+        row = j.agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents")).collect()[0]
+        out.append((strategy, row["n_rows"], row["sum_cents"]))
+    return spark.createDataFrame(out, "strategy string, n_rows long, sum_cents long")

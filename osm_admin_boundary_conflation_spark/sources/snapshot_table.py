@@ -930,3 +930,59 @@ def read_snapshot_ref(spark: SparkSession, location: str, name: str) -> DataFram
     name. Tags give reproducible dataset pins ('train-v1'); branches
     give movable heads ('main', 'audit')."""
     return read_snapshot(spark, location, version=read_ref(location, name)["version"])
+
+
+def meta_table(spark: SparkSession, location: str, kind: str) -> DataFrame:
+    """Iceberg-style queryable METADATA TABLES: the table's own
+    bookkeeping exposed as DataFrames so operational queries ("which
+    version introduced the rows?", "how many files per version?",
+    "where do the refs point?") run through the same engine as data
+    queries instead of ad-hoc scripts.
+
+    kind='history'  -> (version, parent, committed_at_ms, n_rows, type)
+    kind='files'    -> (version, file, n_rows) — one row per data file
+                       per DIRECTLY-committed version (resolving the
+                       parquet footer row counts, not file bytes, so
+                       the output is deterministic across hosts)
+    kind='refs'     -> (name, kind, version)
+    """
+    if kind == "history":
+        rows = [
+            (
+                h["version"],
+                h["parent"],
+                h["committed_at_ms"],
+                h["n_rows"],
+                h["n_appended"],
+                h["type"],
+            )
+            for h in snapshot_history(location)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, parent long, committed_at_ms long, n_rows long, "
+            "n_appended long, type string",
+        )
+    if kind == "refs":
+        return spark.createDataFrame(
+            [(r["name"], r["kind"], r["version"]) for r in list_refs(location)],
+            "name string, kind string, version long",
+        )
+    if kind == "files":
+        import pyarrow.parquet as pq
+
+        rows = []
+        for v in _versions(location):
+            with open(_manifest_path(location, v)) as f:
+                m = json.load(f)
+            ddir = m.get("data_dir")
+            if ddir is None:
+                continue
+            base = os.path.join(location, ddir)
+            for root, _dirs, files in os.walk(base):
+                for fn in sorted(files):
+                    if fn.endswith(".parquet"):
+                        n = pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+                        rows.append((v, os.path.relpath(os.path.join(root, fn), base), n))
+        return spark.createDataFrame(rows, "version long, file string, n_rows long")
+    raise ValueError(f"unknown metadata table {kind!r}")

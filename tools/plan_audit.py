@@ -90,6 +90,7 @@ NESTED_LOOP_SCALAR_OK = {
     "retrieval_metrics",  # candidates x constant 5-query broadcast (bounded multiplier)
     "modularity_score",  # communities x 1-row edge-count scalar join
     "seasonal_decompose_daily",  # 1-row grand-mean scalar join; day spine is a bounded artifact
+    "skew_diagnosis",  # 1-row totals x 1-row gini scalar joins
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
@@ -187,7 +188,7 @@ def main() -> None:
         for r in rows
         if r.get("python_row")
         or (r.get("nested_loop") and r["name"] not in NESTED_LOOP_SCALAR_OK)
-        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier", "contribution_analysis"))
+        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier", "contribution_analysis", "skew_diagnosis"))
     ]
     out = [
         "# PLAN AUDIT — every registry query's executed plan, summarized",
