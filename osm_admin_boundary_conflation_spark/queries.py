@@ -15007,3 +15007,155 @@ def q_join_hint_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = j.agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents")).collect()[0]
         out.append((strategy, row["n_rows"], row["sum_cents"]))
     return spark.createDataFrame(out, "strategy string, n_rows long, sum_cents long")
+
+
+@q(
+    "scc_pivot_extract",
+    oracle=r"""
+WITH RECURSIVE e AS (
+  SELECT u AS src, (u * 2 + 1) % 300 AS dst FROM (SELECT unnest(range(300)) AS u)
+  UNION ALL
+  SELECT u, (u * 5 + 2) % 300 FROM (SELECT unnest(range(300)) AS u)
+),
+fwd AS (
+  SELECT CAST(7 AS BIGINT) AS id
+  UNION
+  SELECT e.dst FROM fwd JOIN e ON e.src = fwd.id
+),
+bwd AS (
+  SELECT CAST(7 AS BIGINT) AS id
+  UNION
+  SELECT e.src FROM bwd JOIN e ON e.dst = bwd.id
+)
+SELECT f.id FROM fwd f JOIN bwd b ON f.id = b.id
+""",
+)
+def q_scc_pivot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED strongly connected component extraction by FORWARD-
+    BACKWARD reachability (Fleischer-Hendrickson-Pinar): the SCC of a
+    pivot is exactly reach+(pivot) ∩ reach-(pivot), each computed by
+    the frontier-expansion rounds of bfs_hops run on the directed /
+    reversed edge lists — the divide-and-conquer step every
+    distributed SCC decomposition iterates. CC handles undirected
+    dedup graphs; THIS is the cycle-detection primitive for link
+    graphs (spider traps) and dataflow cycle checks. Oracle: two recursive
+    closures intersected."""
+    u = F.col("id")
+    e = (
+        spark.range(300)
+        .select(u.alias("src"), ((u * 2 + 1) % 300).alias("dst"))
+        .unionByName(spark.range(300).select(u.alias("src"), ((u * 5 + 2) % 300).alias("dst")))
+    )
+
+    def reach(edges):
+        # DIRECTED frontier expansion (bfs_hops symmetrizes, so the
+        # direction-preserving loop lives here; backward reach feeds
+        # the reversed edge list)
+        spark_ = edges.sparkSession
+        visited = spark_.createDataFrame([(7,)], "id long").localCheckpoint(eager=True)
+        frontier = visited
+        while True:
+            nxt = (
+                frontier.join(edges, frontier.id == edges.src)
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                return visited
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+
+    fwd = reach(e)
+    bwd = reach(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return fwd.join(bwd, "id", "left_semi")
+
+
+@q(
+    "crawl_frontier_schedule",
+    oracle=r"""
+WITH urls AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+         CAST(doc_id % 7 AS BIGINT) AS priority
+  FROM documents
+),
+waved AS (
+  SELECT doc_id, host, priority,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY priority, doc_id) - 1 AS BIGINT)
+           AS wave
+  FROM urls
+)
+SELECT doc_id, host, priority, wave,
+       CAST(wave * 20 + CAST(substr(host, 2) AS BIGINT) AS BIGINT) AS fetch_slot
+FROM waved
+""",
+)
+def q_crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: per-host round-robin
+    WAVES (each host contributes its best-priority URL to wave 0, next
+    to wave 1, ...) so no host is hit twice before every host is hit
+    once, with a deterministic fetch slot = wave * n_hosts + host
+    index — the frontier ordering a fetch fleet consumes. One per-host
+    window (priority, doc tie-break); no global sequence is
+    materialized because the slot is ARITHMETIC on (wave, host), the
+    same trick as the engine's bucketed global ranks."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 20).cast("string")).alias("host"),
+        (d % 7).cast("long").alias("priority"),
+    )
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    waved = urls.select(
+        "*", (F.row_number().over(w) - 1).cast("long").alias("wave")
+    )
+    return waved.select(
+        "doc_id",
+        "host",
+        "priority",
+        "wave",
+        (F.col("wave") * 20 + F.expr("CAST(substr(host, 2) AS BIGINT)")).alias("fetch_slot"),
+    )
+
+
+@q(
+    "sentence_split_stats",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?] '), x -> length(x) > 0) AS sents
+  FROM documents
+)
+SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(list_min(list_transform(sents, x -> length(x))) AS BIGINT) AS min_len,
+       CAST(list_max(list_transform(sents, x -> length(x))) AS BIGINT) AS max_len,
+       CAST(list_sum(list_transform(sents, x -> length(x))) AS BIGINT) AS sum_len
+FROM s
+""",
+)
+def q_sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation census (the pre-tokenization splitter of a
+    text pipeline): split on terminal punctuation + space (the terminal
+    mark is consumed by the splitter — RE2 oracles forbid lookbehind,
+    so the consuming form is the portable contract), per-document
+    sentence count and length extremes/total — all JVM higher-order
+    functions; both engines share the identical regex so the split
+    itself is what the gate pins. (The synthetic corpus has
+    few terminals, so most docs are one long sentence — also worth
+    pinning: a splitter that over-splits unpunctuated text is how
+    boilerplate sneaks into training sets.)"""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?] "), lambda x: F.length(x) > 0
+    )
+    lens = F.transform(sents, lambda x: F.length(x).cast("long"))
+    return docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.array_min(lens).alias("min_len"),
+        F.array_max(lens).alias("max_len"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_len"),
+    )
