@@ -15050,19 +15050,24 @@ def q_scc_pivot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def reach(edges):
         # DIRECTED frontier expansion (bfs_hops symmetrizes, so the
         # direction-preserving loop lives here; backward reach feeds
-        # the reversed edge list)
+        # the reversed edge list). Frontier size rides the checkpoint
+        # job via Observation — one job per round.
+        from pyspark.sql import Observation
+
         spark_ = edges.sparkSession
         visited = spark_.createDataFrame([(7,)], "id long").localCheckpoint(eager=True)
         frontier = visited
         while True:
+            obs = Observation()
             nxt = (
                 frontier.join(edges, frontier.id == edges.src)
                 .select(F.col("dst").alias("id"))
                 .distinct()
                 .join(visited, "id", "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
-            if nxt.count() == 0:
+            if (obs.get["n"] or 0) == 0:
                 return visited
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
