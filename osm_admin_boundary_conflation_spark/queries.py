@@ -15039,7 +15039,10 @@ def q_scc_pivot_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed SCC decomposition iterates. CC handles undirected
     dedup graphs; THIS is the cycle-detection primitive for link
     graphs (spider traps) and dataflow cycle checks. Oracle: two recursive
-    closures intersected."""
+    closures intersected. (Some expansion rounds overflow whole-stage
+    codegen's 64 KB method limit and fall back to interpreted execution
+    — Spark logs ERROR CodeGenerator but handles it; a 300-row frontier
+    stage is indifferent to the fallback.)"""
     u = F.col("id")
     e = (
         spark.range(300)
