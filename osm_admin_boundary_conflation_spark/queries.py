@@ -15167,3 +15167,253 @@ def q_sentence_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(lens).alias("max_len"),
         F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_len"),
     )
+
+
+@q(
+    "pmi_pairs_scaled",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id AS id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+tok AS (SELECT id, unnest(w) AS t FROM words),
+cw AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+n AS (SELECT count(*) AS nd FROM words),
+pairs AS (
+  SELECT a.t AS ta, b.t AS tb, count(*) AS cab
+  FROM tok a JOIN tok b ON a.id = b.id AND a.t < b.t
+  GROUP BY a.t, b.t
+),
+lift AS (
+  SELECT p.ta, p.tb, CAST(p.cab AS BIGINT) AS c_ab,
+         CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+         CAST(n.nd * p.cab AS BIGINT) AS num,
+         CAST(ca.c * cb.c AS BIGINT) AS den
+  FROM pairs p JOIN cw ca ON p.ta = ca.t JOIN cw cb ON p.tb = cb.t
+  CROSS JOIN n
+  WHERE p.cab >= 20
+)
+SELECT ta, tb, c_ab, c_a, c_b, num, den,
+       round(CAST(num AS DOUBLE) / den, 6) AS lift
+FROM lift
+WHERE num * 20 >= den * 21
+""",
+)
+def q_pmi_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining with EXACT integer lift (the e^PMI statistic):
+    lift(a,b) = N * c_ab / (c_a * c_b), kept as an integer num/den pair
+    so the >= 1.05 association threshold is the integer predicate
+    20*num >= 21*den — no logarithm enters, which is what makes PMI
+    gateable cross-engine. Document-level co-occurrence over distinct
+    tokens, min-support 20 before the ratio (the standard
+    low-frequency-PMI guard). Pair generation is a per-document
+    self-join on the doc key — bounded by tokens-per-doc, never
+    vocab^2."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))).alias("t"),
+    )
+    cw = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    nd = tok.select("id").distinct().agg(F.count(F.lit(1)).alias("nd"))
+    a = tok.select("id", F.col("t").alias("ta"))
+    b = tok.select("id", F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, "id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    lift = (
+        pairs.join(cw.select(F.col("t").alias("ta"), F.col("c").alias("c_a")), "ta")
+        .join(cw.select(F.col("t").alias("tb"), F.col("c").alias("c_b")), "tb")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "ta",
+            "tb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            (F.col("nd") * F.col("c_ab")).alias("num"),
+            (F.col("c_a") * F.col("c_b")).alias("den"),
+        )
+    )
+    return lift.filter(F.col("num") * 20 >= F.col("den") * 21).select(
+        "ta",
+        "tb",
+        "c_ab",
+        "c_a",
+        "c_b",
+        "num",
+        "den",
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("lift"),
+    )
+
+
+@q(
+    "cusum_changepoint",
+    oracle=r"""
+WITH daily AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         count(*) AS y
+  FROM events GROUP BY event_type, day
+),
+tot AS (
+  SELECT event_type, count(*) AS n, sum(y) AS s FROM daily GROUP BY event_type
+),
+cum AS (
+  SELECT d.event_type, d.day, t.n, t.s,
+         sum(d.y) OVER (PARTITION BY d.event_type ORDER BY d.day
+                        ROWS UNBOUNDED PRECEDING) AS cy,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i
+  FROM daily d JOIN tot t USING (event_type)
+),
+dev AS (
+  SELECT event_type, day, CAST(n * cy - i * s AS BIGINT) AS s_dev
+  FROM cum
+),
+best AS (
+  SELECT event_type, day AS change_day, s_dev FROM dev
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY abs(s_dev) DESC, day) = 1
+)
+SELECT b.event_type, b.change_day, b.s_dev,
+       CAST(t.n AS BIGINT) AS n_days, CAST(t.s AS BIGINT) AS total
+FROM best b JOIN tot t USING (event_type)
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event-type series, EXACT: the
+    classic cumulative deviation S_t = sum_{i<=t}(y_i - mean) is kept
+    integral by scaling with n (S'_t = n*cumsum_t - t*total); the
+    change point is argmax |S'_t| with a day tie-break — the
+    level-shift detector a traffic monitor runs per segment. One
+    cumulative window per series, one argmax — no floats at all."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cum = daily.join(tot, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        "s",
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cy"),
+        F.row_number().over(w).alias("i"),
+    )
+    dev = cum.select(
+        "event_type", "day", (F.col("n") * F.col("cy") - F.col("i") * F.col("s")).alias("s_dev")
+    )
+    best = (
+        dev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.abs("s_dev").desc(), "day")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("change_day"), "s_dev")
+    )
+    return best.join(tot, "event_type").select(
+        "event_type", "change_day", "s_dev", F.col("n").alias("n_days"), F.col("s").alias("total")
+    )
+
+
+def _perc_stage_sql(pct: int) -> str:
+    return f"""
+e{pct} AS (
+  SELECT u, v FROM ce
+  WHERE CAST(('0x' || substr(md5('p:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))
+             AS BIGINT) % 100 < {pct}
+),
+s{pct} AS (SELECT u, v FROM e{pct} UNION SELECT v, u FROM e{pct}),
+r{pct} AS (
+  SELECT id, id AS lab FROM n
+  UNION
+  SELECT s{pct}.v AS id, r{pct}.lab FROM r{pct} JOIN s{pct} ON s{pct}.u = r{pct}.id
+),
+c{pct} AS (SELECT id, min(lab) AS lab FROM r{pct} GROUP BY id),
+g{pct} AS (
+  SELECT {pct} AS pct, count(DISTINCT lab) AS n_comp, max(cnt) AS giant
+  FROM (SELECT lab, count(*) AS cnt FROM c{pct} GROUP BY lab)
+)"""
+
+
+@q(
+    "percolation_sweep",
+    oracle=(
+        """
+WITH RECURSIVE raw AS (
+  SELECT u, (u * 2 + 1) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+  UNION ALL
+  SELECT u, (u * 7 + 5) % 400 AS v FROM (SELECT unnest(range(400)) AS u)
+),
+ce AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM raw WHERE u != v),
+n AS (SELECT DISTINCT u AS id FROM (SELECT u FROM ce UNION ALL SELECT v FROM ce)),"""
+        + ",".join(_perc_stage_sql(p) for p in (30, 60, 90))
+        + """
+SELECT CAST(pct AS BIGINT) AS pct, CAST(n_comp AS BIGINT) AS n_comp,
+       CAST(giant AS BIGINT) AS giant
+FROM (SELECT * FROM g30 UNION ALL SELECT * FROM g60 UNION ALL SELECT * FROM g90)
+"""
+    ),
+)
+def q_percolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation sweep: the SAME graph retains a deterministic
+    md5-sampled 30% / 60% / 90% of its edges and connected components
+    run at each fraction — the giant-component emergence curve
+    (Erdos-Renyi phase transition) that tells a dedup/link pipeline how
+    robust its clusters are to edge noise. Sampling is content-hashed
+    (md5 of the canonical edge), so the subsets are nested and
+    reproducible across engines; one CC run per fraction."""
+    from .operators.graph import connected_components
+
+    u = F.col("id")
+    raw = (
+        spark.range(400)
+        .select(u.alias("src"), ((u * 2 + 1) % 400).alias("dst"))
+        .unionByName(spark.range(400).select(u.alias("src"), ((u * 7 + 5) % 400).alias("dst")))
+        .filter("src != dst")
+    )
+    ce = raw.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.lit("p:"), F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string")
+                    ),
+                    "UTF-8",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = ce.select("u", "v", (h % 100).alias("hp")).localCheckpoint(eager=True)
+    nodes = (
+        ce.select(F.col("u").alias("id")).union(ce.select(F.col("v").alias("id"))).distinct()
+    )
+    out = None
+    for pct in (30, 60, 90):
+        edges = keyed.filter(F.col("hp") < pct).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        )
+        lab = connected_components(nodes, edges, max_iter=40, algorithm="star")
+        g = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cnt")).agg(
+            F.lit(pct).cast("long").alias("pct"),
+            F.count(F.lit(1)).alias("n_comp"),
+            F.max("cnt").alias("giant"),
+        )
+        out = g if out is None else out.unionByName(g)
+    return out
