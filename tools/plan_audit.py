@@ -91,6 +91,7 @@ NESTED_LOOP_SCALAR_OK = {
     "modularity_score",  # communities x 1-row edge-count scalar join
     "seasonal_decompose_daily",  # 1-row grand-mean scalar join; day spine is a bounded artifact
     "skew_diagnosis",  # 1-row totals x 1-row gini scalar joins
+    "pmi_pairs_scaled",  # 1-row corpus-N scalar broadcast
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
