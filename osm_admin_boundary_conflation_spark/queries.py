@@ -15417,3 +15417,245 @@ def q_percolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = g if out is None else out.unionByName(g)
     return out
+
+
+@q(
+    "raster_region_label",
+    oracle=r"""
+WITH RECURSIVE g AS (
+  SELECT CAST(u % 40 AS BIGINT) AS gx, CAST(u // 40 AS BIGINT) AS gy,
+         (u * 37 + (u * u) % 101) % 100 AS val
+  FROM (SELECT unnest(range(1600)) AS u)
+),
+fg AS (SELECT gx, gy, gx + gy * 40 AS id FROM g WHERE val >= 55),
+e AS (
+  SELECT a.id AS u, b.id AS v
+  FROM fg a JOIN fg b
+    ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) = 1
+),
+r AS (
+  SELECT id, id AS lab FROM fg
+  UNION
+  SELECT e.v AS id, r.lab FROM r JOIN e ON e.u = r.id
+),
+lab AS (SELECT id, min(lab) AS region FROM r GROUP BY id),
+sizes AS (SELECT region, count(*) AS n_cells FROM lab GROUP BY region)
+SELECT CAST((SELECT count(*) FROM fg) AS BIGINT) AS n_fg_cells,
+       CAST(count(*) AS BIGINT) AS n_regions,
+       CAST(max(n_cells) AS BIGINT) AS largest,
+       CAST(min(region) AS BIGINT) AS min_region_id
+FROM sizes
+""",
+)
+def q_raster_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster REGION LABELING (flood fill / watershed segmentation, the
+    remote-sensing primitive): threshold a 40x40 value grid, then
+    4-connected components over the foreground cells — adjacency as an
+    exploded-neighbour EQUI join (the morans_i_grid trick) feeding
+    operators/graph.connected_components, so the fill is O(rounds)
+    shuffles, never a pixel-crawling UDF. Census output: foreground
+    count, region count, largest region. The oracle floods with a
+    recursive closure."""
+    from .operators.graph import connected_components
+
+    u = F.col("id")
+    g = spark.range(1600).select(
+        (u % 40).alias("gx"),
+        (u / 40).cast("long").alias("gy"),
+        ((u * 37 + (u * u) % 101) % 100).alias("val"),
+    )
+    fg = g.filter(F.col("val") >= 55).select(
+        "gx", "gy", (F.col("gx") + F.col("gy") * 40).alias("id")
+    ).localCheckpoint(eager=True)
+    probes = fg.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.expr(
+                "array(struct(gx + 1 AS bx, gy AS by), struct(gx - 1 AS bx, gy AS by), "
+                "struct(gx AS bx, gy + 1 AS by), struct(gx AS bx, gy - 1 AS by))"
+            )
+        ).alias("nb"),
+    ).select("src", F.col("nb.bx").alias("gx"), F.col("nb.by").alias("gy"))
+    edges = probes.join(fg.select("gx", "gy", F.col("id").alias("dst")), ["gx", "gy"]).select(
+        "src", "dst"
+    )
+    lab = connected_components(fg.select("id"), edges, max_iter=40, algorithm="star")
+    sizes = lab.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_cells"))
+    nfg = fg.agg(F.count(F.lit(1)).alias("n_fg_cells"))
+    return nfg.crossJoin(
+        F.broadcast(
+            sizes.agg(
+                F.count(F.lit(1)).alias("n_regions"),
+                F.max("n_cells").alias("largest"),
+                F.min("cluster_id").alias("min_region_id"),
+            )
+        )
+    )
+
+
+@q(
+    "mad_outliers",
+    oracle=r"""
+WITH v AS (
+  SELECT o_orderkey AS id, o_orderstatus AS grp,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM orders
+),
+med AS (
+  SELECT grp, cents,
+         row_number() OVER (PARTITION BY grp ORDER BY cents, id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM v
+),
+m1 AS (
+  SELECT grp, CAST(avg(cents) AS DOUBLE) AS med
+  FROM med WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY grp
+),
+dev AS (
+  SELECT v.id, v.grp, v.cents, abs(v.cents - m1.med) AS ad
+  FROM v JOIN m1 USING (grp)
+),
+med2 AS (
+  SELECT grp, ad, row_number() OVER (PARTITION BY grp ORDER BY ad, id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM dev
+),
+m2 AS (
+  SELECT grp, CAST(avg(ad) AS DOUBLE) AS mad
+  FROM med2 WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY grp
+)
+SELECT d.grp, count(*) AS n_rows,
+       round(max(m1.med), 2) AS med, round(max(m2.mad), 2) AS mad,
+       CAST(sum(CASE WHEN d.ad > 3 * m2.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN m1 ON d.grp = m1.grp JOIN m2 ON d.grp = m2.grp
+GROUP BY d.grp
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+    50%-breakdown alternative to z-scores whose mean/stddev an outlier
+    itself corrupts: per group, median (exact order-statistic pick,
+    avg of the two middles), absolute deviations, their median (MAD),
+    and the |x - med| > 3*MAD census. Inputs are integer cents so every
+    deviation is exact; the two medians are rank picks, never float
+    accumulations. Two ranking windows per group + one join back."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    v = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("grp"),
+        F.round(F.col("o_totalprice").cast("double") * 100).cast("long").alias("cents"),
+    )
+
+    def median_of(df, col, out):
+        w = Window.partitionBy("grp").orderBy(col, "id")
+        r = df.select(
+            "grp",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+        )
+        return (
+            r.filter(
+                (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+            )
+            .groupBy("grp")
+            .agg(F.avg(col).cast("double").alias(out))
+        )
+
+    m1 = median_of(v, "cents", "med")
+    dev = v.join(m1, "grp").select(
+        "id", "grp", "cents", F.abs(F.col("cents") - F.col("med")).alias("ad")
+    )
+    m2 = median_of(dev, "ad", "mad")
+    j = dev.join(m2, "grp")
+    out = j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("ad") > 3 * F.col("mad")).cast("long")).alias("n_outliers"),
+    )
+    return (
+        out.join(m1, "grp")
+        .join(m2, "grp")
+        .select(
+            "grp",
+            "n_rows",
+            F.round("med", 2).alias("med"),
+            F.round("mad", 2).alias("mad"),
+            "n_outliers",
+        )
+        .select("grp", "n_rows", "med", "mad", "n_outliers")
+    )
+
+
+@q(
+    "url_path_trie_census",
+    oracle=r"""
+WITH urls AS (
+  SELECT doc_id,
+         '/sec' || CAST(doc_id % 7 AS VARCHAR) || '/cat' || CAST(doc_id % 13 AS VARCHAR)
+           || '/item' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+parts AS (SELECT doc_id, string_split(path, '/') AS p FROM urls),
+prefixes AS (
+  SELECT doc_id,
+         CAST(r.i AS BIGINT) + 1 AS depth,
+         array_to_string(p[1 : CAST(r.i AS BIGINT) + 2], '/') AS prefix
+  FROM parts, unnest(range(len(p) - 1)) r(i)
+),
+census AS (
+  SELECT depth, prefix, count(*) AS n_urls FROM prefixes GROUP BY depth, prefix
+),
+child AS (
+  SELECT p.depth, p.prefix, count(DISTINCT c.prefix) AS n_children
+  FROM census p LEFT JOIN census c
+    ON c.depth = p.depth + 1 AND starts_with(c.prefix, p.prefix || '/')
+  GROUP BY p.depth, p.prefix
+)
+SELECT c.depth, c.prefix, CAST(c.n_urls AS BIGINT) AS n_urls,
+       CAST(ch.n_children AS BIGINT) AS n_children
+FROM census c JOIN child ch ON c.depth = ch.depth AND c.prefix = ch.prefix
+WHERE c.depth <= 2
+""",
+)
+def q_url_path_trie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path TRIE census: every path prefix up to depth 2 with its
+    URL count and distinct-child fanout — the site-structure profile a
+    crawler uses to spot infinite calendars and faceted-search traps
+    (huge fanout at one node). Prefixes come from one sequence explode
+    per URL; the child fanout joins depth d to d+1 ON THE PARENT
+    PREFIX (derived by string arithmetic, an equi key — not a LIKE
+    scan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("/sec"), (d % 7).cast("string"), F.lit("/cat"), (d % 13).cast("string"),
+            F.lit("/item"), d.cast("string"),
+        ).alias("path"),
+    )
+    parts = urls.select("doc_id", F.split("path", "/").alias("p"))
+    prefixes = parts.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(p) - 1), "
+                "i -> struct(CAST(i AS BIGINT) AS depth, array_join(slice(p, 1, i + 1), '/') AS prefix))"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.depth").alias("depth"), F.col("x.prefix").alias("prefix"))
+    census = prefixes.groupBy("depth", "prefix").agg(F.count(F.lit(1)).alias("n_urls"))
+    # child fanout: derive each depth-(d+1) node's PARENT prefix and
+    # count children per parent with an equi groupBy
+    parents = census.filter(F.col("depth") >= 2).select(
+        (F.col("depth") - 1).alias("depth"),
+        F.expr("substring(prefix, 1, length(prefix) - length(split(prefix, '/')[size(split(prefix, '/')) - 1]) - 1)").alias("prefix"),
+    )
+    fanout = parents.groupBy("depth", "prefix").agg(F.count(F.lit(1)).alias("n_children"))
+    return (
+        census.filter(F.col("depth") <= 2)
+        .join(fanout, ["depth", "prefix"], "left")
+        .select(
+            "depth", "prefix", "n_urls", F.coalesce("n_children", F.lit(0)).alias("n_children")
+        )
+    )
