@@ -92,6 +92,7 @@ NESTED_LOOP_SCALAR_OK = {
     "seasonal_decompose_daily",  # 1-row grand-mean scalar join; day spine is a bounded artifact
     "skew_diagnosis",  # 1-row totals x 1-row gini scalar joins
     "pmi_pairs_scaled",  # 1-row corpus-N scalar broadcast
+    "raster_region_label",  # 1-row fg-count x 1-row region census scalar join
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
