@@ -15659,3 +15659,293 @@ def q_url_path_trie_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "depth", "prefix", "n_urls", F.coalesce("n_children", F.lit(0)).alias("n_children")
         )
     )
+
+
+@q(
+    "spmm_sparse",
+    oracle=r"""
+WITH a AS (
+  SELECT u % 50 AS i, (u * 7 + 1) % 40 AS k, u % 9 + 1 AS v
+  FROM (SELECT unnest(range(300)) AS u)
+),
+b AS (
+  SELECT u % 40 AS k, (u * 11 + 3) % 30 AS j, u % 5 + 1 AS v
+  FROM (SELECT unnest(range(240)) AS u)
+),
+ad AS (SELECT i, k, sum(v) AS v FROM a GROUP BY i, k),
+bd AS (SELECT k, j, sum(v) AS v FROM b GROUP BY k, j),
+c AS (
+  SELECT ad.i, bd.j, sum(ad.v * bd.v) AS v
+  FROM ad JOIN bd USING (k) GROUP BY ad.i, bd.j
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, CAST(v AS BIGINT) AS v
+FROM c
+""",
+)
+def q_spmm_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse matrix-matrix multiply as relational algebra — THE
+    foundational pattern under GNN layers, Markov steps, and
+    co-engagement projections: C(i,j) = sum_k A(i,k)*B(k,j) is one
+    equi-join on the contraction index k plus one groupBy (i,j), both
+    partitioned by their keys — at 1000 executors the join shuffles by
+    k and the reduce by (i,j), the textbook 2-phase SUMMA shape.
+    Duplicate coordinates collapse first (the COO -> canonical step).
+    All integer values, exact."""
+    u = F.col("id")
+    a = spark.range(300).select(
+        (u % 50).alias("i"), ((u * 7 + 1) % 40).alias("k"), (u % 9 + 1).alias("v")
+    )
+    b = spark.range(240).select(
+        (u % 40).alias("k"), ((u * 11 + 3) % 30).alias("j"), (u % 5 + 1).alias("v")
+    )
+    ad = a.groupBy("i", "k").agg(F.sum("v").alias("v"))
+    bd = b.groupBy("k", "j").agg(F.sum("v").alias("v"))
+    return (
+        ad.join(bd.withColumnRenamed("v", "bv"), "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v") * F.col("bv")).alias("v"))
+        .select("i", "j", "v")
+    )
+
+
+def _featprop_stage_sql(t: int) -> str:
+    p = t - 1
+    return f"""
+h{t} AS (
+  SELECT n.id,
+         n.f0 + COALESCE(s.s0, 0) AS f0, n.f1 + COALESCE(s.s1, 0) AS f1,
+         n.f2 + COALESCE(s.s2, 0) AS f2, n.f3 + COALESCE(s.s3, 0) AS f3
+  FROM h{p} n LEFT JOIN (
+    SELECT e.v AS id, sum(h.f0) AS s0, sum(h.f1) AS s1, sum(h.f2) AS s2, sum(h.f3) AS s3
+    FROM e JOIN h{p} h ON e.u = h.id GROUP BY e.v
+  ) s ON n.id = s.id
+)"""
+
+
+@q(
+    "feature_propagation_2hop",
+    oracle=(
+        """
+WITH raw AS (
+  SELECT u, (u * 2 + 1) % 200 AS v FROM (SELECT unnest(range(200)) AS u)
+  UNION ALL
+  SELECT u, (u * 7 + 3) % 200 FROM (SELECT unnest(range(200)) AS u)
+),
+e AS (
+  SELECT u, v FROM raw WHERE u != v
+  UNION
+  SELECT v AS u, u AS v FROM raw WHERE u != v
+),
+h0 AS (
+  SELECT u AS id, u % 5 AS f0, (u * 3) % 7 AS f1, (u * 7) % 11 AS f2, 1 AS f3
+  FROM (SELECT DISTINCT u FROM e)
+),"""
+        + ",".join(_featprop_stage_sql(t) for t in (1, 2))
+        + """
+SELECT id, CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+FROM h2
+"""
+    ),
+)
+def q_feature_propagation_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style message passing, two layers of sum aggregation
+    (GraphSAGE-sum without learned weights — h' = h + sum over
+    neighbours of h): each layer is ONE vertex-keyed join + groupBy,
+    i.e. an adjacency-times-features spmm (see spmm_sparse), the exact
+    dataflow of distributed GNN feature propagation. Integer features
+    keep every layer exact; f3=1 makes the last column a 2-hop
+    neighbourhood size check. The oracle unrolls both layers."""
+    u = F.col("id")
+    raw = (
+        spark.range(200)
+        .select(u.alias("src"), ((u * 2 + 1) % 200).alias("dst"))
+        .unionByName(spark.range(200).select(u.alias("src"), ((u * 7 + 3) % 200).alias("dst")))
+        .filter("src != dst")
+    )
+    sym = (
+        raw.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(raw.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = sym.select(F.col("u").alias("id")).distinct().select(
+        "id",
+        (F.col("id") % 5).alias("f0"),
+        ((F.col("id") * 3) % 7).alias("f1"),
+        ((F.col("id") * 7) % 11).alias("f2"),
+        F.lit(1).cast("long").alias("f3"),
+    )
+    feats = ["f0", "f1", "f2", "f3"]
+    for _ in range(2):
+        msgs = (
+            sym.join(h.select(F.col("id").alias("u"), *feats), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(*[F.sum(c).alias(f"s_{c}") for c in feats])
+        )
+        h = h.join(msgs, "id", "left").select(
+            "id",
+            *[(F.col(c) + F.coalesce(F.col(f"s_{c}"), F.lit(0))).alias(c) for c in feats],
+        )
+    return h
+
+
+@q(
+    "token_bucket_admission",
+    oracle=r"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+),
+seq AS (
+  SELECT user_id, us,
+         row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS i
+  FROM ev
+),
+r AS (
+  SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(5000000 AS BIGINT) AS tokens,
+         CAST(NULL AS BIGINT) AS last_us,
+         CAST(0 AS BIGINT) AS admitted, CAST(0 AS BIGINT) AS rejected
+  FROM (SELECT DISTINCT user_id FROM ev)
+  UNION ALL
+  SELECT r.user_id, r.i + 1,
+         CASE WHEN least(CAST(5000000 AS BIGINT),
+                r.tokens + CASE WHEN r.last_us IS NULL THEN 0
+                                ELSE (s.us - r.last_us) // 2 END) >= 1000000
+              THEN least(CAST(5000000 AS BIGINT),
+                r.tokens + CASE WHEN r.last_us IS NULL THEN 0
+                                ELSE (s.us - r.last_us) // 2 END) - 1000000
+              ELSE least(CAST(5000000 AS BIGINT),
+                r.tokens + CASE WHEN r.last_us IS NULL THEN 0
+                                ELSE (s.us - r.last_us) // 2 END) END,
+         s.us,
+         r.admitted + CASE WHEN least(CAST(5000000 AS BIGINT),
+                r.tokens + CASE WHEN r.last_us IS NULL THEN 0
+                                ELSE (s.us - r.last_us) // 2 END) >= 1000000
+                           THEN 1 ELSE 0 END,
+         r.rejected + CASE WHEN least(CAST(5000000 AS BIGINT),
+                r.tokens + CASE WHEN r.last_us IS NULL THEN 0
+                                ELSE (s.us - r.last_us) // 2 END) >= 1000000
+                           THEN 0 ELSE 1 END
+  FROM r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+)
+SELECT user_id, admitted AS n_admitted, rejected AS n_rejected
+FROM r
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY i DESC) = 1
+""",
+)
+def q_token_bucket_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TOKEN-BUCKET rate limiting replayed over event
+    history — the admission-control policy a fetch/API layer enforces,
+    audited offline: capacity 5 token-seconds (microsecond-scaled),
+    refill 1 token per 2 us of elapsed time (integer division — exact),
+    cost 1 token per event. The per-user fold is a single JVM
+    ``aggregate`` over the time-sorted event array (the funnel_counts
+    state-machine shape) — one shuffle, no Python, no window
+    re-partitioning per step; the oracle folds the identical lambda in
+    DuckDB."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    arr = (
+        ev.select("user_id", F.struct(us.alias("us"), F.col("event_id").alias("eid")).alias("x"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          xs,
+          named_struct('tokens', CAST(5000000 AS BIGINT), 'last', CAST(NULL AS BIGINT),
+                       'admitted', CAST(0 AS BIGINT), 'rejected', CAST(0 AS BIGINT)),
+          (acc, x) -> CASE
+            WHEN least(CAST(5000000 AS BIGINT),
+                       acc.tokens + CASE WHEN acc.last IS NULL THEN 0
+                                         ELSE (x.us - acc.last) div 2 END) >= 1000000
+            THEN named_struct('tokens',
+                   least(CAST(5000000 AS BIGINT),
+                         acc.tokens + CASE WHEN acc.last IS NULL THEN 0
+                                           ELSE (x.us - acc.last) div 2 END) - 1000000,
+                   'last', x.us, 'admitted', acc.admitted + 1, 'rejected', acc.rejected)
+            ELSE named_struct('tokens',
+                   least(CAST(5000000 AS BIGINT),
+                         acc.tokens + CASE WHEN acc.last IS NULL THEN 0
+                                           ELSE (x.us - acc.last) div 2 END),
+                   'last', x.us, 'admitted', acc.admitted, 'rejected', acc.rejected + 1)
+          END
+        )
+        """
+    )
+    return arr.select(
+        "user_id",
+        fold.alias("st"),
+    ).select(
+        "user_id",
+        F.col("st.admitted").alias("n_admitted"),
+        F.col("st.rejected").alias("n_rejected"),
+    )
+
+
+@q(
+    "interval_union_length",
+    oracle=r"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 120000000 AS e, event_id
+  FROM events WHERE event_type = 'view'
+),
+lagged AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+  FROM lagged
+),
+spans AS (
+  SELECT user_id, island, min(s) AS s, max(e) AS e
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(e - s) AS BIGINT) AS covered_us
+FROM spans GROUP BY user_id
+""",
+)
+def q_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION coverage per user: every view opens a 2-minute
+    attention window; overlapping windows merge (running-max sweep —
+    the gaps-and-islands form of interval union) and the covered
+    microseconds and span count are exact integers. The active-time /
+    SLA-coverage primitive; one window pass per user, no self-join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    iv = ev.select(
+        "user_id", us.alias("s"), (us + 120000000).alias("e"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    lagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("prev_max"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("s", "e")
+    isl = lagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1).otherwise(0)
+        )
+        .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"), F.sum(F.col("e") - F.col("s")).alias("covered_us")
+    )
