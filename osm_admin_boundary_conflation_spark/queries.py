@@ -15949,3 +15949,143 @@ def q_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_spans"), F.sum(F.col("e") - F.col("s")).alias("covered_us")
     )
+
+
+@q(
+    "snapshot_commit_constraints",
+    oracle=r"""
+WITH good AS (SELECT count(*) AS n FROM nation)
+SELECT CAST(1 AS BIGINT) AS version, good.n AS n_rows,
+       CAST(1 AS BIGINT) AS null_rejected, CAST(1 AS BIGINT) AS dup_rejected,
+       CAST(1 AS BIGINT) AS table_intact
+FROM good
+""",
+)
+def q_snapshot_commit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time TABLE CONSTRAINTS (snapshot_table.
+    write_snapshot_checked — the Delta NOT NULL / unique-key shape):
+    a clean commit lands; a NULL-bearing frame and a duplicate-key
+    frame are both rejected by ONE validation aggregate BEFORE any
+    data or manifest is written, and the gate proves the table is
+    byte-identical after each rejection (same version, same row
+    count). Validation costs one pass over the incoming frame — the
+    price of never quarantining corrupt table states."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    loc = tempfile.mkdtemp(prefix="snapcons_") + "/tbl"
+    v = ST.write_snapshot_checked(
+        nat, loc, not_null=["k", "name"], unique_key=["k"], commit_ms=1
+    )
+    null_rejected = dup_rejected = 0
+    bad_null = nat.unionByName(
+        spark.createDataFrame([(None, "x")], "k long, name string")
+    )
+    try:
+        ST.write_snapshot_checked(bad_null, loc, not_null=["k"], unique_key=["k"], commit_ms=2)
+    except ST.ConstraintViolation:
+        null_rejected = 1
+    bad_dup = nat.unionByName(nat.limit(3))
+    try:
+        ST.write_snapshot_checked(bad_dup, loc, not_null=["k"], unique_key=["k"], commit_ms=3)
+    except ST.ConstraintViolation:
+        dup_rejected = 1
+    versions_after = max(
+        h["version"] for h in ST.snapshot_history(loc)
+    )
+    n_rows = ST.read_snapshot(spark, loc).count()
+    return spark.createDataFrame(
+        [(versions_after, n_rows, null_rejected, dup_rejected, int(versions_after == v))],
+        "version long, n_rows long, null_rejected long, dup_rejected long, table_intact long",
+    )
+
+
+@q(
+    "grid_line_of_sight",
+    oracle=r"""
+WITH towers AS (
+  SELECT n_nationkey AS tid,
+         (n_nationkey * 17) % 60 AS tx, (n_nationkey * 29) % 60 AS ty
+  FROM nation
+),
+pairs AS (
+  SELECT a.tid AS ta, b.tid AS tb, a.tx AS x1, a.ty AS y1, b.tx AS x2, b.ty AS y2,
+         greatest(abs(b.tx - a.tx), abs(b.ty - a.ty)) AS n
+  FROM towers a JOIN towers b ON a.tid < b.tid
+  WHERE greatest(abs(b.tx - a.tx), abs(b.ty - a.ty)) > 0
+),
+samples AS (
+  SELECT ta, tb, n,
+         (x1 * n + (x2 - x1) * CAST(r.i AS BIGINT)) // n AS cx,
+         (y1 * n + (y2 - y1) * CAST(r.i AS BIGINT)) // n AS cy
+  FROM pairs, unnest(range(1, n)) r(i)
+),
+blocked AS (
+  SELECT DISTINCT ta, tb FROM samples
+  WHERE (cx * 7 + cy * 13) % 23 = 0
+),
+los AS (
+  SELECT p.ta, p.tb, CASE WHEN b.ta IS NULL THEN 1 ELSE 0 END AS visible
+  FROM pairs p LEFT JOIN blocked b ON p.ta = b.ta AND p.tb = b.tb
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(visible) AS BIGINT) AS n_visible,
+       min(CASE WHEN visible = 1 THEN ta * 1000 + tb END) AS min_visible_pair
+FROM los
+""",
+)
+def q_grid_line_of_sight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid LINE-OF-SIGHT between tower pairs (the viewshed/coverage
+    primitive): each pair samples its sight line at n = Chebyshev-
+    length interior points with EXACT integer interpolation
+    ((x1*n + dx*i) div n — no floats, so the sampled walk is identical
+    cross-engine), and a pair is visible iff no sampled cell lands on
+    the deterministic obstacle field. Per-pair work is one sequence
+    explode bounded by grid diameter; the obstacle test is arithmetic,
+    no lookup table shuffles."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.col("n_nationkey").cast("long")
+    towers = nat.select(
+        n.alias("tid"), ((n * 17) % 60).alias("tx"), ((n * 29) % 60).alias("ty")
+    )
+    a = towers.select(F.col("tid").alias("ta"), F.col("tx").alias("x1"), F.col("ty").alias("y1"))
+    b = towers.select(F.col("tid").alias("tb"), F.col("tx").alias("x2"), F.col("ty").alias("y2"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ta") < F.col("tb"))
+        .withColumn("n", F.greatest(F.abs(F.col("x2") - F.col("x1")), F.abs(F.col("y2") - F.col("y1"))))
+        .filter(F.col("n") > 0)
+    )
+    samples = pairs.select(
+        "ta",
+        "tb",
+        "n",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n") - 1)).alias("i"),
+    ).select(
+        "ta",
+        "tb",
+        F.expr("(x1 * n + (x2 - x1) * i) div n").alias("cx"),
+        F.expr("(y1 * n + (y2 - y1) * i) div n").alias("cy"),
+    )
+    blocked = (
+        samples.filter((F.col("cx") * 7 + F.col("cy") * 13) % 23 == 0)
+        .select("ta", "tb")
+        .distinct()
+    )
+    los = pairs.select("ta", "tb").join(blocked.withColumn("blk", F.lit(1)), ["ta", "tb"], "left")
+    vis = F.when(F.col("blk").isNull(), 1).otherwise(0)
+    return los.select("ta", "tb", vis.alias("visible")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("visible").alias("n_visible"),
+        F.min(F.when(F.col("visible") == 1, F.col("ta") * 1000 + F.col("tb"))).alias(
+            "min_visible_pair"
+        ),
+    )

@@ -986,3 +986,42 @@ def meta_table(spark: SparkSession, location: str, kind: str) -> DataFrame:
                         rows.append((v, os.path.relpath(os.path.join(root, fn), base), n))
         return spark.createDataFrame(rows, "version long, file string, n_rows long")
     raise ValueError(f"unknown metadata table {kind!r}")
+
+
+class ConstraintViolation(RuntimeError):
+    """A commit-time table constraint failed; nothing was committed."""
+
+
+def write_snapshot_checked(
+    df: DataFrame,
+    location: str,
+    not_null: list[str] | None = None,
+    unique_key: list[str] | None = None,
+    commit_ms: int | None = None,
+) -> int:
+    """Commit with TABLE CONSTRAINTS enforced at write time (the Delta
+    CHECK/NOT NULL shape): NULL probes and duplicate-key counts run in
+    ONE validation aggregate over the incoming frame; any violation
+    raises ConstraintViolation BEFORE any data or manifest lands, so a
+    rejected write leaves the table byte-identical. Uniqueness is
+    checked within the incoming snapshot (full-replace semantics — the
+    new snapshot IS the table)."""
+    aggs = []
+    for c in not_null or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
+    if unique_key:
+        aggs.append(F.count(F.lit(1)).alias("uq_total"))
+        aggs.append(F.countDistinct(*unique_key).alias("uq_distinct"))
+    if aggs:
+        row = df.agg(*aggs).collect()[0]
+        problems = []
+        for c in not_null or []:
+            if row[f"nn_{c}"]:
+                problems.append(f"column {c!r} has {row[f'nn_{c}']} NULLs")
+        if unique_key and row["uq_total"] != row["uq_distinct"]:
+            problems.append(
+                f"key {unique_key} has {row['uq_total'] - row['uq_distinct']} duplicate rows"
+            )
+        if problems:
+            raise ConstraintViolation("; ".join(problems))
+    return write_snapshot(df, location, commit_ms=commit_ms)
