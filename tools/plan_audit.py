@@ -93,6 +93,7 @@ NESTED_LOOP_SCALAR_OK = {
     "skew_diagnosis",  # 1-row totals x 1-row gini scalar joins
     "pmi_pairs_scaled",  # 1-row corpus-N scalar broadcast
     "raster_region_label",  # 1-row fg-count x 1-row region census scalar join
+    "grid_line_of_sight",  # 25x25 tower self-pairing (constant dim x dim broadcast)
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
