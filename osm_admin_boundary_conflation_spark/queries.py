@@ -16089,3 +16089,176 @@ def q_grid_line_of_sight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_visible_pair"
         ),
     )
+
+
+@q(
+    "rrf_fusion",
+    oracle=r"""
+WITH ev AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM embeddings
+),
+q AS (SELECT i, v FROM ev WHERE vec_id = 0),
+c AS (SELECT vec_id, label, i, v FROM ev WHERE vec_id != 0),
+dots AS (
+  SELECT c.vec_id, c.label, sum(c.v * q.v) AS dot,
+         sum(abs(c.v - q.v)) AS l1
+  FROM c JOIN q USING (i) GROUP BY c.vec_id, c.label
+),
+r1 AS (SELECT vec_id, row_number() OVER (ORDER BY dot DESC, vec_id) AS rk FROM dots),
+r2 AS (SELECT vec_id, row_number() OVER (ORDER BY l1, vec_id) AS rk FROM dots),
+fused AS (
+  SELECT a.vec_id,
+         CAST((60 + a.rk) + (60 + b.rk) AS BIGINT) AS num,
+         CAST((60 + a.rk) * (60 + b.rk) AS BIGINT) AS den,
+         a.rk AS rank_dot, b.rk AS rank_l1
+  FROM r1 a JOIN r2 b USING (vec_id)
+)
+SELECT vec_id, CAST(rank_dot AS BIGINT) AS rank_dot, CAST(rank_l1 AS BIGINT) AS rank_l1,
+       num, den, round(CAST(num AS DOUBLE) / den, 9) AS rrf
+FROM (
+  SELECT *, row_number() OVER (ORDER BY CAST(num AS DOUBLE) / den DESC, vec_id) AS rn
+  FROM fused)
+WHERE rn <= 10
+""",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two
+    retrieval signals — integer dot-product relevance and L1 proximity
+    — computed EXACTLY: RRF = 1/(60+r1) + 1/(60+r2) is carried as the
+    integer fraction (120+r1+r2)/((60+r1)(60+r2)), so fusion rank order
+    comes from exact arithmetic and only the display column divides.
+    The hybrid-search combiner (BM25 x vector) every retrieval stack
+    ships; rankings are per-query windows, fusion one join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = F.transform(F.col("embedding"), lambda c: F.round(c.cast("double") * 1000).cast("long"))
+    base = emb.select("vec_id", qv.alias("qv"))
+    q0 = base.filter(F.col("vec_id") == 0).select(F.col("qv").alias("q"))
+    cand = base.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q0)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("qv", "q", lambda a, b: a * b), F.lit(0).cast("long"), lambda s, x: s + x
+        ).alias("dot"),
+        F.aggregate(
+            F.zip_with("qv", "q", lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ).alias("l1"),
+    )
+    r1 = cand.select(
+        "vec_id", F.row_number().over(Window.orderBy(F.col("dot").desc(), "vec_id")).alias("rank_dot")
+    )
+    r2 = cand.select(
+        "vec_id", F.row_number().over(Window.orderBy("l1", "vec_id")).alias("rank_l1")
+    )
+    fused = r1.join(r2, "vec_id").select(
+        "vec_id",
+        "rank_dot",
+        "rank_l1",
+        (120 + F.col("rank_dot") + F.col("rank_l1")).cast("long").alias("num"),
+        ((60 + F.col("rank_dot")) * (60 + F.col("rank_l1"))).cast("long").alias("den"),
+    )
+    # the 500-row candidate set is post-aggregation; the ranking windows
+    # are the same bounded shape as quality_deciles
+    return (
+        fused.orderBy((F.col("num").cast("double") / F.col("den")).desc(), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            F.col("rank_dot").cast("long"),
+            F.col("rank_l1").cast("long"),
+            "num",
+            "den",
+            F.round(F.col("num").cast("double") / F.col("den"), 9).alias("rrf"),
+        )
+    )
+
+
+@q(
+    "stream_dead_letter",
+    oracle=r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN 'not json at all'
+              ELSE '{"id": ' || CAST(doc_id AS VARCHAR) || ', "n": '
+                   || CAST(doc_id % 100 AS VARCHAR) || '}' END AS payload
+  FROM documents
+),
+flagged AS (SELECT doc_id, payload, json_valid(payload) AS ok FROM raw)
+SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_dead,
+       CAST(sum(CASE WHEN ok THEN doc_id % 100 ELSE 0 END) AS BIGINT) AS sum_n,
+       CAST(min(CASE WHEN NOT ok THEN doc_id END) AS BIGINT) AS first_dead_doc
+FROM flagged
+""",
+)
+def q_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEAD-LETTER QUEUE: a JSON micro-batch stream routes
+    PERMISSIVE-parse failures to a quarantine table and clean rows to
+    the main table inside the same foreachBatch (two sinks, one pass,
+    per-batch atomicity via the snapshot layer's append commits) — the
+    poison-pill discipline that keeps one malformed record from
+    stalling ingest. Gate replays a corpus with a deterministic 1-in-7
+    corruption and pins both tables' counts, the payload checksum that
+    only clean rows contribute, and the first quarantined doc."""
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.when(d % 7 == 3, F.lit("not json at all"))
+        .otherwise(
+            F.concat(
+                F.lit('{"id": '), d.cast("string"), F.lit(', "n": '),
+                (d % 100).cast("string"), F.lit("}"),
+            )
+        )
+        .alias("payload"),
+    )
+    tmp = tempfile.mkdtemp(prefix="dlq_")
+    in_dir = os.path.join(tmp, "in")
+    raw.filter(d % 2 == 0).write.mode("overwrite").parquet(in_dir)
+    raw.filter(d % 2 == 1).write.mode("append").parquet(in_dir)
+    main_loc = os.path.join(tmp, "main")
+    dlq_loc = os.path.join(tmp, "dlq")
+    stream = spark.readStream.schema("doc_id long, payload string").parquet(in_dir)
+
+    def route(batch, batch_id):
+        parsed = batch.withColumn(
+            "j", F.from_json("payload", "id long, n long", {"mode": "PERMISSIVE"})
+        )
+        good = parsed.filter(F.col("j").isNotNull() & F.col("j.id").isNotNull()).select(
+            "doc_id", F.col("j.n").alias("n")
+        )
+        bad = parsed.filter(F.col("j").isNull() | F.col("j.id").isNull()).select(
+            "doc_id", "payload"
+        )
+        ST.write_append_snapshot(good, main_loc, commit_ms=batch_id, batch_id=batch_id)
+        ST.write_append_snapshot(bad, dlq_loc, commit_ms=batch_id, batch_id=batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", os.path.join(tmp, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    main = ST.read_snapshot(spark, main_loc)
+    dlq = ST.read_snapshot(spark, dlq_loc)
+    return (
+        main.agg(F.count(F.lit(1)).alias("n_valid"), F.sum("n").alias("sum_n"))
+        .crossJoin(
+            F.broadcast(
+                dlq.agg(
+                    F.count(F.lit(1)).alias("n_dead"),
+                    F.min("doc_id").alias("first_dead_doc"),
+                )
+            )
+        )
+        .select("n_valid", "n_dead", "sum_n", "first_dead_doc")
+    )

@@ -94,6 +94,8 @@ NESTED_LOOP_SCALAR_OK = {
     "pmi_pairs_scaled",  # 1-row corpus-N scalar broadcast
     "raster_region_label",  # 1-row fg-count x 1-row region census scalar join
     "grid_line_of_sight",  # 25x25 tower self-pairing (constant dim x dim broadcast)
+    "rrf_fusion",  # 1-row query-vector broadcast; windows over the 500-row post-agg candidates
+    "stream_dead_letter",  # 1-row main-table stats x 1-row DLQ stats scalar join
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
@@ -191,7 +193,7 @@ def main() -> None:
         for r in rows
         if r.get("python_row")
         or (r.get("nested_loop") and r["name"] not in NESTED_LOOP_SCALAR_OK)
-        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier", "contribution_analysis", "skew_diagnosis"))
+        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier", "contribution_analysis", "skew_diagnosis", "rrf_fusion"))
     ]
     out = [
         "# PLAN AUDIT — every registry query's executed plan, summarized",
