@@ -16262,3 +16262,109 @@ def q_stream_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_valid", "n_dead", "sum_n", "first_dead_doc")
     )
+
+
+def _truss_round_sql(t: int) -> str:
+    # MATERIALIZED: DuckDB inlines plain CTEs, so a 4-round chain whose
+    # every round references the previous one twice re-evaluates the
+    # whole prefix exponentially without it
+    p = t - 1
+    return f"""
+adj{t} AS MATERIALIZED (SELECT a AS u, b AS v FROM e{p} UNION ALL SELECT b, a FROM e{p}),
+sup{t} AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS s
+  FROM e{p} e
+  JOIN adj{t} n1 ON n1.u = e.a
+  JOIN adj{t} n2 ON n2.u = e.b AND n2.v = n1.v
+  GROUP BY e.a, e.b
+),
+e{t} AS MATERIALIZED (SELECT a, b FROM sup{t} WHERE s >= 2)"""
+
+
+_TRUSS_ORACLE = (
+    f"WITH {_KCORE_EDGES_SQL},\n"
+    "e0 AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e),"
+    + ",".join(_truss_round_sql(t) for t in (1, 2, 3, 4))
+    + """
+SELECT a, b, CAST(s AS BIGINT) AS support FROM sup4 WHERE s >= 2
+"""
+)
+
+
+@q("k_truss_extract", oracle=_TRUSS_ORACLE)
+def q_k_truss_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss extraction (operators/graph.k_truss): every surviving
+    edge participates in >= 2 triangles — the cohesion filter that
+    rejects the chords-and-cycle scaffolding the 3-core keeps (compare
+    k_core_decompose: 40 nodes survive BOTH, but the truss also prunes
+    weak edges WITHIN the block's boundary). Offline peeling pins 3
+    rounds; engine converges on the monotone edge count, oracle
+    unrolls 4 support rounds. Output is the surviving canonical edge
+    list with its in-truss support."""
+    from .operators.graph import k_truss
+
+    return k_truss(_kcore_edges(spark), k=4, max_rounds=8)
+
+
+@q(
+    "golden_record_merge",
+    oracle=r"""
+WITH recs AS (
+  SELECT c_custkey AS k, r.r AS ts,
+         CASE WHEN (c_custkey + r.r) % 4 = 0 THEN NULL ELSE c_name END AS name,
+         CASE WHEN (c_custkey + r.r) % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+         CASE WHEN (c_custkey + r.r) % 5 = 0 THEN NULL
+              ELSE CAST(round(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) + r.r * 10 END
+           AS cents
+  FROM customer, (SELECT unnest(range(3)) AS r) r
+),
+nm AS (SELECT k, max(ts) AS mts FROM recs WHERE name IS NOT NULL GROUP BY k),
+nv AS (SELECT r.k, r.name FROM recs r JOIN nm ON r.k = nm.k AND r.ts = nm.mts),
+sm AS (SELECT k, max(ts) AS mts FROM recs WHERE seg IS NOT NULL GROUP BY k),
+sv AS (SELECT r.k, r.seg FROM recs r JOIN sm ON r.k = sm.k AND r.ts = sm.mts),
+cm AS (SELECT k, max(ts) AS mts FROM recs WHERE cents IS NOT NULL GROUP BY k),
+cv AS (SELECT r.k, r.cents FROM recs r JOIN cm ON r.k = cm.k AND r.ts = cm.mts),
+base AS (
+  SELECT k, count(*) AS n_sources, CAST(max(ts) AS BIGINT) AS latest_ts FROM recs GROUP BY k
+)
+SELECT b.k, nv.name, sv.seg, cv.cents, b.n_sources, b.latest_ts
+FROM base b
+LEFT JOIN nv ON b.k = nv.k
+LEFT JOIN sv ON b.k = sv.k
+LEFT JOIN cv ON b.k = cv.k
+""",
+)
+def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD construction (the survivorship step after entity
+    resolution): three timestamped source records per entity with
+    field-level nulls merge into one record where EACH FIELD takes its
+    latest non-null value independently — the per-attribute max(ts,
+    value) struct fold, one groupBy per entity, no per-field joins
+    engine-side (the oracle spells the same rule as max-ts join-backs).
+    The MDM finish that entity_resolution_fs's matches feed."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    r = F.col("r")
+    cents0 = F.round(F.col("c_acctbal").cast("double") * 100).cast("long")
+    recs = cust.crossJoin(
+        spark.range(3).select(F.col("id").alias("r"))
+    ).select(
+        k.alias("k"),
+        r.alias("ts"),
+        F.when((k + r) % 4 == 0, None).otherwise(F.col("c_name")).alias("name"),
+        F.when((k + r) % 3 == 0, None).otherwise(F.col("c_mktsegment")).alias("seg"),
+        F.when((k + r) % 5 == 0, None).otherwise(cents0 + r * 10).alias("cents"),
+    )
+
+    def latest(col):
+        return F.max(
+            F.when(F.col(col).isNotNull(), F.struct(F.col("ts"), F.col(col).alias("v")))
+        )["v"]
+
+    return recs.groupBy("k").agg(
+        latest("name").alias("name"),
+        latest("seg").alias("seg"),
+        latest("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("ts").cast("long").alias("latest_ts"),
+    )
