@@ -96,6 +96,7 @@ NESTED_LOOP_SCALAR_OK = {
     "grid_line_of_sight",  # 25x25 tower self-pairing (constant dim x dim broadcast)
     "rrf_fusion",  # 1-row query-vector broadcast; windows over the 500-row post-agg candidates
     "stream_dead_letter",  # 1-row main-table stats x 1-row DLQ stats scalar join
+    "golden_record_merge",  # customers x constant 3-row source-copy broadcast
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
