@@ -16368,3 +16368,142 @@ def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sources"),
         F.max("ts").cast("long").alias("latest_ts"),
     )
+
+
+@q(
+    "quantile_normalize",
+    oracle=r"""
+WITH v AS (
+  SELECT o_orderstatus AS grp, o_orderkey AS id,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 16 < 3
+),
+sized AS (SELECT grp, count(*) AS n FROM v GROUP BY grp),
+mn AS (SELECT min(n) AS m FROM sized),
+ranked AS (
+  SELECT grp, id, cents,
+         row_number() OVER (PARTITION BY grp ORDER BY cents, id) AS rk,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM v
+),
+-- map each row to a common quantile index 1..m (floor((rk-1)*m/n)+1)
+qidx AS (
+  SELECT grp, id, cents, ((rk - 1) * (SELECT m FROM mn)) // n + 1 AS qi FROM ranked
+),
+ref AS (
+  SELECT qi, CAST(sum(cents) AS BIGINT) AS s, count(*) AS c FROM qidx GROUP BY qi
+)
+SELECT q.grp, q.id, q.cents, CAST(q.qi AS BIGINT) AS qi,
+       round(CAST(r.s AS DOUBLE) / r.c, 6) AS normalized
+FROM qidx q JOIN ref r USING (qi)
+""",
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across groups (the bioinformatics /
+    batch-effect-removal standard): every row maps to a common
+    quantile index (floor((rank-1)*m/n), m = smallest group size) and
+    takes the CROSS-GROUP mean of its quantile's values — after which
+    all groups share one distribution. The reference mean is an exact
+    integer sum divided once; ranks are per-group windows; the
+    quantile re-agg is one groupBy on qi. Distribution alignment
+    before cross-corpus score comparison is this exact shape."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 16 < 3
+    )
+    v = orders.select(
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice").cast("double") * 100).cast("long").alias("cents"),
+    )
+    sized = v.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    mn = sized.agg(F.min("n").alias("m"))
+    w = Window.partitionBy("grp").orderBy("cents", "id")
+    ranked = v.select(
+        "grp",
+        "id",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    qidx = ranked.crossJoin(F.broadcast(mn)).select(
+        "grp", "id", "cents", (F.expr("((rk - 1) * m) div n") + 1).alias("qi")
+    )
+    ref = qidx.groupBy("qi").agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("c"))
+    return qidx.join(ref, "qi").select(
+        "grp",
+        "id",
+        "cents",
+        F.col("qi").cast("long"),
+        F.round(F.col("s").cast("double") / F.col("c"), 6).alias("normalized"),
+    )
+
+
+@q(
+    "distribution_drift_tv",
+    oracle=r"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         event_type, count(*) AS c
+  FROM events GROUP BY day, event_type
+),
+days AS (SELECT DISTINCT day FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+spine AS (SELECT d.day, t.event_type FROM days d CROSS JOIN types t),
+full_d AS (
+  SELECT s.day, s.event_type, COALESCE(daily.c, 0) AS c
+  FROM spine s LEFT JOIN daily ON s.day = daily.day AND s.event_type = daily.event_type
+),
+tot AS (SELECT day, sum(c) AS n FROM full_d GROUP BY day),
+paired AS (
+  SELECT a.day AS d1, b.day AS d2, a.event_type,
+         a.c AS c1, b.c AS c2, ta.n AS n1, tb.n AS n2
+  FROM full_d a
+  JOIN full_d b ON b.day = a.day + 1 AND b.event_type = a.event_type
+  JOIN tot ta ON ta.day = a.day
+  JOIN tot tb ON tb.day = b.day
+),
+tv AS (
+  SELECT d1, d2, CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS tv_num,
+         CAST(2 * max(n1) * max(n2) AS BIGINT) AS tv_den
+  FROM paired GROUP BY d1, d2
+)
+SELECT d1, d2, tv_num, tv_den, round(CAST(tv_num AS DOUBLE) / tv_den, 6) AS tv_dist
+FROM tv
+""",
+)
+def q_distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day DISTRIBUTION DRIFT as exact total-variation
+    distance: TV(p, q) = 1/2 sum |p_i - q_i| becomes the integer pair
+    (sum |c1*N2 - c2*N1|, 2*N1*N2) by cross-multiplying the per-day
+    normalizers — no division until the display column, so the drift
+    alarm threshold can be an integer predicate. The model/data
+    monitoring primitive that catches event-mix shifts before they
+    poison training; one self-join on (day+1, type) over the completed
+    day x type spine."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("c"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    full_d = spine.join(daily, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tot = full_d.groupBy("day").agg(F.sum("c").alias("n"))
+    a = full_d.select(F.col("day").alias("d1"), "event_type", F.col("c").alias("c1"))
+    b = full_d.select((F.col("day") - 1).alias("d1"), F.col("day").alias("d2"), "event_type", F.col("c").alias("c2"))
+    paired = (
+        a.join(b, ["d1", "event_type"])
+        .join(tot.select(F.col("day").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(tot.select(F.col("day").alias("d2"), F.col("n").alias("n2")), "d2")
+    )
+    tv = paired.groupBy("d1", "d2").agg(
+        F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias("tv_num"),
+        (2 * F.max("n1") * F.max("n2")).alias("tv_den"),
+    )
+    return tv.select(
+        "d1", "d2", "tv_num", "tv_den",
+        F.round(F.col("tv_num").cast("double") / F.col("tv_den"), 6).alias("tv_dist"),
+    )
