@@ -97,6 +97,8 @@ NESTED_LOOP_SCALAR_OK = {
     "rrf_fusion",  # 1-row query-vector broadcast; windows over the 500-row post-agg candidates
     "stream_dead_letter",  # 1-row main-table stats x 1-row DLQ stats scalar join
     "golden_record_merge",  # customers x constant 3-row source-copy broadcast
+    "quantile_normalize",  # 1-row min-group-size scalar broadcast
+    "distribution_drift_tv",  # days x constant 5-type spine (bounded multiplier)
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
