@@ -16507,3 +16507,88 @@ def q_distribution_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d1", "d2", "tv_num", "tv_den",
         F.round(F.col("tv_num").cast("double") / F.col("tv_den"), 6).alias("tv_dist"),
     )
+
+
+@q(
+    "ab_test_analysis",
+    oracle=r"""
+WITH assigned AS (
+  SELECT user_id,
+         CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS x
+  FROM assigned GROUP BY arm
+),
+w AS (
+  SELECT max(CASE WHEN arm = 'A' THEN n END) AS n1,
+         max(CASE WHEN arm = 'A' THEN x END) AS x1,
+         max(CASE WHEN arm = 'B' THEN n END) AS n2,
+         max(CASE WHEN arm = 'B' THEN x END) AS x2
+  FROM arms
+)
+SELECT CAST(n1 AS BIGINT) AS n_a, x1 AS conv_a, CAST(n2 AS BIGINT) AS n_b, x2 AS conv_b,
+       round(CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2, 6) AS lift,
+       round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)), 6) AS z_score
+FROM w
+""",
+)
+def q_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with the two-proportion z-test: users hash
+    deterministically into arms (the md5 bucketing a real assignment
+    service uses — stable, uniform, engine-portable), converts =
+    heavy purchaser (>= 14 purchases) per user, and the z-score under the pooled-proportion
+    null is computed with a PINNED operation sequence (exact integer
+    counts, three single divisions, one correctly-rounded sqrt) so both
+    engines agree to the 6th decimal. The experimentation primitive
+    every growth pipeline ships."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit("ab:"), F.col("user_id").cast("string")), "UTF-8")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assigned = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
+        ).cast("long").alias("converted")
+    ).select("user_id", arm.alias("arm"), "converted")
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    w = arms.groupBy().pivot("arm", ["A", "B"]).agg(
+        F.first("n").alias("n"), F.first("x").alias("x")
+    ).select(
+        F.col("A_n").alias("n1"), F.col("A_x").alias("x1"),
+        F.col("B_n").alias("n2"), F.col("B_x").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    return w.select(
+        F.col("n1").alias("n_a"),
+        F.col("x1").alias("conv_a"),
+        F.col("n2").alias("n_b"),
+        F.col("x2").alias("conv_b"),
+        F.round(p1 - p2, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+    )
