@@ -696,71 +696,65 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # else keeps definition order after the head; nothing semantic changes.
 _DRIVER_HEAD = [
     "geotag",
-    # spatial-join family (VERDICT r05 item 6)
-    "geotag_knn",
-    "bbox_overlap_join",
-    "radius_join_planar",
-    "segment_crossing_join",
-    "geotag_skewed_salted",
-    "geotag_auto_strategy",
-    "geotag_incremental",
-    "raster_tile_assign",
-    # snapshot-table runtime
-    "snapshot_time_travel",
-    "snapshot_merge_upsert",
-    "snapshot_delete_vector",
-    "snapshot_concurrent_commits",
-    "snapshot_schema_evolution",
-    "snapshot_cdc_diff",
-    "snapshot_as_of_timestamp",
-    "snapshot_write_audit_publish",
-    "snapshot_vacuum_gc",
-    "ivm_incremental_aggs",
-    "lineage_snapshot_log",
-    # streaming ingest / joins
-    "stream_ingest_compacted",
-    "stream_merge_upsert_mor",
-    "stream_snapshot_ingest",
-    "stream_stream_join",
-    # media codecs
-    "media_decode_jpeg",
-    "media_decode_raw",
-    "media_meta_real",
-    "media_decode_progressive",
-    # SCD2 / temporal
-    "scd2_dimension_build",
-    "scd2_asof_enrich",
-    # sketches
-    "hll_merge_rollup",
-    # round-6 batch-2 operators (this session's additions; the TPC-H
-    # five, countmin_sketch, heavy_hitters and attribution_join they
-    # displaced are all long-green in the full sim sweep and rotate
-    # back next round)
-    "dbscan_clusters",
-    "sssp_weighted",
-    "pq_ann_adc",
-    "convex_hull_ring",
-    "entity_resolution_fs",
-    "map_match_nearest",
-    "link_graph_extract",
-    "k_core_decompose",
-    # SURVEY rows previously sim-only
-    "shapefile_roundtrip",
-    "results_sink_metrics",
-    "geometry_validity",
-    # round-6 operators (hard-gate this round's additions; the gates
-    # they displaced — lint_observed, reproject_roundtrip,
-    # compass_bearings (pytest-pinned) and zip_csv_scan (driver-green
-    # since r02) — stay in the sim sweep)
-    "warc_roundtrip",
-    "bpe_train_merges",
-    "bloom_semi_prune",
-    # gate-hardening / dedup / text
-    "resume_lineage",
-    "lsh_recall_eval",
-    "exact_substring_spans",
-    "pages_text_invariant",
-    "contribution_analysis",
+    # --- round-7 rotation (VERDICT r06 item 1): every name below has
+    # NEVER had a hard driver row (checked against CORRECTNESS_r01-r06
+    # union = 101 ever-gated names). The r06 head's 49 rotated-out
+    # names stay green in the full sim sweep.
+    # TPC-H wave (all 21 never-gated TPC-H queries)
+    "shipping_priority",
+    "order_priority_check",
+    "customer_distribution",
+    "large_volume_orders",
+    "local_supplier_volume",
+    "returned_item_report",
+    "promo_revenue_share",
+    "discounted_revenue_branches",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "national_market_share",
+    "product_type_profit",
+    "min_cost_supplier",
+    "important_part_value",
+    "late_shipment_priority",
+    "top_supplier_revenue",
+    "supplier_part_variety",
+    "small_quantity_revenue",
+    "promotion_part_suppliers",
+    "waiting_suppliers",
+    "dormant_customer_opportunity",
+    # sketches / attribution
+    "countmin_sketch",
+    "heavy_hitters",
+    "attribution_join",
+    "attribution_multitouch",
+    # waves 4-10 graph/geo/ML operators
+    "k_truss_extract",
+    "golden_record_merge",
+    "spmm_sparse",
+    "token_bucket_admission",
+    "raster_region_label",
+    "scc_pivot_extract",
+    "hilbert_encode",
+    "ppjoin_prefix_filter",
+    "sorted_neighborhood_pairs",
+    "temporal_reachability",
+    # WARC container family
+    "geotag_from_warc",
+    "warc_cdx_fetch",
+    "stream_warc_ingest",
+    # snapshot-layer rows not in the r06 head
+    "snapshot_file_skipping",
+    "snapshot_commit_constraints",
+    "snapshot_refs_tags",
+    "snapshot_meta_tables",
+    # distinctive misc
+    "global_row_number",
+    "result_cache_invalidation",
+    "morans_i_grid",
+    "theil_sen_trend",
+    "cusum_changepoint",
+    "quantile_normalize",
+    "ab_test_analysis",
 ]
 
 
