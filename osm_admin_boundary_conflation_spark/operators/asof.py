@@ -32,19 +32,33 @@ def asof_join(
     within equal (ts) deterministic (e.g. an event id) — without it,
     several right rows sharing (key, ts) carry an arbitrary winner."""
     extra = [c for c in left.columns if c not in (key, ts)]
+    # The payload rides inside a struct so that a right row whose value
+    # is legitimately NULL still wins as the latest observation: the
+    # struct itself is non-null for every right row, and ignorenulls
+    # skips only the left rows' placeholder structs (ADVICE r06).
+    vt = right.schema[val].dataType.simpleString()
     l_tag = left.select(
-        key, ts, F.lit(1).alias("_side"), F.lit(None).cast(right.schema[val].dataType).alias(val), *extra
+        key,
+        ts,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(f"struct<v:{vt}>").alias("_rv"),
+        *extra,
     )
     r_extras = [
         F.col(c) if c == tiebreak else F.lit(None).cast(left.schema[c].dataType).alias(c)
         for c in extra
     ]
-    r_tag = right.select(key, ts, F.lit(0).alias("_side"), val, *r_extras)
+    r_tag = right.select(
+        key, ts, F.lit(0).alias("_side"), F.struct(F.col(val).alias("v")).alias("_rv"), *r_extras
+    )
     both = l_tag.unionByName(r_tag)
     order = [ts, "_side"] + ([tiebreak] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    carried = both.withColumn(val, F.last(val, ignorenulls=True).over(w))
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    carried = both.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    return out.select(
+        *[c for c in out.columns if c != "_rv"], F.col("_rv.v").alias(val)
+    )
 
 
 def asof_join_forward(

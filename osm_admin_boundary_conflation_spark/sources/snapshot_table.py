@@ -840,10 +840,17 @@ def read_snapshot_pruned(
     plan returns an empty DataFrame in the snapshot's schema."""
     from pyspark.sql.types import StructType
 
+    # Resolve the version ONCE and pass it down explicitly: resolving
+    # latest separately for the prune and for the manifest read would
+    # mix version N's kept-file list with version N+1's manifest if a
+    # commit lands between the two listings (ADVICE r06).
+    if version is None:
+        vs = _versions(location)
+        if not vs:
+            raise FileNotFoundError(f"no snapshots at {location}")
+        version = vs[-1]
     kept, _total = files_matching(location, predicates, version=version)
-    vs = _versions(location)
-    v = vs[-1] if version is None else version
-    with open(_manifest_path(location, v)) as f:
+    with open(_manifest_path(location, version)) as f:
         manifest = json.load(f)
     if kept:
         df = spark.read.schema(StructType.fromJson(manifest["schema"])).parquet(
@@ -1011,7 +1018,18 @@ def write_snapshot_checked(
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"))
     if unique_key:
         aggs.append(F.count(F.lit(1)).alias("uq_total"))
-        aggs.append(F.countDistinct(*unique_key).alias("uq_distinct"))
+        # countDistinct over the bare columns would DROP any row with a
+        # NULL key component (SQL DISTINCT-aggregate semantics), making
+        # one NULL-keyed row look like a duplicate. Wrapping the key in
+        # a struct is null-safe: the struct itself is never NULL, and
+        # struct equality treats NULL fields as equal-to-NULL, so
+        # NULL-keyed rows participate (and genuinely-duplicated NULL
+        # keys are still counted as duplicates). (ADVICE r06)
+        aggs.append(
+            F.countDistinct(F.struct(*[F.col(c) for c in unique_key])).alias(
+                "uq_distinct"
+            )
+        )
     if aggs:
         row = df.agg(*aggs).collect()[0]
         problems = []

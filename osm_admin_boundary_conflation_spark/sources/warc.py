@@ -96,10 +96,15 @@ def parse_warc_gz(blob: bytes) -> Iterator[tuple[str, str, int, bytes]]:
         if consumed <= 0:
             raise ValueError(f"stuck gzip member at byte {pos}")
         pos += consumed
-        yield _parse_record(raw)
+        rec = _parse_record(raw)
+        if rec is not None:
+            yield rec
 
 
-def _parse_record(raw: bytes) -> tuple[str, str, int, bytes]:
+def _parse_record(raw: bytes) -> tuple[str, str, int, bytes] | None:
+    """None for non-response records (warcinfo/request/metadata — present
+    in every real Common Crawl archive); callers skip them so downstream
+    page counts never include placeholder rows (ADVICE r06)."""
     if not raw.startswith(b"WARC/1.0\r\n") and not raw.startswith(b"WARC/1.1\r\n"):
         raise ValueError("not a WARC record: bad version line")
     hdr_end = raw.index(b"\r\n\r\n")
@@ -112,7 +117,7 @@ def _parse_record(raw: bytes) -> tuple[str, str, int, bytes]:
     if len(block) != clen:
         raise ValueError("truncated WARC record block")
     if headers.get("warc-type") != "response":
-        return (headers.get("warc-target-uri", ""), headers.get("warc-date", ""), 0, b"")
+        return None
     status_line, _, rest = block.partition(b"\r\n")
     status = int(status_line.split(b" ")[1])
     body = rest[rest.index(b"\r\n\r\n") + 4 :] if b"\r\n\r\n" in rest else b""
@@ -216,9 +221,9 @@ def read_warc_members(index: DataFrame, archive_dir: str) -> DataFrame:
                     for _, r in grp.iterrows():
                         f.seek(int(r["member_offset"]))
                         member = f.read(int(r["member_length"]))
-                        rows.append(_parse_record(
-                            zlib.decompress(member, wbits=31)
-                        ))
+                        rec = _parse_record(zlib.decompress(member, wbits=31))
+                        if rec is not None:
+                            rows.append(rec)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
             )

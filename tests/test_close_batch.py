@@ -71,3 +71,46 @@ def test_result_cache_lifecycle(spark, tmp_path):
     assert st == "hit" and calls["n"] == 2
     with pytest.raises(FileNotFoundError):
         RC.cached_result(spark, str(tmp_path / "nope"), cache, "x", compute)
+
+
+def test_result_cache_concurrent_commit_retry(spark, tmp_path):
+    # A commit landing between compute() and publish must NOT pin the
+    # fresh result to the pre-compute version (ADVICE r06): the entry is
+    # retried against the new head, and the final cached entry reflects
+    # the post-commit table.
+    loc = str(tmp_path / "tbl")
+    cache = str(tmp_path / "cache")
+    ST.write_append_snapshot(spark.range(4), loc, commit_ms=1)
+    calls = {"n": 0}
+
+    def racing_compute():
+        calls["n"] += 1
+        if calls["n"] == 1:  # simulate a commit racing the refresh
+            ST.write_append_snapshot(spark.range(3), loc, commit_ms=2)
+        return ST.read_snapshot(spark, loc).groupBy().count()
+
+    df, st = RC.cached_result(spark, loc, cache, "k", racing_compute)
+    # first attempt raced (head moved 1 -> 2) and was discarded; the
+    # retry computed against the settled head and cached normally
+    assert st == "miss" and calls["n"] == 2 and df.collect()[0][0] == 7
+    df, st = RC.cached_result(spark, loc, cache, "k", racing_compute)
+    assert st == "hit" and calls["n"] == 2
+
+
+def test_result_cache_sweep(spark, tmp_path):
+    loc = str(tmp_path / "tbl")
+    cache = str(tmp_path / "cache")
+    ST.write_append_snapshot(spark.range(4), loc, commit_ms=1)
+    compute = lambda: ST.read_snapshot(spark, loc).groupBy().count()
+    RC.cached_result(spark, loc, cache, "k", compute)
+    ST.write_append_snapshot(spark.range(2), loc, commit_ms=2)
+    RC.cached_result(spark, loc, cache, "k", compute)  # stale refresh
+    import os
+    entry = os.path.join(cache, "k")
+    assert sum(d.startswith("data-") for d in os.listdir(entry)) == 2
+    assert RC.sweep_cache(cache) == 1
+    assert sum(d.startswith("data-") for d in os.listdir(entry)) == 1
+    # the surviving dir is the live one — the entry still serves a hit
+    df, st = RC.cached_result(spark, loc, cache, "k", compute)
+    assert st == "hit" and df.collect()[0][0] == 6
+    assert RC.sweep_cache(cache) == 0

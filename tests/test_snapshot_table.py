@@ -407,3 +407,29 @@ def test_maybe_compact_recomputes_after_conflict(spark, tmp_path, monkeypatch):
     assert v is not None
     got = {r.id for r in real_read(spark, loc, version=v).collect()}
     assert got == set(range(20)) | {900, 901, 902}
+
+
+def test_checked_write_null_key_is_not_a_duplicate(spark, tmp_path):
+    # A single NULL-keyed row must not trip the unique-key constraint
+    # (ADVICE r06: bare countDistinct silently drops NULL-keyed rows);
+    # genuine duplicates among NULL keys ARE still duplicates.
+    import pyspark.sql.functions as F
+    from osm_admin_boundary_conflation_spark.sources import snapshot_table as ST
+
+    loc = str(tmp_path / "tbl")
+    one_null = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k int, v string"
+    )
+    v = ST.write_snapshot_checked(one_null, loc, unique_key=["k"], commit_ms=1)
+    assert v == 1
+    dup_nulls = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c")], "k int, v string"
+    )
+    with pytest.raises(ST.ConstraintViolation, match="1 duplicate"):
+        ST.write_snapshot_checked(dup_nulls, loc, unique_key=["k"], commit_ms=2)
+    # compound key: NULL in one component, distinct in the other → OK
+    comp = spark.createDataFrame(
+        [(None, 1, "x"), (None, 2, "y")], "a int, b int, v string"
+    )
+    v = ST.write_snapshot_checked(comp, loc, unique_key=["a", "b"], commit_ms=3)
+    assert v == 2

@@ -41,10 +41,14 @@ def test_gzip_members_are_byte_deterministic():
     assert gzip_member(_rec(3)) == gzip_member(_rec(3))
 
 
-def test_non_response_records_yield_empty_body():
-    rec = _rec(1).replace(b"WARC-Type: response", b"WARC-Type: request")
-    (url, _, status, html), = parse_warc_gz(gzip_member(rec))
-    assert status == 0 and html == b""
+def test_non_response_records_are_skipped():
+    # warcinfo/request/metadata records exist in every real CC archive;
+    # they must NOT surface as placeholder page rows (ADVICE r06).
+    req = _rec(1).replace(b"WARC-Type: response", b"WARC-Type: request")
+    info = _rec(2).replace(b"WARC-Type: response", b"WARC-Type: warcinfo")
+    blob = gzip_member(info) + gzip_member(req) + gzip_member(_rec(3))
+    got = list(parse_warc_gz(blob))
+    assert len(got) == 1 and got[0][0].endswith("3")
 
 
 def test_malformed_inputs_raise_cleanly():
