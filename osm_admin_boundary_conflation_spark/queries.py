@@ -14926,17 +14926,20 @@ def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gini coefficient of the key distribution (sum((2i-n-1)x_i) over
     n*sum(x), ranks ascending with a key tie-break). On this corpus a
     planted 40%-one-key world scores gini ~0.4 where uniform keys
-    score ~0. The rank window runs over POST-AGGREGATION key counts
-    (one row per key), the same bounded shape as quality_deciles."""
+    score ~0. The Gini rank over per-key counts runs as the two-phase
+    bucket rank (plans/dense_index.global_rank) — parallel however many
+    distinct keys the input has."""
+    from .plans.dense_index import global_rank
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     keyed = docs.select(
         F.when(F.col("doc_id") % 10 < 4, 0).otherwise(F.col("doc_id")).alias("k")
     )
-    kc = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    # per-key histogram feeds three consumers (totals, gini rank pass,
+    # hottest-key TakeOrdered): persist once
+    kc = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("c")).persist()
     tot = kc.agg(F.count(F.lit(1)).alias("n_keys"), F.sum("c").alias("total"))
-    ranked = kc.select(
-        "k", "c", F.row_number().over(Window.orderBy("c", "k")).alias("i")
-    )
+    ranked = global_rank(kc, "c", "i", tiebreak=["k"])
     gini = ranked.crossJoin(F.broadcast(tot)).agg(
         F.sum((2 * F.col("i") - F.col("n_keys") - 1) * F.col("c")).alias("gini_num"),
         F.max(F.col("n_keys") * F.col("total")).alias("gini_den"),
@@ -16140,12 +16143,19 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s, x: s + x,
         ).alias("l1"),
     )
-    r1 = cand.select(
-        "vec_id", F.row_number().over(Window.orderBy(F.col("dot").desc(), "vec_id")).alias("rank_dot")
-    )
-    r2 = cand.select(
-        "vec_id", F.row_number().over(Window.orderBy("l1", "vec_id")).alias("rank_l1")
-    )
+    from .plans.dense_index import global_rank
+
+    # two-phase bucket ranks (plans/dense_index.global_rank) — no
+    # partition-less global window anywhere in the plan, so the ranking
+    # stays parallel however large the candidate set grows. The scored
+    # candidates feed 2 rank passes x 2 bucket jobs each: persist once.
+    cand = cand.persist()
+    r1 = global_rank(
+        cand.select("vec_id", "dot"), "dot", "rank_dot", descending=True, tiebreak=["vec_id"]
+    ).select("vec_id", "rank_dot")
+    r2 = global_rank(
+        cand.select("vec_id", "l1"), "l1", "rank_l1", tiebreak=["vec_id"]
+    ).select("vec_id", "rank_l1")
     fused = r1.join(r2, "vec_id").select(
         "vec_id",
         "rank_dot",
@@ -16153,8 +16163,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (120 + F.col("rank_dot") + F.col("rank_l1")).cast("long").alias("num"),
         ((60 + F.col("rank_dot")) * (60 + F.col("rank_l1"))).cast("long").alias("den"),
     )
-    # the 500-row candidate set is post-aggregation; the ranking windows
-    # are the same bounded shape as quality_deciles
+    # final top-10 is orderBy().limit() = TakeOrderedAndProject
     return (
         fused.orderBy((F.col("num").cast("double") / F.col("den")).desc(), "vec_id")
         .limit(10)

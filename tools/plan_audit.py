@@ -90,11 +90,11 @@ NESTED_LOOP_SCALAR_OK = {
     "retrieval_metrics",  # candidates x constant 5-query broadcast (bounded multiplier)
     "modularity_score",  # communities x 1-row edge-count scalar join
     "seasonal_decompose_daily",  # 1-row grand-mean scalar join; day spine is a bounded artifact
-    "skew_diagnosis",  # 1-row totals x 1-row gini scalar joins
+    "skew_diagnosis",  # 1-row totals x 1-row gini scalar joins (ranks are two-phase bucket ranks)
     "pmi_pairs_scaled",  # 1-row corpus-N scalar broadcast
     "raster_region_label",  # 1-row fg-count x 1-row region census scalar join
     "grid_line_of_sight",  # 25x25 tower self-pairing (constant dim x dim broadcast)
-    "rrf_fusion",  # 1-row query-vector broadcast; windows over the 500-row post-agg candidates
+    "rrf_fusion",  # 1-row query-vector broadcast (ranks are two-phase bucket ranks)
     "stream_dead_letter",  # 1-row main-table stats x 1-row DLQ stats scalar join
     "golden_record_merge",  # customers x constant 3-row source-copy broadcast
     "quantile_normalize",  # 1-row min-group-size scalar broadcast
@@ -174,6 +174,10 @@ def main() -> None:
 
     only = set(sys.argv[1:])
     spark = build_session(app_name="plan-audit")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from driver_sim import materialize_worlds
+
+    materialize_worlds(spark, SF_DIR)
     rows = []
     for name, fn in E.queries().items():
         if only and name not in only:
@@ -196,7 +200,10 @@ def main() -> None:
         for r in rows
         if r.get("python_row")
         or (r.get("nested_loop") and r["name"] not in NESTED_LOOP_SCALAR_OK)
-        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier", "contribution_analysis", "skew_diagnosis", "rrf_fusion"))
+        # skew_diagnosis and rrf_fusion left this exemption list in r7:
+        # their global ranks now run as two-phase bucket ranks
+        # (plans/dense_index.global_rank) with no 1-partition window
+        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier", "contribution_analysis"))
     ]
     out = [
         "# PLAN AUDIT — every registry query's executed plan, summarized",
@@ -222,7 +229,7 @@ def main() -> None:
         if r["name"] in HARNESS:
             notes.append("harness")
         if r["name"] in INLINE_WORLD:
-            notes.append("inline synthetic world (bench materializes it)")
+            notes.append("world read from materialized parquet (bench-style setup)")
         if r["name"] in NESTED_LOOP_SCALAR_OK and r["nested_loop"]:
             notes.append("nested-loop = 1-row scalar crossJoin (hand-audited)")
         if r["name"] == "quality_deciles" and r["single_part"]:
