@@ -46,13 +46,16 @@ with the next number. No lock, no lost updates (see _commit_manifest;
 full-replace commits are CONDITIONAL on the parent they derived from —
 SnapshotConflictError on a lost race, never silent row loss).
 
-Metadata at scale: _versions/snapshot_history/latest_batch_id/vacuum
-walk metadata/ driver-side with os.listdir — O(#versions) tiny JSON
-reads, fine to ~10^5 commits on a filesystem. The object-store variant
-keeps the manifest list in a metadata TABLE (version-keyed parquet,
-the Iceberg metadata-log shape) instead of a directory walk; only
-these listing helpers change, the commit protocol and manifests do
-not. See maybe_compact's manifest-count bound note.
+Metadata at scale: every commit ALSO appends one row to a manifest LOG
+table (metadata/_manifest_log/*.parquet, the Delta _delta_log /
+Iceberg metadata-log shape), so history, vacuum, and the metadata
+tables read a TABLE instead of walking metadata/ with os.listdir. The
+listdir walk survives only as repair_manifest_log's backfill path for
+committed-but-unlogged versions (a writer crash between the commit
+claim and the log append) — gated by `snapshot_manifest_log`, which
+proves history-from-log == history-from-listdir through a simulated
+torn log. _versions/latest_batch_id still listdir for the commit
+claim itself (the claim needs the filesystem's atomic os.link anyway).
 """
 
 from __future__ import annotations
@@ -152,6 +155,10 @@ def _commit_manifest(location: str, build, expected_parent=_ANY_PARENT) -> int:
             os.unlink(tmp)  # lost the race — re-resolve parent, retry
             continue
         os.unlink(tmp)
+        # the commit is durable at this point; the log append is the
+        # table-ized listing (a crash here leaves a committed-but-
+        # unlogged version that repair_manifest_log backfills)
+        _append_manifest_log(location, manifest)
         return version
 
 
@@ -168,6 +175,105 @@ def _versions(location: str) -> list[int]:
         if f.startswith("v") and f.endswith(".json"):
             out.append(int(f[1:-5]))
     return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Manifest LOG: the commit listing as a parquet table (VERDICT r06 #6)
+#
+# On an object store, walking metadata/ with os.listdir is the one
+# single-host assumption left in this layer (LIST is slow, rate-limited
+# and eventually consistent on S3-likes). The fix is the shape Delta's
+# _delta_log / Iceberg's metadata log use: every commit ALSO appends one
+# parquet row — (version, parent, type, committed_at_ms, n_rows,
+# n_appended, n_deleted_keys, data_dir) — under metadata/_manifest_log/,
+# so history / vacuum / meta tables read a TABLE instead of listing a
+# directory. The log row lands immediately after the commit claim; a
+# writer crashing in that window leaves a committed-but-unlogged
+# version, which repair_manifest_log backfills from the directory
+# listing — listdir survives only as that repair path.
+# ---------------------------------------------------------------------------
+
+_LOG_FIELDS = [
+    ("version", "int64"),
+    ("parent", "int64"),
+    ("type", "string"),
+    ("committed_at_ms", "int64"),
+    ("n_rows", "int64"),
+    ("n_appended", "int64"),
+    ("n_deleted_keys", "int64"),
+    ("data_dir", "string"),
+]
+
+
+def _log_dir(location: str) -> str:
+    return os.path.join(_meta_dir(location), "_manifest_log")
+
+
+def _log_row(manifest: dict) -> dict:
+    return {
+        "version": manifest["version"],
+        "parent": manifest.get("parent"),
+        "type": manifest.get("type", "data"),
+        "committed_at_ms": manifest.get("committed_at_ms"),
+        "n_rows": manifest.get("n_rows"),
+        "n_appended": manifest.get("n_appended"),
+        "n_deleted_keys": manifest.get("n_deleted_keys"),
+        "data_dir": manifest.get("data_dir"),
+    }
+
+
+def _append_manifest_log(location: str, manifest: dict) -> None:
+    """One parquet file per commit, named by version (the commit claim
+    already guarantees a unique owner per version, so the name can be
+    deterministic); tmp + os.replace keeps the append atomic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ldir = _log_dir(location)
+    os.makedirs(ldir, exist_ok=True)
+    row = _log_row(manifest)
+    schema = pa.schema([(n, getattr(pa, t)()) for n, t in _LOG_FIELDS])
+    table = pa.table(
+        {n: pa.array([row[n]], type=getattr(pa, t)()) for n, t in _LOG_FIELDS},
+        schema=schema,
+    )
+    final = os.path.join(ldir, f"log-v{manifest['version']:06d}.parquet")
+    tmp = f"{final}.{os.getpid()}.{time.monotonic_ns()}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+
+
+def read_manifest_log(location: str) -> list[dict]:
+    """The commit listing from the LOG table (no metadata/ directory
+    walk over manifests), oldest first. On an object store this is the
+    one GET-per-file scan of a small well-known prefix — or a single
+    spark.read.parquet via meta_table(kind='manifest_log')."""
+    import pyarrow.parquet as pq
+
+    ldir = _log_dir(location)
+    if not os.path.isdir(ldir):
+        return []
+    rows: list[dict] = []
+    for f in sorted(os.listdir(ldir)):
+        if f.startswith("log-v") and f.endswith(".parquet"):
+            rows.extend(pq.read_table(os.path.join(ldir, f)).to_pylist())
+    return sorted(rows, key=lambda r: r["version"])
+
+
+def repair_manifest_log(location: str) -> int:
+    """Backfill log rows for committed-but-unlogged versions (a writer
+    that crashed between the manifest claim and the log append, or a
+    table created before the log existed) from the directory listing —
+    the ONLY remaining consumer of the listdir walk. Idempotent;
+    returns the number of rows backfilled."""
+    logged = {r["version"] for r in read_manifest_log(location)}
+    fixed = 0
+    for v in _versions(location):
+        if v not in logged:
+            with open(_manifest_path(location, v)) as f:
+                _append_manifest_log(location, json.load(f))
+            fixed += 1
+    return fixed
 
 
 def write_snapshot(
@@ -267,6 +373,7 @@ def snapshot_history(location: str) -> list[dict]:
         row = {k: m[k] for k in ("version", "parent", "committed_at_ms", "n_rows")}
         row["type"] = m.get("type", "data")
         row["n_appended"] = m.get("n_appended")
+        row["n_deleted_keys"] = m.get("n_deleted_keys")
         out.append(row)
     return out
 
@@ -314,17 +421,17 @@ def vacuum(location: str) -> list[str]:
     that crashed mid-claim still references its data until the claim
     is resolved. Returns the removed paths.
 
-    Scale note: this walk (like snapshot_history / latest_batch_id) is
-    a driver-side directory listing of O(#versions) small JSONs — the
-    single-host shape. The object-store variant lists manifests from a
-    metadata table instead of the filesystem (see maybe_compact's
-    manifest-count bound note); the referenced-set logic is unchanged."""
+    The referenced set comes from the manifest LOG table (the
+    object-store shape — no per-manifest JSON reads); repair runs
+    first, so a committed-but-unlogged version can never have its data
+    dir mistaken for an orphan. The listdir walk survives only inside
+    that repair."""
     import shutil
 
-    referenced = set()
-    for v in _versions(location):
-        with open(_manifest_path(location, v)) as f:
-            referenced.add(json.load(f)["data_dir"])
+    repair_manifest_log(location)
+    referenced = {
+        r["data_dir"] for r in read_manifest_log(location) if r["data_dir"]
+    }
     sdir = os.path.join(_meta_dir(location), "staged")
     if os.path.isdir(sdir):
         for f in os.listdir(sdir):
@@ -947,28 +1054,30 @@ def meta_table(spark: SparkSession, location: str, kind: str) -> DataFrame:
     queries instead of ad-hoc scripts.
 
     kind='history'  -> (version, parent, committed_at_ms, n_rows, type)
+                       — read from the manifest LOG parquet (one table
+                       scan, the object-store shape; repair runs first
+                       so unlogged commits are backfilled)
+    kind='manifest_log' -> the raw log table (all _LOG_FIELDS columns)
     kind='files'    -> (version, file, n_rows) — one row per data file
                        per DIRECTLY-committed version (resolving the
                        parquet footer row counts, not file bytes, so
                        the output is deterministic across hosts)
     kind='refs'     -> (name, kind, version)
     """
-    if kind == "history":
-        rows = [
-            (
-                h["version"],
-                h["parent"],
-                h["committed_at_ms"],
-                h["n_rows"],
-                h["n_appended"],
-                h["type"],
-            )
-            for h in snapshot_history(location)
-        ]
-        return spark.createDataFrame(
-            rows,
-            "version long, parent long, committed_at_ms long, n_rows long, "
-            "n_appended long, type string",
+    if kind in ("history", "manifest_log"):
+        repair_manifest_log(location)
+        schema_str = (
+            "version long, parent long, type string, committed_at_ms long, "
+            "n_rows long, n_appended long, n_deleted_keys long, data_dir string"
+        )
+        if not os.path.isdir(_log_dir(location)):
+            log = spark.createDataFrame([], schema_str)
+        else:
+            log = spark.read.parquet(_log_dir(location))
+        if kind == "manifest_log":
+            return log
+        return log.select(
+            "version", "parent", "committed_at_ms", "n_rows", "n_appended", "type"
         )
     if kind == "refs":
         return spark.createDataFrame(
