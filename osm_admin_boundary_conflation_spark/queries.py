@@ -754,7 +754,7 @@ _DRIVER_HEAD = [
     "cusum_changepoint",
     "snapshot_manifest_log",
     "quantile_normalize",
-    "ab_test_analysis",
+    "parser_quarantine",
 ]
 
 
@@ -4139,6 +4139,44 @@ def q_quarantine_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("PASSED").alias("reason"), "n_docs", "min_doc")
     )
     return rejected.unionByName(passed)
+
+
+@q(
+    "parser_quarantine",
+    oracle=r"""
+WITH c AS (SELECT doc_id % 10 AS cls, count(*) AS n FROM documents GROUP BY cls),
+m AS (
+  SELECT * FROM (VALUES
+    (0,'warc',''), (1,'warc','bad_structure'), (2,'warc','bad_structure'),
+    (3,'bmp',''), (4,'bmp','truncated'), (5,'jpeg',''), (6,'jpeg','truncated'),
+    (7,'unknown','unknown_magic'), (8,'wav',''), (9,'wav','truncated')
+  ) AS t(cls, fmt, reason)
+)
+SELECT m.fmt AS format, m.reason, CAST(sum(c.n) AS BIGINT) AS n_blobs
+FROM m JOIN c USING (cls)
+GROUP BY m.fmt, m.reason
+""",
+)
+def q_parser_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-binary quarantine (VERDICT r06 #8): the from-scratch
+    WARC / JPEG / BMP / WAV parsers run over a deterministic fuzz
+    corpus — valid members plus truncations, framing violations, and
+    garbage, one blob per document (operators/quarantine.py) — and
+    every blob lands in a typed (format, reason) quarantine row with
+    ZERO crashes; the reference's typed-error philosophy
+    (processing_state.py:4-27) applied to untrusted container bytes.
+    The oracle pins each corpus class to its exact outcome, so a
+    parser regressing from a clean raise to a crash (or misclassifying
+    a truncation) flips counts and fails the gate."""
+    from .operators.quarantine import build_corrupt_corpus, quarantine_scan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = build_corrupt_corpus(docs)
+    return (
+        quarantine_scan(blobs)
+        .groupBy("format", "reason")
+        .agg(F.count(F.lit(1)).alias("n_blobs"))
+    )
 
 
 @q(
