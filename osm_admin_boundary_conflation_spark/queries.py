@@ -15008,6 +15008,48 @@ def q_snapshot_manifest_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "snapshot_rollback",
+    oracle=r"""
+WITH c AS (SELECT
+  count(*) FILTER (WHERE doc_id % 3 = 0) AS c1,
+  count(*) FILTER (WHERE doc_id % 3 = 1) AS c2,
+  count(*) FILTER (WHERE doc_id % 9 = 0) AS c9
+ FROM documents)
+SELECT 1 AS version, 'data' AS type, CAST(c1 AS BIGINT) AS n_live FROM c
+UNION ALL SELECT 2, 'append', CAST(c1 + c2 AS BIGINT) FROM c
+UNION ALL SELECT 3, 'delete', CAST(c1 + c2 - c9 AS BIGINT) FROM c
+UNION ALL SELECT 4, 'rollback', CAST(c1 AS BIGINT) FROM c
+""",
+)
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK as a commit (snapshot_table.rollback_snapshot — the
+    `ALTER TABLE ... EXECUTE rollback` shape): after data + append +
+    delete commits, rolling back to v1 lands a pointer commit v4 whose
+    reads resolve to v1's state, while v2/v3 STAY queryable for
+    forensics (history is immutable) and no data is copied (O(1)
+    metadata whatever the table size). The gate reads every version
+    after the rollback and pins each one's live row count."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    loc = tempfile.mkdtemp(prefix="snaprb_") + "/tbl"
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 3 == 0), loc, commit_ms=1)
+    ST.write_append_snapshot(docs.filter(F.col("doc_id") % 3 == 1), loc, commit_ms=2)
+    ST.write_delete_snapshot(
+        docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"), loc, "doc_id", commit_ms=3
+    )
+    ST.rollback_snapshot(loc, 1, commit_ms=4)
+    types = {h["version"]: h["type"] for h in ST.snapshot_history(loc)}
+    rows = [
+        (v, types[v], ST.read_snapshot(spark, loc, version=v).count())
+        for v in (1, 2, 3, 4)
+    ]
+    return spark.createDataFrame(rows, "version long, type string, n_live long")
+
+
+@q(
     "skew_diagnosis",
     oracle=r"""
 WITH keyed AS (

@@ -360,7 +360,40 @@ def read_snapshot(
         )
         keys = spark.read.parquet(os.path.join(location, manifest["data_dir"]))
         return base.join(keys, manifest["key_col"], "left_anti")
+    if manifest.get("type") == "rollback":
+        # pointer commit: the state IS the restored version's state
+        return read_snapshot(
+            spark, location, version=manifest["restores"], _depth=_depth + 1
+        )
     return spark.read.parquet(os.path.join(location, manifest["data_dir"]))
+
+
+def rollback_snapshot(location: str, to_version: int, commit_ms: int | None = None) -> int:
+    """Iceberg-style ROLLBACK: restore the table to `to_version` as a
+    NEW commit (history is immutable — the bad versions stay queryable
+    for forensics, exactly like `ALTER TABLE ... EXECUTE rollback`).
+    No data is copied: the new manifest is a pointer commit
+    (type='rollback', restores=to_version) and reads resolve through
+    it; every data dir stays referenced by its original manifest, so
+    vacuum is unaffected. O(1) metadata whatever the table size."""
+    vs = _versions(location)
+    if to_version not in vs:
+        raise ValueError(f"cannot roll back to v{to_version}: not in {vs}")
+    with open(_manifest_path(location, to_version)) as f:
+        target = json.load(f)
+
+    def build(version: int, parent: int | None) -> dict:
+        return {
+            "version": version,
+            "parent": parent,
+            "type": "rollback",
+            "restores": to_version,
+            "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
+            "n_rows": target.get("n_rows"),
+            "data_dir": None,
+        }
+
+    return _commit_manifest(location, build)
 
 
 def snapshot_history(location: str) -> list[dict]:
@@ -470,6 +503,9 @@ def chain_length(location: str, version: int | None = None) -> int:
     while True:
         with open(_manifest_path(location, v)) as f:
             m = json.load(f)
+        if m.get("type") == "rollback":
+            v = m["restores"]  # pointer: chain is the restored version's
+            continue
         if m.get("type") not in ("append", "delete") or m["parent"] is None:
             return links
         links += 1
@@ -907,6 +943,10 @@ def files_matching(
     v = vs[-1] if version is None else version
     with open(_manifest_path(location, v)) as f:
         manifest = json.load(f)
+    while manifest.get("type") == "rollback":  # pointer: prune the restored state
+        v = manifest["restores"]
+        with open(_manifest_path(location, v)) as f:
+            manifest = json.load(f)
     if manifest.get("type") in ("append", "delete"):
         raise ValueError(
             f"v{v} is a {manifest['type']} commit — stats pruning reads "

@@ -433,3 +433,24 @@ def test_checked_write_null_key_is_not_a_duplicate(spark, tmp_path):
     )
     v = ST.write_snapshot_checked(comp, loc, unique_key=["a", "b"], commit_ms=3)
     assert v == 2
+
+
+def test_rollback_pointer_commit(spark, tmp_path):
+    from osm_admin_boundary_conflation_spark.sources import snapshot_table as ST
+
+    loc = str(tmp_path / "tbl")
+    ST.write_snapshot(spark.range(10), loc, commit_ms=1)
+    ST.write_snapshot(spark.range(3), loc, commit_ms=2)
+    v = ST.rollback_snapshot(loc, 1, commit_ms=3)
+    assert v == 3
+    assert ST.read_snapshot(spark, loc).count() == 10          # head = restored state
+    assert ST.read_snapshot(spark, loc, version=2).count() == 3  # forensics intact
+    # vacuum keeps every data dir (all still referenced by v1/v2)
+    assert ST.vacuum(loc) == []
+    assert ST.read_snapshot(spark, loc).count() == 10
+    # chain_length resolves THROUGH the pointer
+    ST.write_append_snapshot(spark.range(5), loc, commit_ms=4)
+    assert ST.chain_length(loc) == 1
+    assert ST.read_snapshot(spark, loc).count() == 15
+    with pytest.raises(ValueError, match="cannot roll back"):
+        ST.rollback_snapshot(loc, 99)
