@@ -10997,16 +10997,25 @@ def q_geotag_from_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
     would shift an extracted coordinate and flip a verdict). This is
     the 'point the engine at Common Crawl' path: at real scale the
     archives are the ~100k-file crawl shards and the parse is
-    file-parallel (module docstring documents the cdx-offset grain)."""
+    file-parallel (module docstring documents the cdx-offset grain).
+
+    The shard COUNT scales with the corpus (~1250 pages/archive, min
+    4) exactly as CC holds archive size ~constant and grows the file
+    count: a fixed shard count capped read parallelism at that many
+    tasks and made this leg 8x for 4x data in the r7 scale-up bench
+    (BENCH/notes.md); with proportional sharding per-task parse work
+    is constant and the leg scales linearly."""
+    import math
     import tempfile
 
     from .sources.warc import read_warc, write_warc_archives
 
     pages = datagen.build_pages(spark, sf_dir)
+    n_shards = max(4, math.ceil(pages.count() / 1250))  # setup, not measured
     shard = pages.select(
         "url", F.lit("2024-01-01T00:00:00Z").alias("warc_date"), "html",
-        (F.abs(F.hash("url")) % 4).alias("s"),
-    ).repartition(4, "s").drop("s")
+        (F.abs(F.hash("url")) % n_shards).alias("s"),
+    ).repartition(n_shards, "s").drop("s")
     out_dir = tempfile.mkdtemp(prefix="warc_geo_")
     write_warc_archives(shard, out_dir)
     recovered = read_warc(spark, f"{out_dir}/*.warc.gz").select("url", "html")
@@ -15047,6 +15056,62 @@ def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in (1, 2, 3, 4)
     ]
     return spark.createDataFrame(rows, "version long, type string, n_live long")
+
+
+@q(
+    "snapshot_expire",
+    oracle=r"""
+WITH c AS (SELECT
+  count(*) FILTER (WHERE doc_id % 3 = 0) AS a0,
+  count(*) FILTER (WHERE doc_id % 3 = 2) AS a2,
+  count(*) FILTER (WHERE doc_id % 9 = 0) AS b0,
+  count(*) FILTER (WHERE doc_id % 9 = 1) AS b1
+ FROM documents)
+SELECT 1 AS version, 'data' AS type, CAST(a0 AS BIGINT) AS n_live,
+       CAST(1 AS BIGINT) AS n_expired, CAST(1 AS BIGINT) AS n_reclaimed
+FROM c
+UNION ALL SELECT 3, 'data', CAST(a2 AS BIGINT), 1, 1 FROM c
+UNION ALL SELECT 4, 'append', CAST(a2 + b0 AS BIGINT), 1, 1 FROM c
+UNION ALL SELECT 5, 'append', CAST(a2 + b0 + b1 AS BIGINT), 1, 1 FROM c
+""",
+)
+def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPIRE SNAPSHOTS (history retention): of five commits, keep the
+    newest two plus everything they transitively read (append parents)
+    plus tag-pinned versions — v2, pinned by nothing, is the only
+    expiry; vacuum then reclaims exactly its data dir. v1 survives
+    because a TAG protects it (the Iceberg retention contract), v3
+    because retained v4/v5 resolve through it. The gate re-reads every
+    surviving version and pins its live rows, the expired count, and
+    the reclaimed-dir count."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    loc = tempfile.mkdtemp(prefix="snapexp_") + "/tbl"
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 3 == 0), loc, commit_ms=1)
+    ST.create_ref(loc, "baseline", "tag", version=1)
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 3 == 1), loc, commit_ms=2)
+    ST.write_snapshot(docs.filter(F.col("doc_id") % 3 == 2), loc, commit_ms=3)
+    ST.write_append_snapshot(docs.filter(F.col("doc_id") % 9 == 0), loc, commit_ms=4)
+    ST.write_append_snapshot(docs.filter(F.col("doc_id") % 9 == 1), loc, commit_ms=5)
+    expired = ST.expire_snapshots(loc, keep_last=2)
+    reclaimed = ST.vacuum(loc)
+    types = {h["version"]: h["type"] for h in ST.snapshot_history(loc)}
+    rows = [
+        (
+            v,
+            types[v],
+            ST.read_snapshot(spark, loc, version=v).count(),
+            len(expired),
+            len(reclaimed),
+        )
+        for v in sorted(types)
+    ]
+    return spark.createDataFrame(
+        rows, "version long, type string, n_live long, n_expired long, n_reclaimed long"
+    )
 
 
 @q(

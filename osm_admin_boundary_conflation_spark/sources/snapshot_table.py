@@ -492,6 +492,45 @@ def vacuum(location: str) -> list[str]:
     return removed
 
 
+def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
+    """Iceberg-style EXPIRE SNAPSHOTS: drop manifests (and their
+    manifest-log rows) for versions outside the retention set, so
+    vacuum can reclaim their data. Retained: the newest `keep_last`
+    versions, every version a named ref (tag/branch) pins, and the
+    TRANSITIVE CLOSURE of what retained versions need to read —
+    append/delete parents and rollback restore targets — so an expired
+    table never has a retained version whose read would dangle.
+    Returns the expired version numbers (time travel to them now
+    raises, which IS the semantics of expiry)."""
+    vs = _versions(location)
+    if not vs:
+        return []
+    keep: set[int] = set(vs[-max(1, keep_last):])
+    for r in list_refs(location):
+        keep.add(r["version"])
+    frontier = list(keep)
+    while frontier:
+        v = frontier.pop()
+        with open(_manifest_path(location, v)) as f:
+            m = json.load(f)
+        deps = []
+        if m.get("type") in ("append", "delete") and m.get("parent") is not None:
+            deps.append(m["parent"])
+        if m.get("type") == "rollback":
+            deps.append(m["restores"])
+        for d in deps:
+            if d not in keep:
+                keep.add(d)
+                frontier.append(d)
+    expired = [v for v in vs if v not in keep]
+    for v in expired:
+        os.remove(_manifest_path(location, v))
+        lp = os.path.join(_log_dir(location), f"log-v{v:06d}.parquet")
+        if os.path.exists(lp):
+            os.remove(lp)
+    return expired
+
+
 def chain_length(location: str, version: int | None = None) -> int:
     """Number of append/delete links between `version` (latest when
     None) and its nearest full data snapshot. 0 for a data snapshot."""

@@ -454,3 +454,27 @@ def test_rollback_pointer_commit(spark, tmp_path):
     assert ST.read_snapshot(spark, loc).count() == 15
     with pytest.raises(ValueError, match="cannot roll back"):
         ST.rollback_snapshot(loc, 99)
+
+
+def test_expire_snapshots_retention_closure(spark, tmp_path):
+    from osm_admin_boundary_conflation_spark.sources import snapshot_table as ST
+
+    loc = str(tmp_path / "tbl")
+    ST.write_snapshot(spark.range(10), loc, commit_ms=1)
+    ST.write_snapshot(spark.range(20), loc, commit_ms=2)
+    ST.write_append_snapshot(spark.range(5), loc, commit_ms=3)
+    ST.rollback_snapshot(loc, 1, commit_ms=4)
+    # keep_last=1 keeps v4; closure pulls v1 (rollback restore target);
+    # v2 and v3 expire even though v3 chains to v2 — neither is needed
+    expired = ST.expire_snapshots(loc, keep_last=1)
+    assert expired == [2, 3]
+    assert ST.read_snapshot(spark, loc).count() == 10
+    assert ST.read_snapshot(spark, loc, version=1).count() == 10
+    with pytest.raises(ValueError):
+        ST.read_snapshot(spark, loc, version=2)
+    # vacuum reclaims the two expired data dirs, keeps v1's
+    assert len(ST.vacuum(loc)) == 2
+    assert ST.read_snapshot(spark, loc).count() == 10
+    # the manifest log matches the surviving listing (repair is a no-op)
+    assert ST.repair_manifest_log(loc) == 0
+    assert [r["version"] for r in ST.read_manifest_log(loc)] == [1, 4]

@@ -62,6 +62,9 @@ HARNESS = {
     "snapshot_delete_vector",
     "stream_snapshot_ingest",
     "partitioned_sink_overwrite",
+    "snapshot_manifest_log",
+    "snapshot_rollback",
+    "snapshot_expire",
 }
 
 
