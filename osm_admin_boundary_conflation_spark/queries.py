@@ -16817,3 +16817,394 @@ def q_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1 - p2, 6).alias("lift"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# ===========================================================================
+# Round-7 wave: point-in-polygon, DAG DP, KMV sketch, IDW, raster perimeter
+# ===========================================================================
+
+# Shared synthetic world for the planar operators below: a 8x5 grid of
+# NON-CONVEX polygons (square with a diagonal-floored notch), vertices on
+# multiples of 4, query points congruent 1 mod 4 per axis — so no point
+# ever lies on an edge and no +x ray passes through a vertex (exactness
+# needs no epsilon; see operators/point_in_polygon.py degeneracy contract).
+_PIP_WORLD_SQL = """
+polys AS (
+  SELECT CAST(u AS BIGINT) AS poly_id, (u % 8) * 160 AS ox, (u // 8) * 160 AS oy
+  FROM (SELECT unnest(range(40)) AS u)
+),
+verts AS (
+  SELECT poly_id, CAST(v AS BIGINT) AS v,
+    ox + CASE v WHEN 0 THEN 0 WHEN 1 THEN 120 WHEN 2 THEN 120 WHEN 3 THEN 80
+                WHEN 4 THEN 80 WHEN 5 THEN 40 WHEN 6 THEN 40 ELSE 0 END AS vx,
+    oy + CASE v WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 120 WHEN 3 THEN 120
+                WHEN 4 THEN 40 WHEN 5 THEN 80 WHEN 6 THEN 120 ELSE 120 END AS vy
+  FROM polys, (SELECT unnest(range(8)) AS v)
+),
+pip_edges AS (
+  SELECT a.poly_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+  FROM verts a JOIN verts b ON a.poly_id = b.poly_id AND b.v = (a.v + 1) % 8
+),
+pip_pts AS (
+  SELECT o_orderkey AS pid,
+         4 * ((o_orderkey * 7) % 320) + 1 AS px,
+         4 * ((o_orderkey * 13) % 200) + 1 AS py
+  FROM orders
+)
+"""
+
+# local-coordinate vertex offsets of the notched test polygon (CCW ring)
+_PIP_SHAPE = [(0, 0), (120, 0), (120, 120), (80, 120), (80, 40), (40, 80), (40, 120), (0, 120)]
+
+
+def _pip_world(spark: SparkSession, sf_dir: str):
+    """Spark twin of _PIP_WORLD_SQL: (points, polygons-with-vertex-array)."""
+    u = F.col("id")
+    ring = F.array(
+        *[
+            F.struct(
+                ((u % 8) * 160 + F.lit(lx)).alias("x"),
+                ((u / 8).cast("long") * 160 + F.lit(ly)).alias("y"),
+            )
+            for lx, ly in _PIP_SHAPE
+        ]
+    )
+    polys = spark.range(40).select(u.alias("poly_id"), ring.alias("vertices"))
+    k = F.col("o_orderkey")
+    pts = (
+        datagen._read(spark, sf_dir, "orders")
+        .select(
+            k.alias("pid"),
+            (4 * ((k * 7) % 320) + 1).alias("px"),
+            (4 * ((k * 13) % 200) + 1).alias("py"),
+        )
+    )
+    return pts, polys
+
+
+@q(
+    "point_in_polygon",
+    oracle=f"""
+WITH {_PIP_WORLD_SQL},
+hits AS (
+  SELECT p.pid, e.poly_id,
+         sum(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                   AND (((e.x1 - p.px) * (e.y2 - e.y1)
+                         + (p.py - e.y1) * (e.x2 - e.x1) > 0) = (e.y2 - e.y1 > 0))
+             THEN 1 ELSE 0 END) AS crossings
+  FROM pip_pts p, pip_edges e
+  GROUP BY p.pid, e.poly_id
+)
+SELECT pid, poly_id FROM hits WHERE crossings % 2 = 1
+""",
+)
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True point-in-polygon join over NON-CONVEX rings (the reference's
+    shapely `contains` confirm step, conflate.py candidate check) —
+    cell-blocked candidates, exploded-edge crossing-number parity with
+    exact cross-multiplied integer predicates. The polygons have a
+    diagonal-floored notch, so bbox/convex shortcuts would misclassify
+    notch points; the oracle is an independent quadratic (no blocking)
+    ray cast."""
+    from .operators.point_in_polygon import point_in_polygon_join
+
+    pts, polys = _pip_world(spark, sf_dir)
+    return point_in_polygon_join(pts, polys, cell=160)
+
+
+@q(
+    "dag_longest_path",
+    oracle="""
+WITH n AS (SELECT o_orderkey AS id, CAST(o_orderkey % 8 AS BIGINT) AS layer FROM orders),
+e AS (
+  SELECT a.id AS src, b.id AS dst, (a.id + b.id) % 100 + 1 AS w
+  FROM n a JOIN n b
+    ON b.layer = a.layer + 1 AND (b.id * 31) % 97 = (a.id * 17) % 97
+),
+d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM n WHERE layer = 0),
+d1 AS (SELECT e.dst AS id, max(d.dist + e.w) AS dist FROM d0 d JOIN e ON e.src = d.id GROUP BY e.dst),
+d2 AS (SELECT e.dst AS id, max(d.dist + e.w) AS dist FROM d1 d JOIN e ON e.src = d.id GROUP BY e.dst),
+d3 AS (SELECT e.dst AS id, max(d.dist + e.w) AS dist FROM d2 d JOIN e ON e.src = d.id GROUP BY e.dst),
+d4 AS (SELECT e.dst AS id, max(d.dist + e.w) AS dist FROM d3 d JOIN e ON e.src = d.id GROUP BY e.dst),
+d5 AS (SELECT e.dst AS id, max(d.dist + e.w) AS dist FROM d4 d JOIN e ON e.src = d.id GROUP BY e.dst),
+d6 AS (SELECT e.dst AS id, max(d.dist + e.w) AS dist FROM d5 d JOIN e ON e.src = d.id GROUP BY e.dst),
+d7 AS (SELECT e.dst AS id, max(d.dist + e.w) AS dist FROM d6 d JOIN e ON e.src = d.id GROUP BY e.dst),
+alld AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+  UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4 UNION ALL SELECT * FROM d5
+  UNION ALL SELECT * FROM d6 UNION ALL SELECT * FROM d7)
+SELECT CAST(a.id % 8 AS BIGINT) AS layer,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(max(a.dist) AS BIGINT) AS max_dist,
+       CAST(min(a.dist) AS BIGINT) AS min_dist,
+       CAST(sum(a.dist) AS BIGINT) AS sum_dist
+FROM alld a GROUP BY 1
+""",
+)
+def q_dag_longest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG longest path (critical-path scheduling / pipeline staging):
+    layered DAG, per-layer DP dist(b) = max(dist(a) + w) unrolled over
+    the known depth — each round is ONE shuffled join+agg, never a
+    driver loop over rows. Edges are localCheckpointed once so the 8
+    consuming rounds don't re-derive the n x n self-join. Integer
+    weights make every distance exact. The longest-path DP is the max-
+    plus semiring twin of bfs_hops/sssp (operators/graph.py)."""
+    k = F.col("o_orderkey")
+    n = datagen._read(spark, sf_dir, "orders").select(
+        k.alias("id"), (k % 8).alias("layer")
+    )
+    a = n.select(F.col("id").alias("src"), F.col("layer").alias("la"),
+                 ((F.col("id") * 17) % 97).alias("hc"))
+    b = n.select(F.col("id").alias("dst"), F.col("layer").alias("lb"),
+                 ((F.col("id") * 31) % 97).alias("hc"))
+    e = (
+        a.join(b, ["hc"])
+        .filter(F.col("lb") == F.col("la") + 1)
+        .select("src", "dst", ((F.col("src") + F.col("dst")) % 100 + 1).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    d = n.filter(F.col("layer") == 0).select("id", F.lit(0).cast("long").alias("dist"))
+    frames = [d]
+    for _ in range(7):
+        d = (
+            d.join(e, d["id"] == e["src"])
+            .groupBy("dst")
+            .agg(F.max(F.col("dist") + F.col("w")).alias("dist"))
+            .select(F.col("dst").alias("id"), "dist")
+        )
+        frames.append(d)
+    alld = frames[0]
+    for fr in frames[1:]:
+        alld = alld.unionByName(fr)
+    return alld.groupBy((F.col("id") % 8).alias("layer")).agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.max("dist").alias("max_dist"),
+        F.min("dist").alias("min_dist"),
+        F.sum("dist").alias("sum_dist"),
+    )
+
+
+@q(
+    "kmv_distinct_sketch",
+    oracle="""
+WITH v AS (
+  SELECT DISTINCT o_orderpriority AS grp, o_custkey AS val FROM orders
+),
+h AS (
+  SELECT grp, CAST(('0x' || substr(md5(CAST(val AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM v
+),
+r AS (
+  SELECT grp, hv, row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+  FROM h
+),
+kth AS (SELECT grp, hv AS hk FROM r WHERE rn = 256),
+ex AS (SELECT grp, count(*) AS n_exact FROM v GROUP BY grp)
+SELECT ex.grp AS grp, CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST((CAST(1152921504606846976 AS BIGINT) // kth.hk) * 255 AS BIGINT) AS kmv_est,
+       CAST(abs((CAST(1152921504606846976 AS BIGINT) // kth.hk) * 255 - ex.n_exact)
+            * 10000 // ex.n_exact AS BIGINT) AS err_bp
+FROM ex JOIN kth ON ex.grp = kth.grp
+""",
+)
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k minimum values) distinct-count sketch, k=256: keep the k
+    smallest 60-bit md5 hashes per group; estimate = (k-1) * 2^60 //
+    h_k. The mergeable order-statistic cousin of the HLL register
+    sketch (hll_distinct_sketch) — at 100 TB the per-group state is k
+    longs regardless of cardinality, and two sketches merge by k-way
+    min. Gate output compares the estimate against the exact distinct
+    count in integer basis points; the integer-div estimator is
+    bit-identical cross-engine (div-then-multiply order pinned)."""
+    o = datagen._read(spark, sf_dir, "orders")
+    v = o.select(F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("val")).distinct()
+    h = v.select(
+        "grp",
+        F.conv(F.substring(F.md5(F.col("val").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    w = Window.partitionBy("grp").orderBy("hv")
+    r = h.select("grp", "hv", F.row_number().over(w).alias("rn"))
+    kth = r.filter(F.col("rn") == 256).select("grp", F.col("hv").alias("hk"))
+    ex = v.groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.expr("(1152921504606846976 div hk) * 255")
+    return (
+        ex.join(kth, "grp")
+        .select(
+            "grp",
+            "n_exact",
+            est.alias("kmv_est"),
+            F.expr(
+                "abs((1152921504606846976 div hk) * 255 - n_exact) * 10000 div n_exact"
+            ).alias("err_bp"),
+        )
+    )
+
+
+@q(
+    "idw_interpolate",
+    oracle="""
+WITH st AS (
+  SELECT CAST(s AS BIGINT) AS sid, (s % 8) * 160 + 37 AS sx, (s // 8) * 160 + 73 AS sy,
+         (s * 17) % 100 + 1 AS val
+  FROM (SELECT unnest(range(40)) AS s)
+),
+pts AS (
+  SELECT o_orderkey AS pid, (o_orderkey * 11) % 1280 AS qx, (o_orderkey * 19) % 800 AS qy
+  FROM orders
+),
+d AS (
+  SELECT p.pid, s.sid, s.val,
+         (p.qx - s.sx) * (p.qx - s.sx) + (p.qy - s.sy) * (p.qy - s.sy) AS d2,
+         row_number() OVER (
+           PARTITION BY p.pid
+           ORDER BY (p.qx - s.sx) * (p.qx - s.sx) + (p.qy - s.sy) * (p.qy - s.sy), s.sid
+         ) AS rn
+  FROM pts p, st s
+),
+top3 AS (
+  SELECT pid,
+    max(CASE WHEN rn = 1 THEN d2 END) AS d2a, max(CASE WHEN rn = 1 THEN val END) AS va,
+    max(CASE WHEN rn = 2 THEN d2 END) AS d2b, max(CASE WHEN rn = 2 THEN val END) AS vb,
+    max(CASE WHEN rn = 3 THEN d2 END) AS d2c, max(CASE WHEN rn = 3 THEN val END) AS vc
+  FROM d WHERE rn <= 3 GROUP BY pid
+)
+SELECT pid,
+  round(CAST(va * d2b * d2c + vb * d2a * d2c + vc * d2a * d2b AS DOUBLE)
+        / CAST(d2b * d2c + d2a * d2c + d2a * d2b AS DOUBLE), 6) AS idw_val
+FROM top3
+""",
+)
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted spatial interpolation (3 nearest
+    stations, power 2) — the geostatistics primitive for gridding
+    sparse sensor values. The dim side is 40 stations, so the right
+    plan is a broadcast nested-loop (operators/knn.py docstring: cross
+    vs broadcast dim when the site table is dim-sized; the cell-probe
+    path is the scale alternative when stations grow with the corpus).
+    The 1/d^2 weights are cleared to the common denominator, so num and
+    den are exact int64 (d2 <= 2.3e6, products <= 5.2e14) and the only
+    float op is one final IEEE division, identical cross-engine. A
+    zero-distance hit degrades gracefully: num/den collapse to exactly
+    that station's value."""
+    st = spark.range(40).select(
+        F.col("id").alias("sid"),
+        ((F.col("id") % 8) * 160 + 37).alias("sx"),
+        ((F.col("id") / 8).cast("long") * 160 + 73).alias("sy"),
+        ((F.col("id") * 17) % 100 + 1).alias("val"),
+    )
+    k = F.col("o_orderkey")
+    pts = datagen._read(spark, sf_dir, "orders").select(
+        k.alias("pid"), ((k * 11) % 1280).alias("qx"), ((k * 19) % 800).alias("qy")
+    )
+    d2 = (F.col("qx") - F.col("sx")) * (F.col("qx") - F.col("sx")) + (
+        F.col("qy") - F.col("sy")
+    ) * (F.col("qy") - F.col("sy"))
+    cand = pts.crossJoin(F.broadcast(st)).select("pid", "sid", "val", d2.alias("d2"))
+    w = Window.partitionBy("pid").orderBy("d2", "sid")
+    top = cand.select("pid", "val", "d2", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 3
+    )
+    p = top.groupBy("pid").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("d2a"),
+        F.max(F.when(F.col("rn") == 1, F.col("val"))).alias("va"),
+        F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2b"),
+        F.max(F.when(F.col("rn") == 2, F.col("val"))).alias("vb"),
+        F.max(F.when(F.col("rn") == 3, F.col("d2"))).alias("d2c"),
+        F.max(F.when(F.col("rn") == 3, F.col("val"))).alias("vc"),
+    )
+    num = (
+        F.col("va") * F.col("d2b") * F.col("d2c")
+        + F.col("vb") * F.col("d2a") * F.col("d2c")
+        + F.col("vc") * F.col("d2a") * F.col("d2b")
+    )
+    den = (
+        F.col("d2b") * F.col("d2c")
+        + F.col("d2a") * F.col("d2c")
+        + F.col("d2a") * F.col("d2b")
+    )
+    return p.select(
+        "pid", F.round(num.cast("double") / den.cast("double"), 6).alias("idw_val")
+    )
+
+
+@q(
+    "raster_region_perimeter",
+    oracle=r"""
+WITH RECURSIVE g AS (
+  SELECT CAST(u % 40 AS BIGINT) AS gx, CAST(u // 40 AS BIGINT) AS gy,
+         (u * 37 + (u * u) % 101) % 100 AS val
+  FROM (SELECT unnest(range(1600)) AS u)
+),
+fg AS (SELECT gx, gy, gx + gy * 40 AS id FROM g WHERE val >= 55),
+e AS (
+  SELECT a.id AS u, b.id AS v
+  FROM fg a JOIN fg b
+    ON (abs(a.gx - b.gx) + abs(a.gy - b.gy)) = 1
+),
+r AS (
+  SELECT id, id AS lab FROM fg
+  UNION
+  SELECT e.v AS id, r.lab FROM r JOIN e ON e.u = r.id
+),
+lab AS (SELECT id, min(lab) AS region FROM r GROUP BY id),
+adj AS (
+  SELECT la.region, count(*) AS n_dir
+  FROM e JOIN lab la ON e.u = la.id JOIN lab lb ON e.v = lb.id
+  WHERE la.region = lb.region
+  GROUP BY la.region
+),
+sz AS (SELECT region, count(*) AS n_cells FROM lab GROUP BY region)
+SELECT sz.region AS region, CAST(sz.n_cells AS BIGINT) AS n_cells,
+       CAST(4 * sz.n_cells - coalesce(adj.n_dir, 0) AS BIGINT) AS perimeter
+FROM sz LEFT JOIN adj ON sz.region = adj.region
+""",
+)
+def q_raster_region_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region boundary length over the flood-filled raster
+    (raster_region_label's world): perimeter = 4*n_cells minus the
+    directed internal adjacency count — an aggregate over the SAME
+    exploded-neighbour equi-join edges the fill itself used, so the
+    plan adds one join-back and two group-bys, never a pixel crawl.
+    The remote-sensing census pairing (region size, boundary length)
+    used for shape/compactness screens."""
+    from .operators.graph import connected_components
+
+    u = F.col("id")
+    g = spark.range(1600).select(
+        (u % 40).alias("gx"),
+        (u / 40).cast("long").alias("gy"),
+        ((u * 37 + (u * u) % 101) % 100).alias("val"),
+    )
+    fg = g.filter(F.col("val") >= 55).select(
+        "gx", "gy", (F.col("gx") + F.col("gy") * 40).alias("id")
+    ).localCheckpoint(eager=True)
+    probes = fg.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.expr(
+                "array(struct(gx + 1 AS bx, gy AS by), struct(gx - 1 AS bx, gy AS by), "
+                "struct(gx AS bx, gy + 1 AS by), struct(gx AS bx, gy - 1 AS by))"
+            )
+        ).alias("nb"),
+    ).select("src", F.col("nb.bx").alias("gx"), F.col("nb.by").alias("gy"))
+    edges = probes.join(fg.select("gx", "gy", F.col("id").alias("dst")), ["gx", "gy"]).select(
+        "src", "dst"
+    ).localCheckpoint(eager=True)
+    lab = connected_components(fg.select("id"), edges, max_iter=40, algorithm="star")
+    la = lab.select(F.col("id").alias("src"), F.col("cluster_id").alias("ra"))
+    lb = lab.select(F.col("id").alias("dst"), F.col("cluster_id").alias("rb"))
+    adj = (
+        edges.join(la, "src").join(lb, "dst")
+        .filter(F.col("ra") == F.col("rb"))
+        .groupBy(F.col("ra").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_dir"))
+    )
+    sz = lab.groupBy(F.col("cluster_id").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_cells")
+    )
+    return sz.join(adj, "region", "left").select(
+        "region",
+        "n_cells",
+        (4 * F.col("n_cells") - F.coalesce(F.col("n_dir"), F.lit(0))).alias("perimeter"),
+    )
