@@ -17208,3 +17208,269 @@ def q_raster_region_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cells",
         (4 * F.col("n_cells") - F.coalesce(F.col("n_dir"), F.lit(0))).alias("perimeter"),
     )
+
+
+@q(
+    "boruvka_mst",
+    oracle="""
+WITH p AS (SELECT CAST(u AS BIGINT) AS i FROM (SELECT unnest(range(1023)) AS u))
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(1000000 + i) AS BIGINT) AS total_w,
+       CAST(sum(i * 4099 + (i + 1)) AS BIGINT) AS fp
+FROM p
+""",
+)
+def q_boruvka_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed minimum spanning tree, Borůvka rounds
+    (operators/mst.py): every component simultaneously picks its
+    cheapest outgoing edge (safe under distinct weights — cut
+    property), picked edges contract via the star-CC operator, and the
+    component count at least halves per round. The gate graph is a
+    1024-node path (weights 1e6+i) plus ~1024 heavy chord edges
+    (1e7+i): by the cycle property every chord is the max edge of the
+    cycle it closes, so the MST is provably the path — the oracle
+    states edge count, total weight, and an orientation-independent
+    fingerprint in closed form. The operator's general correctness is
+    differential-tested against a python Kruskal on random graphs
+    (tests/test_mst.py)."""
+    from .operators.mst import boruvka_mst
+
+    n = 1024
+    ids = spark.range(n).select(F.col("id"))
+    i = F.col("id")
+    path = spark.range(n - 1).select(
+        i.alias("u"), (i + 1).alias("v"), (F.lit(1000000) + i).alias("w")
+    )
+    chords = (
+        spark.range(n)
+        .select(i.alias("u"), ((i * 37 + 11) % n).alias("v"), (F.lit(10000000) + i).alias("w"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    mst = boruvka_mst(ids, path.unionAll(chords))
+    return mst.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("w").alias("total_w"),
+        F.sum(
+            F.least("u", "v") * 4099 + F.greatest("u", "v")
+        ).alias("fp"),
+    )
+
+
+@q(
+    "frechet_offset",
+    oracle="""
+SELECT CAST(t AS BIGINT) AS traj_id,
+       CAST(((t % 7) * 10 + 5) * ((t % 7) * 10 + 5) AS BIGINT) AS frechet2
+FROM (SELECT unnest(range(20)) AS t)
+""",
+)
+def q_frechet_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet distance (operators/frechet.py) between each
+    trajectory and a vertically offset copy — one applyInPandas group
+    per pair (Arrow-batched DP kernel, never row-at-a-time). The
+    offset-by-delta construction pins the answer in closed form:
+    couplings must pair the first points (distance exactly delta) so
+    dF >= delta, and the identity coupling achieves it, so dF^2 =
+    delta^2 exactly in integers. Kernel correctness on arbitrary
+    shapes is differential-tested vs brute-force coupling enumeration
+    (tests/test_frechet.py)."""
+    import pandas as pd
+
+    from .operators.frechet import discrete_frechet2
+
+    t = F.col("id")
+    base = spark.range(20).select(
+        t.alias("traj_id"), F.explode(F.sequence(F.lit(0), F.lit(29))).alias("j")
+    )
+    j = F.col("j")
+    tt = F.col("traj_id")
+    pts = base.select(
+        "traj_id",
+        "j",
+        (j * 100 + (tt * j * 7) % 41).alias("x"),
+        (((tt * 13 + j * j) % 83) * 10).alias("y"),
+        ((tt % 7) * 10 + 5).alias("delta"),
+    )
+    both = pts.select("traj_id", F.lit(0).alias("side"), "j", "x", "y").unionAll(
+        pts.select("traj_id", F.lit(1).alias("side"), "j", "x", (F.col("y") + F.col("delta")).alias("y"))
+    )
+
+    def per_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = pdf[pdf["side"] == 0].sort_values("j")
+        qq = pdf[pdf["side"] == 1].sort_values("j")
+        d2 = discrete_frechet2(p["x"].values, p["y"].values, qq["x"].values, qq["y"].values)
+        return pd.DataFrame({"traj_id": [pdf["traj_id"].iloc[0]], "frechet2": [d2]})
+
+    return both.groupBy("traj_id").applyInPandas(per_pair, "traj_id bigint, frechet2 bigint")
+
+
+@q(
+    "grid_kde",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(a AS BIGINT) AS cx, CAST(b AS BIGINT) AS cy
+  FROM (SELECT unnest(range(32)) AS a), (SELECT unnest(range(20)) AS b)
+),
+pts AS (
+  SELECT (o_orderkey * 23) % 1280 AS px, (o_orderkey * 29) % 800 AS py FROM orders
+),
+w AS (
+  SELECT cx, cy,
+         60 - greatest(abs(px - (cx * 40 + 20)), abs(py - (cy * 40 + 20))) AS wt
+  FROM cells, pts
+)
+SELECT cx, cy, CAST(sum(wt) AS BIGINT) AS density, CAST(count(*) AS BIGINT) AS n_pts
+FROM w WHERE wt > 0 GROUP BY cx, cy
+""",
+)
+def q_grid_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid kernel-density heatmap (integer triangular kernel on
+    Chebyshev distance, radius 60 over a 40-unit cell pitch): each
+    point scatters weight onto only the <= 4x4 cells its kernel
+    support touches — an exploded bounded-sequence equi-group, the
+    write-side dual of the 3x3 read-side probes used by knn/radius
+    joins. All-integer weights; the oracle is the independent quadratic
+    (every cell x every point)."""
+    k = F.col("o_orderkey")
+    pts = datagen._read(spark, sf_dir, "orders").select(
+        ((k * 23) % 1280).alias("px"), ((k * 29) % 800).alias("py")
+    )
+    px, py = F.col("px"), F.col("py")
+    cand = pts.select(
+        "px",
+        "py",
+        F.explode(
+            F.sequence(F.floor((px - 79) / 40), F.floor((px + 59) / 40))
+        ).alias("cx"),
+    ).select(
+        "px",
+        "py",
+        "cx",
+        F.explode(
+            F.sequence(F.floor((py - 79) / 40), F.floor((py + 59) / 40))
+        ).alias("cy"),
+    )
+    wt = F.lit(60) - F.greatest(
+        F.abs(px - (F.col("cx") * 40 + 20)), F.abs(py - (F.col("cy") * 40 + 20))
+    )
+    return (
+        cand.filter(
+            (F.col("cx") >= 0) & (F.col("cx") <= 31) & (F.col("cy") >= 0) & (F.col("cy") <= 19)
+        )
+        .select("cx", "cy", wt.alias("wt"))
+        .filter(F.col("wt") > 0)
+        .groupBy("cx", "cy")
+        .agg(F.sum("wt").alias("density"), F.count(F.lit(1)).alias("n_pts"))
+    )
+
+
+@q(
+    "group_split_no_leakage",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 97 AS VARCHAR) AS host FROM documents
+),
+s AS (
+  SELECT doc_id, host,
+         CASE WHEN CAST(('0x' || substr(md5(host), 1, 15)) AS BIGINT) % 10 <= 7 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(host), 1, 15)) AS BIGINT) % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM d
+),
+hs AS (SELECT host, count(DISTINCT split) AS ns FROM s GROUP BY host)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT s.host) AS BIGINT) AS n_hosts,
+       CAST(count(DISTINCT CASE WHEN hs.ns > 1 THEN s.host END) AS BIGINT) AS n_leaky_hosts
+FROM s JOIN hs ON s.host = hs.host GROUP BY split
+""",
+)
+def q_group_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-integrity train/val/test split: the fold is a hash of the
+    HOST, not the document, so all pages from one site land in one
+    fold — the leakage-prevention step a naive per-row split
+    (dataset_split) gets wrong for web corpora where near-identical
+    pages cluster within a host. The gate proves the invariant
+    structurally: n_leaky_hosts (hosts seen in >1 split) is computed
+    from the data and must be 0."""
+    docs = datagen._read(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string")).alias("host")
+    )
+    fb = F.conv(F.substring(F.md5(F.col("host")), 1, 15), 16, 10).cast("long") % 10
+    s = d.select(
+        "doc_id",
+        "host",
+        F.when(fb <= 7, "train").when(fb == 8, "val").otherwise("test").alias("split"),
+    )
+    hs = s.groupBy("host").agg(F.countDistinct("split").alias("ns"))
+    return (
+        s.join(hs, "host")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.countDistinct(F.when(F.col("ns") > 1, F.col("host"))).alias("n_leaky_hosts"),
+        )
+    )
+
+
+@q(
+    "stump_split",
+    oracle="""
+WITH v AS (
+  SELECT CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) // 524288 AS b,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+bins AS (SELECT b, sum(y) AS n1, count(*) - sum(y) AS n0 FROM v GROUP BY b),
+e AS (
+  SELECT CAST(t AS BIGINT) + 1 AS t,
+         CASE WHEN bins.b < CAST(t AS BIGINT) + 1 THEN bins.n0 ELSE bins.n1 END AS errc,
+         bins.n0 + bins.n1 AS tot
+  FROM bins, (SELECT unnest(range(115)) AS t)
+),
+g AS (SELECT t, sum(errc) AS err1, sum(tot) AS n FROM e GROUP BY t)
+SELECT CAST(t * 524288 AS BIGINT) AS threshold_cents,
+       CAST(least(err1, n - err1) AS BIGINT) AS err,
+       CAST(n AS BIGINT) AS n_total
+FROM g ORDER BY least(err1, n - err1), t LIMIT 1
+""",
+)
+def q_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training (best 1-feature threshold split by
+    misclassification count) — the distributed shape is: bin the
+    feature (bounded 115 bins of 2^19 cents), per-bin label counts,
+    then EXPLODE each bin to every candidate threshold with its
+    below/above error contribution — a bounded-multiplier scatter +
+    one re-agg, no data-dependent scalar join, no cumulative window.
+    Both predicted polarities are scored via least(err, n - err); the
+    argmin is a TakeOrdered over 115 candidate rows. Integer error
+    counts are exact cross-engine."""
+    o = datagen._read(spark, sf_dir, "orders")
+    v = o.select(
+        F.expr("cast(round(cast(o_totalprice as double) * 100) as bigint) div 524288").alias("b"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    bins = v.groupBy("b").agg(
+        F.sum("y").alias("n1"), (F.count(F.lit(1)) - F.sum("y")).alias("n0")
+    )
+    e = bins.select(
+        "b", "n1", "n0", F.explode(F.sequence(F.lit(1), F.lit(115))).alias("t")
+    ).select(
+        "t",
+        F.when(F.col("b") < F.col("t"), F.col("n0")).otherwise(F.col("n1")).alias("errc"),
+        (F.col("n0") + F.col("n1")).alias("tot"),
+    )
+    g = e.groupBy("t").agg(F.sum("errc").alias("err1"), F.sum("tot").alias("n"))
+    pick = (
+        g.select(
+            "t",
+            F.least(F.col("err1"), F.col("n") - F.col("err1")).alias("err"),
+            F.col("n").alias("n_total"),
+        )
+        .orderBy("err", "t")
+        .limit(1)
+    )
+    return pick.select(
+        (F.col("t") * 524288).alias("threshold_cents"), "err", "n_total"
+    )
