@@ -17474,3 +17474,276 @@ def q_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pick.select(
         (F.col("t") * 524288).alias("threshold_cents"), "err", "n_total"
     )
+
+
+@q(
+    "silhouette_eval",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, label, CAST(d AS BIGINT) AS d,
+         CAST(round(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(64)) AS d)
+),
+s AS (SELECT label AS cl, d, CAST(sum(q) AS BIGINT) AS sd FROM x GROUP BY label, d),
+pn AS (SELECT vec_id, label, CAST(sum(q * q) AS BIGINT) AS n2 FROM x GROUP BY vec_id, label),
+cst AS (SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(sum(n2) AS BIGINT) AS qq FROM pn GROUP BY label),
+dt AS (
+  SELECT x.vec_id, s.cl, CAST(sum(x.q * s.sd) AS BIGINT) AS dot
+  FROM x JOIN s ON x.d = s.d GROUP BY x.vec_id, s.cl
+),
+sums AS (
+  SELECT p.vec_id, p.label AS own, d.cl, c.n,
+         c.qq + c.n * p.n2 - 2 * d.dot AS sd2
+  FROM pn p JOIN dt d ON p.vec_id = d.vec_id JOIN cst c ON d.cl = c.label
+),
+ab AS (
+  SELECT vec_id, own,
+         max(CASE WHEN cl = own THEN CAST(sd2 AS DOUBLE) / (n - 1) END) AS a,
+         min(CASE WHEN cl <> own THEN CAST(sd2 AS DOUBLE) / n END) AS b
+  FROM sums GROUP BY vec_id, own
+)
+SELECT vec_id, own AS label, round((b - a) / greatest(a, b), 6) AS sil FROM ab
+""",
+)
+def q_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-POINT SILHOUETTE SCORE over the embedding table's labels —
+    WITHOUT the quadratic pairwise-distance pass: sum_{j in C} d2(i,j)
+    = |C|*|qi|^2 - 2*qi.S_C + Q_C, so three moment aggregates (per-
+    cluster per-dim sums, per-cluster counts and squared-norm totals)
+    replace n^2 distance rows. At 100 TB cluster moments are a tiny
+    table and the per-point cost is one exploded-dim equi-join —
+    the same trick as join_size_estimate's histogram product. Vectors
+    are milli-quantized to int64 (embedding_quantized_norms precedent)
+    so every moment is exact; a(i), b(i), and s(i) are a handful of
+    IEEE divisions on exact integers, identical cross-engine. Verified
+    against brute-force pairwise silhouette in tests/test_silhouette.py."""
+    emb = datagen._read(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "c")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("d").cast("long").alias("d"),
+        F.round(F.col("c").cast("double") * 1000).cast("long").alias("q"),
+    )
+    s = x.groupBy(F.col("label").alias("cl"), "d").agg(F.sum("q").alias("sd"))
+    pn = x.groupBy("vec_id", "label").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
+    cst = pn.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n2").alias("qq")
+    )
+    dt = (
+        x.join(s, "d")
+        .groupBy("vec_id", "cl")
+        .agg(F.sum(F.col("q") * F.col("sd")).alias("dot"))
+    )
+    sums = (
+        pn.join(dt, "vec_id")
+        .join(cst.select(F.col("label").alias("cl"), "n", "qq"), "cl")
+        .select(
+            "vec_id",
+            F.col("label").alias("own"),
+            "cl",
+            "n",
+            (F.col("qq") + F.col("n") * F.col("n2") - 2 * F.col("dot")).alias("sd2"),
+        )
+    )
+    ab = sums.groupBy("vec_id", "own").agg(
+        F.max(
+            F.when(F.col("cl") == F.col("own"), F.col("sd2").cast("double") / (F.col("n") - 1))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("cl") != F.col("own"), F.col("sd2").cast("double") / F.col("n"))
+        ).alias("b"),
+    )
+    return ab.select(
+        "vec_id",
+        F.col("own").alias("label"),
+        F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6).alias("sil"),
+    )
+
+
+@q(
+    "polygon_centroid",
+    oracle=f"""
+WITH {_PIP_WORLD_SQL},
+t AS (
+  SELECT poly_id,
+         CAST(sum(x1 * y2 - x2 * y1) AS BIGINT) AS a2,
+         CAST(sum((x1 + x2) * (x1 * y2 - x2 * y1)) AS BIGINT) AS cxn,
+         CAST(sum((y1 + y2) * (x1 * y2 - x2 * y1)) AS BIGINT) AS cyn
+  FROM pip_edges GROUP BY poly_id
+)
+SELECT poly_id, a2,
+       round(CAST(cxn AS DOUBLE) / (3 * a2), 6) AS cx,
+       round(CAST(cyn AS DOUBLE) / (3 * a2), 6) AS cy
+FROM t
+""",
+)
+def q_polygon_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shoelace centroid of NON-CONVEX integer rings (the notched pip
+    world): signed area 2A = sum(x1*y2 - x2*y1) and the first-moment
+    sums are exact int64 aggregates over the exploded edge list; the
+    centroid is two IEEE divisions at the end. Vertex averaging (the
+    naive centroid) would be wrong for these shapes — the shoelace
+    moments weight by swept area, the same formula the reference gets
+    from shapely's polygon.centroid (measure_quality.py usage)."""
+    from .operators.point_in_polygon import polygon_edges
+
+    _, polys = _pip_world(spark, sf_dir)
+    e = polygon_edges(polys)
+    cr = F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+    t = e.groupBy("poly_id").agg(
+        F.sum(cr).alias("a2"),
+        F.sum((F.col("x1") + F.col("x2")) * cr).alias("cxn"),
+        F.sum((F.col("y1") + F.col("y2")) * cr).alias("cyn"),
+    )
+    return t.select(
+        "poly_id",
+        "a2",
+        F.round(F.col("cxn").cast("double") / (3 * F.col("a2")), 6).alias("cx"),
+        F.round(F.col("cyn").cast("double") / (3 * F.col("a2")), 6).alias("cy"),
+    )
+
+
+@q(
+    "temperature_resample",
+    oracle="""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS weight
+  FROM c
+),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+SELECT w.lang, w.n_docs, w.weight,
+       CAST(w.weight * 10000 // tot.tw AS BIGINT) AS share_bp
+FROM w, tot
+""",
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (alpha = 0.5, the
+    multilingual-corpus sampling rule: weight ~ n^alpha, flattening
+    head languages): integer weights via floor(sqrt(n * 1e6)) — IEEE
+    sqrt is correctly rounded, so the floor is bit-identical
+    cross-engine — then EXACT integer weight sums and basis-point
+    shares (float shares would be summation-order-dependent). The
+    1-row total is a broadcast scalar join."""
+    docs = datagen._read(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = c.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt((F.col("n_docs") * 1000000).cast("double"))).cast("long").alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "weight",
+        F.expr("weight * 10000 div tw").alias("share_bp"),
+    )
+
+
+# z-order scan planning: minimal aligned z ranges covering a query bbox
+# (constants: 5-bit axes, bbox x in [7,21], y in [3,17]) — computed by
+# quadtree descent at plan-construction time, like any literal predicate.
+_Z_BITS = 5
+_Z_BBOX = (7, 21, 3, 17)
+
+
+def _z_interleave_py(x: int, y: int) -> int:
+    z = 0
+    for b in range(_Z_BITS):
+        z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def _z_cover_ranges() -> list[tuple[int, int]]:
+    x0, x1, y0, y1 = _Z_BBOX
+    out: list[list[int]] = []
+
+    def rec(level: int, cx: int, cy: int) -> None:
+        size = 1 << (_Z_BITS - level)
+        qx0, qy0 = cx * size, cy * size
+        qx1, qy1 = qx0 + size - 1, qy0 + size - 1
+        if qx1 < x0 or qx0 > x1 or qy1 < y0 or qy0 > y1:
+            return
+        if qx0 >= x0 and qx1 <= x1 and qy0 >= y0 and qy1 <= y1:
+            zb = _z_interleave_py(qx0, qy0)
+            out.append([zb, zb + size * size - 1])
+            return
+        if level == _Z_BITS:
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                rec(level + 1, cx * 2 + dx, cy * 2 + dy)
+
+    rec(0, 0, 0)
+    out.sort()
+    merged: list[list[int]] = []
+    for lo, hi in out:
+        if merged and merged[-1][1] + 1 == lo:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
+
+
+# portable arithmetic bit interleave (no bitwise ops — DuckDB gives all
+# bitwise operators equal precedence; pure // % * + is unambiguous)
+_Z_SQL = " + ".join(
+    f"(((x // {1 << b}) % 2) * {4 ** b} + ((y // {1 << b}) % 2) * {2 * 4 ** b})"
+    for b in range(_Z_BITS)
+)
+
+
+@q(
+    "zorder_range_plan",
+    oracle=f"""
+WITH k AS (
+  SELECT (o_orderkey * 23) % 32 AS x, (o_orderkey * 29) % 32 AS y FROM orders
+),
+z AS (SELECT x, y, {_Z_SQL} AS zv FROM k),
+b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(zv) AS BIGINT) AS sum_z
+  FROM z WHERE x >= 7 AND x <= 21 AND y >= 3 AND y <= 17
+)
+SELECT CAST(32 AS BIGINT) AS n_ranges,
+       n_keys AS n_keys_ranges, sum_z AS sum_z_ranges,
+       n_keys AS n_keys_bbox, sum_z AS sum_z_bbox
+FROM b
+""",
+)
+def q_zorder_range_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER SCAN PLANNING: turn a 2-D bbox predicate into the
+    minimal set of aligned z-value ranges (quadtree descent over the
+    curve, adjacent ranges merged) — the trick that lets a z-ordered
+    table (zorder_encode / snapshot_zorder_skipping) serve spatial
+    range queries with O(ranges) contiguous scans instead of a full
+    pass. The plan is built from CONSTANTS (bbox, bit depth) at plan
+    time, like any literal predicate; the gate proves the cover is
+    EXACT by scanning the same keys both ways — via the 32 z ranges
+    and via the raw bbox — and emitting both counts and both z
+    checksums (equal iff the cover neither leaks nor over-covers).
+    The oracle pins the range count and computes the bbox side
+    independently."""
+    ranges = _z_cover_ranges()
+    k = F.col("o_orderkey")
+    keys = datagen._read(spark, sf_dir, "orders").select(
+        ((k * 23) % 32).alias("x"), ((k * 29) % 32).alias("y")
+    )
+    z = keys.select("x", "y", F.expr(_Z_SQL.replace("//", " div ")).alias("zv"))
+    in_ranges = None
+    for lo, hi in ranges:
+        cond = (F.col("zv") >= lo) & (F.col("zv") <= hi)
+        in_ranges = cond if in_ranges is None else (in_ranges | cond)
+    in_bbox = (
+        (F.col("x") >= 7) & (F.col("x") <= 21) & (F.col("y") >= 3) & (F.col("y") <= 17)
+    )
+    return z.agg(
+        F.lit(len(ranges)).cast("long").alias("n_ranges"),
+        F.sum(in_ranges.cast("long")).alias("n_keys_ranges"),
+        F.sum(F.when(in_ranges, F.col("zv")).otherwise(0)).alias("sum_z_ranges"),
+        F.sum(in_bbox.cast("long")).alias("n_keys_bbox"),
+        F.sum(F.when(in_bbox, F.col("zv")).otherwise(0)).alias("sum_z_bbox"),
+    )

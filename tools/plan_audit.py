@@ -100,6 +100,7 @@ NESTED_LOOP_SCALAR_OK = {
     "rrf_fusion",  # 1-row query-vector broadcast (ranks are two-phase bucket ranks)
     "stream_dead_letter",  # 1-row main-table stats x 1-row DLQ stats scalar join
     "idw_interpolate",  # points x constant 40-row broadcast station dim (knn.py: right plan for dim-sized sites)
+    "temperature_resample",  # 1-row weight-total scalar broadcast
     "golden_record_merge",  # customers x constant 3-row source-copy broadcast
     "quantile_normalize",  # 1-row min-group-size scalar broadcast
     "distribution_drift_tv",  # days x constant 5-type spine (bounded multiplier)
