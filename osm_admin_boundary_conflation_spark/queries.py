@@ -16965,11 +16965,15 @@ def q_dag_longest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = n.filter(F.col("layer") == 0).select("id", F.lit(0).cast("long").alias("dist"))
     frames = [d]
     for _ in range(7):
+        # checkpoint each round: the final union consumes EVERY frame,
+        # and without the cut frame i's subtree re-executes inside
+        # frames i+1..7 (linear blow-up of joins at scale)
         d = (
             d.join(e, d["id"] == e["src"])
             .groupBy("dst")
             .agg(F.max(F.col("dist") + F.col("w")).alias("dist"))
             .select(F.col("dst").alias("id"), "dist")
+            .localCheckpoint(eager=True)
         )
         frames.append(d)
     alld = frames[0]
@@ -17746,4 +17750,151 @@ def q_zorder_range_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(in_ranges, F.col("zv")).otherwise(0)).alias("sum_z_ranges"),
         F.sum(in_bbox.cast("long")).alias("n_keys_bbox"),
         F.sum(F.when(in_bbox, F.col("zv")).otherwise(0)).alias("sum_z_bbox"),
+    )
+
+
+@q(
+    "snapshot_bloom_skipping",
+    oracle="""
+WITH keys(k) AS (VALUES (7), (1101), (5555), (9002), (999999999))
+SELECT CAST(keys.k AS BIGINT) AS okey,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS total_c
+FROM keys LEFT JOIN orders o ON o.o_orderkey = keys.k
+GROUP BY keys.k
+""",
+)
+def q_snapshot_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE BLOOM FILTERS in the snapshot manifest (the
+    Delta/Iceberg bloom-filter-index feature): the table is range-
+    clustered on o_custkey, so every file's [min, max] on o_orderkey
+    spans the whole key space and stats skipping is useless — the
+    write path instead records a per-file Bloom bitset for o_orderkey
+    (one distributed pass over the just-written files,
+    collect_file_blooms) and point lookups open only files whose
+    bitset holds all k positions. The absent key resolves to ZERO file
+    opens (k misses prove absence). The re-applied equality keeps
+    false positives harmless; the pytest asserts the skip counts."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    orders = datagen._read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    loc = tempfile.mkdtemp(prefix="snapbloom_")
+    ST.write_snapshot_stats(
+        orders,
+        loc,
+        stats_cols=["o_custkey"],
+        cluster_by="o_custkey",
+        n_files=16,
+        bloom_cols=["o_orderkey"],
+        bloom_m=65536,
+    )
+    out = None
+    for key in (7, 1101, 5555, 9002, 999999999):
+        r = ST.read_snapshot_point(spark, loc, [("o_orderkey", key)])
+        agg = r.agg(
+            F.lit(key).cast("long").alias("okey"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("price_c"), F.lit(0).cast("long")).alias("total_c"),
+        ).select("okey", "n_rows", "total_c")
+        out = agg if out is None else out.unionAll(agg)
+    return out
+
+
+@q(
+    "dpp_partition_prune",
+    oracle="""
+SELECT e.event_type AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(CAST(e.value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events e
+WHERE e.event_type IN ('click', 'purchase')
+GROUP BY e.event_type
+""",
+)
+def q_dpp_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the fact table is written hive-
+    partitioned by event_type; the selective dim side is only known at
+    RUN time (a filtered dim, not a static predicate), so Catalyst
+    injects dynamicpruningexpression into the scan's PartitionFilters
+    and the fact read touches only the dim's surviving partitions —
+    the run-time twin of static partition pruning, and at 100 TB the
+    difference between scanning 2/5 of the table and all of it. The
+    gate SELF-ASSERTS the mechanism (raises if no dynamicpruning
+    appears in the executed plan, join_hint_battery-style) and the
+    oracle pins the semantics."""
+    import tempfile
+
+    ev = datagen._read(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value").cast("double") * 100).cast("long").alias("value_c")
+    )
+    tmp = tempfile.mkdtemp(prefix="dpp_")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 2), ("view", 3), ("error", 4), ("signup", 5)],
+        "event_type string, w int",
+    ).filter(F.col("w") <= 2)
+    out = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value_c").alias("value_c")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "dynamicpruning" not in plan.lower():
+        raise RuntimeError("dynamic partition pruning did not engage in the fact scan")
+    return out
+
+
+@q(
+    "chunk_with_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+starts AS (
+  SELECT doc_id, tk, CAST(s AS BIGINT) AS s
+  FROM toks, (SELECT unnest(range(0, 2000, 8)) AS s)
+  WHERE s = 0 OR s < len(tk) - 4
+),
+chunks AS (
+  SELECT doc_id, s // 8 AS chunk_idx,
+         array_to_string(tk[CAST(s + 1 AS INT):CAST(s + 12 AS INT)], ' ') AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx, md5(chunk) AS chunk_md5,
+       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens
+FROM chunks
+""",
+)
+def q_chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW CHUNKING WITH OVERLAP (the RAG / long-context
+    prep step: windows of 12 tokens every 8, 4-token overlap, the
+    short tail kept only if it adds >= half a stride of new tokens):
+    token arrays stay JVM-side (split → bounded sequence explode →
+    slice/array_join), one row per chunk with its md5 fingerprint —
+    the downstream dedup key. Boilerplate_chunks' disjoint 10-word
+    cousin; the overlap is what preserves cross-boundary context for
+    retrieval."""
+    docs = datagen._read(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    t = docs.select("doc_id", tk.alias("tk"), F.size(tk).alias("n"))
+    starts = t.select(
+        "doc_id",
+        "tk",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(1992), F.lit(8))).alias("s"),
+    ).filter((F.col("s") == 0) | (F.col("s") < F.col("n") - 4))
+    chunks = starts.select(
+        "doc_id",
+        F.expr("s div 8").alias("chunk_idx"),
+        F.array_join(F.slice("tk", F.col("s") + 1, F.lit(12)), " ").alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+        F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_tokens"),
     )

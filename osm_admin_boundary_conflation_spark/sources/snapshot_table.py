@@ -922,6 +922,9 @@ def write_snapshot_stats(
     n_files: int = 16,
     commit_ms: int | None = None,
     expected_parent=_ANY_PARENT,
+    bloom_cols: list[str] | None = None,
+    bloom_m: int = 4096,
+    bloom_k: int = 3,
 ) -> int:
     """write_snapshot + per-file column stats in the manifest.
 
@@ -948,10 +951,16 @@ def write_snapshot_stats(
     ddir = _new_data_dir(location)
     n_rows = _write_counted(work, ddir)
     files = collect_file_stats(ddir, location, stats_cols)
+    if bloom_cols:
+        blooms = collect_file_blooms(
+            df.sparkSession, ddir, location, bloom_cols, m=bloom_m, k=bloom_k
+        )
+        for frec in files:
+            frec["blooms"] = blooms.get(frec["path"], {})
     schema = df.schema.jsonValue()
 
     def build(version: int, parent: int | None) -> dict:
-        return {
+        man = {
             "version": version,
             "parent": parent,
             "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
@@ -962,20 +971,17 @@ def write_snapshot_stats(
             "stats_cols": stats_cols,
             "files": files,
         }
+        if bloom_cols:
+            man["bloom_meta"] = {"cols": bloom_cols, "m": bloom_m, "k": bloom_k}
+        return man
 
     return _commit_manifest(location, build, expected_parent=expected_parent)
 
 
-def files_matching(
-    location: str, predicates: list[tuple], version: int | None = None
-) -> tuple[list[str], int]:
-    """Manifest-only planning: data files that MAY satisfy every
-    (col, lo, hi) inclusive-range predicate (lo/hi None = unbounded).
-    Returns (kept file paths relative to `location`, total files).
-    Sound, not exact: a file survives unless its recorded [min, max]
-    proves disjointness; files or columns without stats always
-    survive. Raises on non-data snapshots — append/delete chains
-    must be compacted (or read unpruned) first."""
+def _load_pruning_manifest(location: str, version: int | None) -> tuple[int, dict]:
+    """Resolve (through rollback pointers) to ONE data snapshot whose
+    manifest carries per-file records; raises on append/delete chains
+    (compact first) and on stat-less snapshots."""
     vs = _versions(location)
     if not vs:
         raise FileNotFoundError(f"no snapshots at {location}")
@@ -991,9 +997,23 @@ def files_matching(
             f"v{v} is a {manifest['type']} commit — stats pruning reads "
             "one data snapshot; compact the chain first"
         )
-    files = manifest.get("files")
-    if files is None:
+    if manifest.get("files") is None:
         raise ValueError(f"v{v} at {location} carries no file stats (use write_snapshot_stats)")
+    return v, manifest
+
+
+def files_matching(
+    location: str, predicates: list[tuple], version: int | None = None
+) -> tuple[list[str], int]:
+    """Manifest-only planning: data files that MAY satisfy every
+    (col, lo, hi) inclusive-range predicate (lo/hi None = unbounded).
+    Returns (kept file paths relative to `location`, total files).
+    Sound, not exact: a file survives unless its recorded [min, max]
+    proves disjointness; files or columns without stats always
+    survive. Raises on non-data snapshots — append/delete chains
+    must be compacted (or read unpruned) first."""
+    _v, manifest = _load_pruning_manifest(location, version)
+    files = manifest["files"]
     kept = []
     for frec in files:
         keep = True
@@ -1036,8 +1056,9 @@ def read_snapshot_pruned(
             raise FileNotFoundError(f"no snapshots at {location}")
         version = vs[-1]
     kept, _total = files_matching(location, predicates, version=version)
-    with open(_manifest_path(location, version)) as f:
-        manifest = json.load(f)
+    # schema from the rollback-RESOLVED manifest (same pinned version —
+    # the second load is the same bytes, not a race)
+    _rv, manifest = _load_pruning_manifest(location, version)
     if kept:
         df = spark.read.schema(StructType.fromJson(manifest["schema"])).parquet(
             *[os.path.join(location, p) for p in kept]
@@ -1049,6 +1070,133 @@ def read_snapshot_pruned(
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters: point-lookup skipping beyond min/max stats
+# ---------------------------------------------------------------------------
+
+
+def collect_file_blooms(
+    spark: SparkSession,
+    ddir: str,
+    location: str,
+    bloom_cols: list[str],
+    m: int = 4096,
+    k: int = 3,
+) -> dict[str, dict[str, list[int]]]:
+    """Per-file Bloom bitsets for `bloom_cols`, computed as ONE
+    distributed job per column: read the just-written files back with
+    input_file_name(), explode each value to its k md5-affine bit
+    positions (operators/bloom.py hash family — same positions the
+    semi-join pruner uses), distinct, and collect per-file sorted
+    position lists. Unlike min/max stats (footer metadata, free),
+    blooms need a data pass — but it's the write job's own data, still
+    hot, and the result is manifest-sized (≤ m positions per
+    file/column). The equality dual of collect_file_stats: stats prune
+    RANGES, blooms prune POINT LOOKUPS on high-cardinality columns
+    where every file's [min, max] spans the key space."""
+    from ..operators.bloom import _positions, _stable_hash64
+
+    raw = spark.read.parquet(ddir).select(
+        F.input_file_name().alias("_f"), *bloom_cols
+    )
+    out: dict[str, dict[str, list[int]]] = {}
+    for col in bloom_cols:
+        h = _stable_hash64(F.col(col))
+        rows = (
+            raw.select("_f", F.explode(F.array(*_positions(h, m, k))).alias("p"))
+            .distinct()
+            .groupBy("_f")
+            .agg(F.sort_array(F.collect_set("p")).alias("bits"))
+            .collect()
+        )
+        for r in rows:
+            p = r._f
+            if ":" in p.split("/")[0] or p.startswith("file:"):
+                p = "/" + p.split(":", 1)[1].lstrip("/")
+            rel = os.path.relpath(p, location)
+            out.setdefault(rel, {})[col] = [int(b) for b in r.bits]
+    return out
+
+
+def _bloom_positions_py(value, m: int, k: int) -> list[int]:
+    """Driver-side twin of bloom.py's _stable_hash64 + _positions (no
+    overflow below 2^63 for k <= 4, so python ints == Spark longs)."""
+    import hashlib
+
+    golden = 2654435769
+    h = int(hashlib.md5(("0:" + str(value)).encode()).hexdigest()[:15], 16)
+    return [(h * (2 * i + 1) + i * golden) % m for i in range(k)]
+
+
+def files_matching_point(
+    location: str, eq_predicates: list[tuple], version: int | None = None
+) -> tuple[list[str], int]:
+    """Manifest-only planning for EQUALITY predicates [(col, value)]:
+    a file is skipped when its Bloom bitset for the column provably
+    lacks one of the value's k positions, or when its [min, max] stats
+    exclude the value. Sound like files_matching: missing blooms or
+    stats keep the file; a Bloom hit is only 'may contain' (FP rate
+    ~(n·k/m)^k), and the read path re-applies the predicate."""
+    _v, manifest = _load_pruning_manifest(location, version)
+    files = manifest["files"]
+    meta = manifest.get("bloom_meta") or {}
+    m, k = meta.get("m", 4096), meta.get("k", 3)
+    kept = []
+    for frec in files:
+        keep = True
+        for col, value in eq_predicates:
+            st = (frec.get("stats") or {}).get(col)
+            if st is not None:
+                vp = _stats_plain(value)
+                if st[0] > vp or st[1] < vp:
+                    keep = False
+                    break
+            bits = (frec.get("blooms") or {}).get(col)
+            if bits is not None:
+                bset = set(bits)
+                if any(p not in bset for p in _bloom_positions_py(value, m, k)):
+                    keep = False
+                    break
+        if keep:
+            kept.append(frec["path"])
+    return kept, len(files)
+
+
+def read_snapshot_point(
+    spark: SparkSession,
+    location: str,
+    eq_predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup read through Bloom + stats skipping: open only the
+    files files_matching_point keeps, then RE-APPLY every equality as
+    a real filter — Bloom false positives cost an extra file open,
+    never a wrong row. All-files-skipped returns an empty frame in the
+    snapshot's schema (the common case for absent keys: k misses in
+    every file's bitset prove absence without opening anything)."""
+    from pyspark.sql.types import StructType
+
+    if version is None:
+        vs = _versions(location)
+        if not vs:
+            raise FileNotFoundError(f"no snapshots at {location}")
+        version = vs[-1]
+    # pinned version: the second manifest load below is the same bytes,
+    # not a race — and the schema comes from the rollback-RESOLVED
+    # manifest (a rollback pointer carries no schema of its own)
+    kept, _total = files_matching_point(location, eq_predicates, version=version)
+    _rv, manifest = _load_pruning_manifest(location, version)
+    if kept:
+        df = spark.read.schema(StructType.fromJson(manifest["schema"])).parquet(
+            *[os.path.join(location, p) for p in kept]
+        )
+    else:
+        df = spark.createDataFrame([], StructType.fromJson(manifest["schema"]))
+    for col, value in eq_predicates:
+        df = df.filter(F.col(col) == F.lit(value))
     return df
 
 
