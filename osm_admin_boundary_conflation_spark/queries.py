@@ -17898,3 +17898,88 @@ def q_chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("chunk")).alias("chunk_md5"),
         F.size(F.split(F.col("chunk"), " ")).cast("long").alias("n_tokens"),
     )
+
+
+@q(
+    "maximal_matching",
+    oracle="""
+SELECT CAST(504 AS BIGINT) AS n_edges,
+       CAST(249720758 AS BIGINT) AS total_w,
+       CAST(1053495504 AS BIGINT) AS fp,
+       CAST(1008 AS BIGINT) AS n_matched_vertices
+""",
+)
+def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GREEDY MAXIMAL MATCHING (operators/matching.py,
+    Preis-style locally-dominant-edge rounds == sequential greedy under
+    distinct weights). The gate graph is a fixed 1024-vertex path with
+    scrambled distinct weights w_i = ((i*37) % 1021)*1024 + i (14
+    mutual-min rounds); the oracle pins the sequential-greedy answer
+    computed offline for this constant graph (edge count, weight sum,
+    orientation-independent fingerprint, matched-vertex count).
+    General-graph equivalence to greedy is differential-tested in
+    tests/test_matching.py."""
+    from .operators.matching import greedy_matching
+
+    n = 1024
+    i = F.col("id")
+    nodes = spark.range(n).select("id")
+    edges = spark.range(n - 1).select(
+        i.alias("u"), (i + 1).alias("v"), (((i * 37) % 1021) * 1024 + i).alias("w")
+    )
+    m = greedy_matching(nodes, edges, max_rounds=30)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("w").alias("total_w"),
+        F.sum(F.least("u", "v") * 4099 + F.greatest("u", "v")).alias("fp"),
+        (F.count(F.lit(1)) * 2).alias("n_matched_vertices"),
+    )
+
+
+@q(
+    "ngram_novelty",
+    oracle=r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+           ELSE list_transform(generate_series(1, len(w) - 4),
+                               i -> array_to_string(w[i:i+4], ' ')) END)) AS s
+  FROM words
+),
+fs AS (SELECT s, min(doc_id) AS fdoc FROM sh GROUP BY s)
+SELECT sh.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN fs.fdoc < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_before,
+       CAST((count(*) - sum(CASE WHEN fs.fdoc < sh.doc_id THEN 1 ELSE 0 END)) * 10000
+            // count(*) AS BIGINT) AS novelty_bp
+FROM sh JOIN fs ON sh.s = fs.s
+GROUP BY sh.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY SCORING (dedup-priority / crawl-value signal):
+    per document, the fraction of its distinct 5-shingles whose FIRST
+    corpus occurrence (min doc_id — ingestion order) precedes it.
+    First-seen attribution is one groupBy over the exploded shingles
+    plus a join-back — the streaming-ingest shape where yesterday's
+    min-table is the state and today's batch only shuffles its own
+    shingles. Integer basis points; the shingle family is
+    operators/dedup.shingle_expr, the same keys minhash dedup uses."""
+    from .operators.dedup import shingle_expr
+
+    docs = datagen._read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingle_expr(F.col("text")))).alias("s")
+    )
+    fs = sh.groupBy("s").agg(F.min("doc_id").alias("fdoc"))
+    j = sh.join(fs, "s")
+    seen = F.sum((F.col("fdoc") < F.col("doc_id")).cast("long"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        seen.alias("n_seen_before"),
+        F.expr(
+            "(count(1) - sum(cast(fdoc < doc_id as bigint))) * 10000 div count(1)"
+        ).alias("novelty_bp"),
+    )
