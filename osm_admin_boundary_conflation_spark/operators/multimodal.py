@@ -596,3 +596,71 @@ def resize_bmp_nn(blob: bytes, ow: int, oh: int) -> tuple[int, int, int, int, in
     out = logical[sy][:, sx]
     sums = out.sum(axis=(0, 1), dtype=np.int64)
     return ow, oh, int(sums[2]), int(sums[1]), int(sums[0])  # BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
+# PNG: lossless filter-path codec (functions/png_codec.py)
+# ---------------------------------------------------------------------------
+
+PNG_W, PNG_H = 8, 7
+# one row per filter type and then some — every unfilter path is real
+PNG_FILTERS = [0, 1, 2, 3, 4, 1, 4]
+
+
+def build_png_img(doc_id: int):
+    """Closed-form RGB image: r=(doc+2x+3y)%256, g=(doc*5+x*y)%256,
+    b=(doc*3+x+2y)%256 — the oracle recomputes the channel sums."""
+    import numpy as np
+
+    ys = np.arange(PNG_H, dtype=np.int64)[:, None]
+    xs = np.arange(PNG_W, dtype=np.int64)[None, :]
+    img = np.zeros((PNG_H, PNG_W, 3), dtype=np.uint8)
+    img[:, :, 0] = (doc_id + 2 * xs + 3 * ys) % 256
+    img[:, :, 1] = (doc_id * 5 + xs * ys) % 256
+    img[:, :, 2] = (doc_id * 3 + xs + 2 * ys) % 256
+    return img
+
+
+def build_png(doc_id: int) -> bytes:
+    from ..functions.png_codec import encode_png
+
+    return encode_png(build_png_img(doc_id), filters=PNG_FILTERS)
+
+
+PNG_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_w", LongType()),
+        StructField("img_h", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def png_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """docs(doc_id) → encode (all five scanline filters) → full binary
+    decode (signature, chunk CRCs, inflate, unfilter) → channel-sum
+    features, one Arrow pass. The decode must reproduce the original
+    pixels EXACTLY (lossless path — raises on any mismatch), then the
+    gate's oracle pins the sums in closed form."""
+    import numpy as np
+
+    from ..functions.png_codec import decode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                want = build_png_img(int(doc_id))
+                got = decode_png(build_png(int(doc_id)))
+                if got.shape != want.shape or not np.array_equal(got, want):
+                    raise ValueError(f"PNG roundtrip mismatch for doc {doc_id}")
+                s = got.sum(axis=(0, 1), dtype=np.int64)
+                rows.append(
+                    (int(doc_id), got.shape[1], got.shape[0], int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PNG_FEATURES_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, PNG_FEATURES_SCHEMA)

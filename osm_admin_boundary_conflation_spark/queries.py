@@ -17983,3 +17983,34 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(count(1) - sum(cast(fdoc < doc_id as bigint))) * 10000 div count(1)"
         ).alias("novelty_bp"),
     )
+
+
+@q(
+    "media_decode_png",
+    oracle=r"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+px AS (SELECT unnest(range(8)) AS x),
+py AS (SELECT unnest(range(7)) AS y)
+SELECT i.doc_id, CAST(8 AS BIGINT) AS img_w, CAST(7 AS BIGINT) AS img_h,
+       CAST(sum((i.doc_id + 2 * x.x + 3 * y.y) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((i.doc_id * 5 + x.x * y.y) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((i.doc_id * 3 + x.x + 2 * y.y) % 256) AS BIGINT) AS sum_b
+FROM ids i CROSS JOIN px x CROSS JOIN py y
+GROUP BY i.doc_id
+""",
+)
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch PNG codec gate (functions/png_codec.py): per doc a
+    closed-form RGB image is encoded with ALL FIVE scanline filter
+    types across its rows (None/Sub/Up/Average/Paeth), then decoded by
+    the real binary parser — signature, per-chunk CRC-32 validation,
+    stdlib-zlib inflate, per-filter reconstruction — inside one Arrow
+    mapInPandas pass. The decode asserts pixel-exact roundtrip (PNG is
+    lossless; any filter bug corrupts sums) and the oracle recomputes
+    the channel sums from the synthesis closed forms. Completes the
+    codec family: BMP/WAV (raw), JPEG baseline+progressive (lossy DCT),
+    PNG (lossless predictive filters)."""
+    from .operators.multimodal import png_roundtrip_features
+
+    docs = datagen._read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    return png_roundtrip_features(docs)
