@@ -664,3 +664,71 @@ def png_roundtrip_features(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in PNG_FEATURES_SCHEMA.fields])
 
     return docs.select("doc_id").mapInPandas(batches, PNG_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF: dictionary-coding (LZW) codec (functions/gif_codec.py)
+# ---------------------------------------------------------------------------
+
+GIF_W, GIF_H = 10, 6
+
+
+def build_gif_img(doc_id: int):
+    """Closed-form palette-index image: idx=(doc + 5x + 11y) % 256."""
+    import numpy as np
+
+    ys = np.arange(GIF_H, dtype=np.int64)[:, None]
+    xs = np.arange(GIF_W, dtype=np.int64)[None, :]
+    return ((doc_id + 5 * xs + 11 * ys) % 256).astype(np.uint8)
+
+
+def build_gif(doc_id: int) -> bytes:
+    from ..functions.gif_codec import encode_gif
+
+    return encode_gif(build_gif_img(doc_id))
+
+
+GIF_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("img_w", LongType()),
+        StructField("img_h", LongType()),
+        StructField("sum_idx", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def gif_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """encode (real LZW) → decode (bit unpacking, dictionary rebuild,
+    cScSc handling) → palette-mapped channel sums; pixel-exact
+    roundtrip asserted (GIF is lossless)."""
+    import numpy as np
+
+    from ..functions.gif_codec import decode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                want = build_gif_img(int(doc_id))
+                idx, pal = decode_gif(build_gif(int(doc_id)))
+                if not np.array_equal(idx, want):
+                    raise ValueError(f"GIF roundtrip mismatch for doc {doc_id}")
+                rgb = pal[idx.reshape(-1)].astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        idx.shape[1],
+                        idx.shape[0],
+                        int(idx.sum(dtype=np.int64)),
+                        int(rgb[:, 0].sum()),
+                        int(rgb[:, 1].sum()),
+                        int(rgb[:, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in GIF_FEATURES_SCHEMA.fields])
+
+    return docs.select("doc_id").mapInPandas(batches, GIF_FEATURES_SCHEMA)

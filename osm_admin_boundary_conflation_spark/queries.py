@@ -18014,3 +18014,37 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datagen._read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
     return png_roundtrip_features(docs)
+
+
+@q(
+    "media_decode_gif",
+    oracle=r"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+px AS (SELECT unnest(range(10)) AS x),
+py AS (SELECT unnest(range(6)) AS y),
+cell AS (
+  SELECT i.doc_id, (i.doc_id + 5 * x.x + 11 * y.y) % 256 AS idx
+  FROM ids i CROSS JOIN px x CROSS JOIN py y
+)
+SELECT doc_id, CAST(10 AS BIGINT) AS img_w, CAST(6 AS BIGINT) AS img_h,
+       CAST(sum(idx) AS BIGINT) AS sum_idx,
+       CAST(sum(idx % 256) AS BIGINT) AS sum_r,
+       CAST(sum((2 * idx) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((3 * idx) % 256) AS BIGINT) AS sum_b
+FROM cell GROUP BY doc_id
+""",
+)
+def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch GIF/LZW codec gate (functions/gif_codec.py): per
+    doc a closed-form palette-index image is LZW-encoded (variable
+    9→12-bit codes, CLEAR/EOI, 255-byte sub-blocks) and decoded by the
+    real parser (bit unpacking, dictionary rebuild incl. the cScSc
+    edge, structure validation), pixel-exact roundtrip asserted inside
+    the Arrow pass. Features are palette-mapped channel sums the
+    oracle recomputes in closed form. Completes the codec family's
+    algorithmic axes: raw (BMP/WAV), lossy transform (JPEG), predictive
+    + DEFLATE (PNG), dictionary coding (GIF)."""
+    from .operators.multimodal import gif_roundtrip_features
+
+    docs = datagen._read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return gif_roundtrip_features(docs)
