@@ -27,7 +27,7 @@ def test_extension_blocks_are_skipped():
     img = np.arange(24, dtype=np.uint8).reshape(4, 6)
     blob = encode_gif(img)
     # splice a graphic-control extension between palette and image desc
-    at = blob.index(b"\x2c")
+    at = 13 + 768  # header+LSD is 13 bytes, global palette 768
     ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     patched = blob[:at] + ext + blob[at:]
     idx, _ = decode_gif(patched)
