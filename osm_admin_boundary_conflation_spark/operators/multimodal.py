@@ -69,6 +69,16 @@ def decode_media(payload: bytes) -> tuple[int, int]:
     if payload[:4] == b"RIFF":
         n, rate, *_ = decode_wav(payload)
         return n, rate
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..functions.png_codec import decode_png
+
+        img = decode_png(payload)
+        return img.shape[1], img.shape[0]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif_codec import decode_gif
+
+        idx, _pal = decode_gif(payload)
+        return idx.shape[1], idx.shape[0]
     raise NotImplementedError(
         "MP3/H.264 need codec libraries absent from this container; "
         "run with stub=True (deterministic fake decode) or install ffmpeg"
@@ -560,6 +570,8 @@ def extract_media_meta_real(media: DataFrame) -> DataFrame:
                     "jpeg" if b[:2] == b"\xff\xd8"
                     else "bmp" if b[:2] == b"BM"
                     else "wav" if b[:4] == b"RIFF"
+                    else "png" if b[:8] == b"\x89PNG\r\n\x1a\n"
+                    else "gif" if b[:6] in (b"GIF87a", b"GIF89a")
                     else "unknown"
                 )
                 w, h = decode_media(b)

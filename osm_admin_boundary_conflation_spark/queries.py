@@ -18048,3 +18048,45 @@ def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datagen._read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return gif_roundtrip_features(docs)
+
+
+@q(
+    "media_meta_v2",
+    oracle=r"""
+SELECT doc_id,
+       CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav'
+                       WHEN 3 THEN 'jpeg' WHEN 4 THEN 'png' ELSE 'gif' END AS codec,
+       CASE doc_id % 6 WHEN 0 THEN 6 WHEN 1 THEN 16 WHEN 2 THEN 40
+                       WHEN 3 THEN 32 WHEN 4 THEN 8 ELSE 10 END AS width,
+       CASE doc_id % 6 WHEN 0 THEN 5 WHEN 1 THEN 16 WHEN 2 THEN 8000
+                       WHEN 3 THEN 32 WHEN 4 THEN 7 ELSE 6 END AS height
+FROM (SELECT DISTINCT doc_id FROM documents)
+""",
+)
+def q_media_meta_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-family magic-byte router (media_meta_real extended): a
+    SIX-way corpus — BMP, baseline JPEG, WAV, progressive JPEG, PNG,
+    GIF — through decode_media, every dimension obtained by genuinely
+    parsing bytes with this repo's from-scratch kernels (DCT/entropy,
+    DEFLATE+filters, LZW, raw containers). The two JPEG flavors share
+    FFD8 and split on the SOF marker inside the stream; PNG/GIF split
+    on their signatures. One Arrow pass; the oracle pins per-class
+    dimensions."""
+    from .operators import multimodal as M
+
+    docs = datagen._read(spark, sf_dir, "documents").select("doc_id").distinct()
+
+    def build(it):
+        import pandas as pd
+
+        builders = [
+            M.build_bmp, M.build_jpeg, M.build_wav,
+            M.build_jpeg_progressive, M.build_png, M.build_gif,
+        ]
+        for pdf in it:
+            ids = pdf["doc_id"]
+            blobs = [builders[int(i) % 6](int(i)) for i in ids]
+            yield pd.DataFrame({"doc_id": ids.astype("int64"), "blob": blobs})
+
+    media = docs.mapInPandas(build, "doc_id long, blob binary")
+    return M.extract_media_meta_real(media)
