@@ -18090,3 +18090,56 @@ def q_media_meta_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, "doc_id long, blob binary")
     return M.extract_media_meta_real(media)
+
+
+@q(
+    "ewma_halflife",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id, CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+recent AS (SELECT * FROM v WHERE rn <= 16),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(16 - rn AS INT))) AS BIGINT) AS ewma_num,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(16 - rn AS INT)) AS BIGINT) AS ewma_den
+  FROM recent GROUP BY user_id
+)
+SELECT user_id, n, ewma_num, ewma_den,
+       round(CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE), 4) AS ewma
+FROM agg
+""",
+)
+def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY WEIGHTED MOVING AVERAGE with half-life decay
+    (alpha = 1/2) over each user's 16 most recent events: weights are
+    exact powers of two (2^(16-rn)), so numerator and denominator are
+    EXACT int64 sums — the one float op is the final IEEE division
+    (float EWMA recursions are summation-order-dependent and
+    ungateable). One ranking window + one group-by; the truncation at
+    16 terms bounds the weight range (2^15 tail weight < 0.01% — the
+    same cutoff a production decay would apply)."""
+    ev = datagen._read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    v = ev.select(
+        "user_id",
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 16)
+    pw = F.expr("shiftleft(cast(1 as bigint), cast(16 - rn as int))")
+    agg = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents") * pw).alias("ewma_num"),
+        F.sum(pw).alias("ewma_den"),
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        "ewma_num",
+        "ewma_den",
+        F.round(
+            F.col("ewma_num").cast("double") / F.col("ewma_den").cast("double"), 4
+        ).alias("ewma"),
+    )
