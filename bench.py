@@ -46,6 +46,9 @@ HEADLINE = [
     # gzip-member walk → record parse) and geotags the recovered pages,
     # so container parsing cost appears in the headline (VERDICT r06 #7)
     "geotag_from_warc",
+    # new in r7 session 2: true ray-casting point-in-polygon join over
+    # non-convex rings (cell-blocked candidates + exploded-edge parity)
+    "point_in_polygon",
 ]
 
 # pages multiplier for the scaling job: 20 → 100k pages of ~60KB html,
