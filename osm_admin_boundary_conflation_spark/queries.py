@@ -18143,3 +18143,200 @@ def q_ewma_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ewma_num").cast("double") / F.col("ewma_den").cast("double"), 4
         ).alias("ewma"),
     )
+
+
+@q(
+    "closest_pair_grid",
+    oracle="""
+WITH pts AS (
+  SELECT doc_id AS id,
+         350000 + (doc_id * 31) % 100000 AS x,
+         100000 + (doc_id * 57) % 300000 AS y
+  FROM documents WHERE doc_id % 5 = 0
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+  FROM pts a JOIN pts b ON a.id < b.id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(d2 AS BIGINT) AS d2
+FROM pairs ORDER BY d2, id_a, id_b LIMIT 1
+""",
+)
+def q_closest_pair_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global CLOSEST PAIR of points (operators/closest_pair.py)
+    without the quadratic the oracle runs: a 256-point deterministic
+    sample yields a valid upper bound d2_ub (any pair bounds the min),
+    then a grid at cell = ceil(sqrt(d2_ub)) + 3x3 exploded-neighbor
+    equi join enumerates exactly the pairs that can beat it; the
+    winner is a TakeOrderedAndProject. Guaranteed exact for ANY data;
+    candidate count (the only thing the sample quality affects) stays
+    near-linear on non-adversarial density. All-int64 squared
+    distances."""
+    from .operators.closest_pair import closest_pair
+
+    docs = datagen._read(spark, sf_dir, "documents")
+    pts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id"),
+        (350000 + (F.col("doc_id") * 31) % 100000).alias("x"),
+        (100000 + (F.col("doc_id") * 57) % 300000).alias("y"),
+    )
+    return closest_pair(pts)
+
+
+@q(
+    "hull_diameter_calipers",
+    oracle="""
+WITH pts AS (
+  SELECT DISTINCT 350000 + (doc_id * 31) % 100000 AS x,
+                  100000 + (doc_id * 57) % 300000 AS y
+  FROM documents WHERE doc_id % 5 = 0
+),
+pairs AS (
+  SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb,
+         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+  FROM pts a JOIN pts b ON (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+)
+SELECT CAST(d2 AS BIGINT) AS d2, CAST(xa AS BIGINT) AS xa,
+       CAST(ya AS BIGINT) AS ya, CAST(xb AS BIGINT) AS xb,
+       CAST(yb AS BIGINT) AS yb
+FROM pairs ORDER BY d2 DESC, xa, ya, xb, yb LIMIT 1
+""",
+)
+def q_hull_diameter_calipers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-set DIAMETER via the convex-hull identity: the farthest
+    pair of n points is attained at hull vertices, so the engine runs
+    the distributed hull (operators/hull.py: per-partition monotone
+    chain + tiny merge) and resolves the max over the |H|^2 hull-pair
+    grid — |H| is O(log n)-ish on these worlds, so the pair step is
+    broadcast-trivial while the oracle pays the full n^2 definition.
+    Canonical pair order (lexicographically smaller point first) and
+    (d2 DESC, coords ASC) tiebreak make the winner unique."""
+    from .operators.hull import convex_hull
+
+    docs = datagen._read(spark, sf_dir, "documents")
+    pts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (350000 + (F.col("doc_id") * 31) % 100000).alias("x"),
+        (100000 + (F.col("doc_id") * 57) % 300000).alias("y"),
+    )
+    hull = convex_hull(pts).select("x", "y")
+    a, b = hull.alias("a"), hull.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.x") < F.col("b.x"))
+        | ((F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y"))),
+    ).select(
+        (
+            (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
+            + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
+        ).cast("long").alias("d2"),
+        F.col("a.x").alias("xa"),
+        F.col("a.y").alias("ya"),
+        F.col("b.x").alias("xb"),
+        F.col("b.y").alias("yb"),
+    )
+    return pairs.orderBy(
+        F.col("d2").desc(), "xa", "ya", "xb", "yb"
+    ).limit(1)
+
+
+@q(
+    "auc_rank_sum",
+    oracle="""
+WITH s AS (
+  SELECT event_id AS score,
+         CASE WHEN CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) % 10 < 3
+              THEN 1 ELSE 0 END AS label
+  FROM events
+),
+r AS (SELECT label, row_number() OVER (ORDER BY score) AS rnk FROM s),
+agg AS (
+  SELECT CAST(sum(CASE WHEN label = 1 THEN rnk ELSE 0 END) AS BIGINT) AS pos_rank_sum,
+         CAST(sum(label) AS BIGINT) AS p,
+         CAST(count(*) - sum(label) AS BIGINT) AS n
+  FROM r
+)
+SELECT pos_rank_sum, p, n,
+       CAST(pos_rank_sum - (p * (p + 1)) // 2 AS BIGINT) AS u_stat,
+       round(CAST(pos_rank_sum - (p * (p + 1)) // 2 AS DOUBLE) / (p * n), 6) AS auc
+FROM agg
+""",
+)
+def q_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC as the Mann-Whitney rank-sum statistic: with
+    distinct scores, AUC = (R+ - P(P+1)/2) / (P*N) where R+ is the
+    rank sum of positives — ALL integer until the one final division.
+    The global ranking uses the two-phase bucket rank
+    (plans/dense_index.global_rank: arithmetic range buckets ->
+    per-bucket window -> broadcast offsets), NOT a single-partition
+    window, so the ranking scales with executors. Labels come from the
+    md5-affine idiom so both engines derive them identically."""
+    from .plans.dense_index import global_rank
+
+    ev = datagen._read(spark, sf_dir, "events").select(
+        F.col("event_id").alias("score")
+    )
+    lab = (
+        F.conv(F.substring(F.md5(F.col("score").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 10 < 3
+    ).cast("long")
+    s = ev.withColumn("label", lab)
+    r = global_rank(s, "score", "rnk")
+    agg = r.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("rnk")).otherwise(0))
+        .cast("long")
+        .alias("pos_rank_sum"),
+        F.sum("label").cast("long").alias("p"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n"),
+    )
+    return agg.select(
+        "pos_rank_sum",
+        "p",
+        "n",
+        F.expr("pos_rank_sum - (p * (p + 1)) div 2").cast("long").alias("u_stat"),
+        F.round(
+            F.expr("pos_rank_sum - (p * (p + 1)) div 2").cast("double")
+            / (F.col("p") * F.col("n")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+@q(
+    "kendall_tau_inversions",
+    oracle="""
+WITH s AS (
+  SELECT doc_id AS id, doc_id AS x, (doc_id * 131 + 17) % 997 AS y
+  FROM documents
+),
+p AS (
+  SELECT count(*) AS n_pairs,
+         CAST(sum(CASE WHEN (a.x-b.x)*(a.y-b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(sum(CASE WHEN (a.x-b.x)*(a.y-b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+  FROM s a JOIN s b ON a.id < b.id
+)
+SELECT concordant, discordant, CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(CAST(concordant - discordant AS DOUBLE) / n_pairs, 6) AS tau_a
+FROM p
+""",
+)
+def q_kendall_tau_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL tau-a by distributed inversion counting
+    (operators/rankcorr.py): monotone div-bucketing makes strictly
+    cell-separated pairs countable from cell populations alone
+    (explode-over-y-buckets + strict suffix-sum window — equi/window
+    shapes only), and only pairs sharing an x- or y-bucket pay exact
+    comparisons (bounded bucket-equi self joins, inclusion-exclusion
+    for the overlap). The oracle is the quadratic definition; the
+    engine never materializes n^2 pairs. Ties in y count toward
+    neither side (tau-a)."""
+    from .operators.rankcorr import kendall_counts
+
+    docs = datagen._read(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").alias("x"),
+        ((F.col("doc_id") * 131 + 17) % 997).alias("y"),
+    )
+    return kendall_counts(items, wx=64, wy=64)

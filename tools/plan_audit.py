@@ -127,6 +127,8 @@ NESTED_LOOP_SCALAR_OK = {
     "hll_merge_rollup",  # crossJoin = #sources x 64 register spine (bounded)
     "countmin_sketch",  # crossJoin = 4-token probe x 4 hash rows (bounded)
     "lsh_recall_eval",  # crossJoin chain of four 1-row count aggregates
+    "hull_diameter_calipers",  # hull x hull broadcast (|hull| = O(log n) vertices)
+    "kendall_tau_inversions",  # cells x distinct-y-bucket broadcast (bounded metadata grain) + 1-row scalar combine chain
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
