@@ -744,3 +744,67 @@ def gif_roundtrip_features(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in GIF_FEATURES_SCHEMA.fields])
 
     return docs.select("doc_id").mapInPandas(batches, GIF_FEATURES_SCHEMA)
+
+
+def box_blur_bmp(blob: bytes) -> tuple[int, int, int, int, int, int]:
+    """3x3 BOX-FILTER census of a 24-bit BMP via an INTEGRAL IMAGE
+    (summed-area table): decode pixels (same parse as resize_bmp_nn),
+    flip to the logical top-down image, one 2-D cumsum per channel,
+    then every interior 3x3 box sum is 4 table lookups — O(pixels)
+    regardless of kernel size, the standard trick a per-box loop
+    (O(pixels * k^2)) loses at feature-extraction scale. Returns
+    (w, h, n_boxes, box_r, box_g, box_b) where box_c is the exact
+    int64 sum of all interior 3x3 box sums for channel c."""
+    import numpy as np
+
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", blob, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    row_padded = (w * 3 + 3) // 4 * 4
+    n_rows = abs(h)
+    px = np.frombuffer(
+        blob, dtype=np.uint8, count=row_padded * n_rows, offset=off
+    ).reshape(n_rows, row_padded)[:, : w * 3].reshape(n_rows, w, 3)
+    logical = (px[::-1] if h > 0 else px).astype(np.int64)
+    # integral image with a zero top row/left column per channel
+    ii = np.zeros((n_rows + 1, w + 1, 3), dtype=np.int64)
+    ii[1:, 1:] = logical.cumsum(axis=0).cumsum(axis=1)
+    # 3x3 box centered at (x, y) for x in 1..w-2, y in 1..h-2 spans
+    # rows y-1..y+1, cols x-1..x+1 -> ii[y+2,x+2]-ii[y-1,x+2]-ii[y+2,x-1]+ii[y-1,x-1]
+    boxes = (
+        ii[3:, 3:] - ii[:-3, 3:] - ii[3:, :-3] + ii[:-3, :-3]
+    )  # shape (h-2, w-2, 3), BGR order
+    sums = boxes.sum(axis=(0, 1), dtype=np.int64)
+    n_boxes = (n_rows - 2) * (w - 2)
+    return w, n_rows, n_boxes, int(sums[2]), int(sums[1]), int(sums[0])
+
+
+def wav_pair_resample_checksum(blob: bytes) -> tuple[int, int]:
+    """2:1 PCM downsample census: decode the WAV (full RIFF chunk
+    walk), pair up consecutive samples and keep EXACT pair sums
+    (2x the averaged sample — the fixed-point form that avoids the
+    engine-dependent rounding of integer division on negatives).
+    Returns (n_out, checksum) with checksum = sum((j+1) * pair_sum_j)
+    — position-weighted so any reordering or off-by-one is caught."""
+    import numpy as np
+
+    n, _rate, _sum_abs, _max_amp = decode_wav(blob)
+    # re-parse samples (decode_wav validates structure and returns
+    # aggregates; here we need the raw vector)
+    pos = 12
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", blob, pos + 4)
+        if cid == b"data":
+            data = blob[pos + 8 : pos + 8 + clen]
+            break
+        pos += 8 + clen + (clen % 2)
+    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    m = len(samples) // 2
+    pairs = samples[: 2 * m : 2] + samples[1 : 2 * m : 2]
+    weights = np.arange(1, m + 1, dtype=np.int64)
+    return m, int((weights * pairs).sum())

@@ -18340,3 +18340,417 @@ def q_kendall_tau_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 131 + 17) % 997).alias("y"),
     )
     return kendall_counts(items, wx=64, wy=64)
+
+
+@q(
+    "symspell_edit1_join",
+    oracle="""
+WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM n a JOIN n b ON a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= 1
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+FROM pairs ORDER BY id_a, id_b
+""",
+)
+def q_symspell_edit1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE-1 SIMILARITY JOIN via SymSpell deletion-key
+    blocking: every name emits itself plus its |name| single-deletion
+    variants (JVM-side substring expressions — no UDF); two names
+    within Levenshtein 1 (substitution, insertion, or deletion)
+    necessarily share a variant key, so the equi join on the variant
+    enumerates a candidate superset and the exact levenshtein <= 1
+    verify touches candidates only. n*len keys versus the oracle's
+    n^2 levenshtein calls — the blocking identity SymSpell built a
+    spell-checker industry on. Transposition pairs (distance 2 in
+    plain Levenshtein) share keys but fail the verify — both engines
+    use plain (non-Damerau) distance."""
+    cust = datagen._read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    v = cust.select(
+        "id",
+        "name",
+        F.explode(
+            F.sequence(F.lit(0), F.length("name"))
+        ).alias("pos"),
+    ).select(
+        "id",
+        "name",
+        # pos = 0 keeps the original; pos = k deletes character k
+        F.when(F.col("pos") == 0, F.col("name"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(name, 1, pos - 1)"),
+                F.expr("substring(name, pos + 1, length(name))"),
+            )
+        )
+        .alias("variant"),
+    )
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "variant"
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "variant"
+    )
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_BLOCKLIST = [
+    "merge", "stream", "window", "the fast", "sort table",
+    "data line", "customer", "slow", "agg", "scan join",
+]
+
+
+@q(
+    "blocklist_match_census",
+    oracle="""
+WITH pat(p) AS (VALUES ('merge'),('stream'),('window'),('the fast'),('sort table'),
+                       ('data line'),('customer'),('slow'),('agg'),('scan join')),
+per AS (
+  SELECT p,
+         CAST(sum((length(text) - length(replace(text, p, ''))) // length(p)) AS BIGINT) AS n_matches
+  FROM documents CROSS JOIN pat GROUP BY p)
+SELECT p AS pattern, n_matches FROM per ORDER BY pattern
+""",
+)
+def q_blocklist_match_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PATTERN BLOCKLIST CENSUS with a from-scratch AHO-CORASICK
+    automaton (operators/text_match.py): P literal patterns counted in
+    ONE pass over every text byte (goto trie + BFS failure links,
+    failure-closure output vectors, per-batch partial count rows), vs
+    the oracle's P replace() passes. The patterns are border-free
+    (no proper prefix == suffix) and the corpus is space-joined words,
+    so same-pattern occurrences cannot overlap and the two counting
+    conventions provably agree. At 100 TB this is the difference
+    between reading the corpus once and reading it P times."""
+    from .operators.text_match import multi_pattern_counts
+
+    docs = datagen._read(spark, sf_dir, "documents")
+    return multi_pattern_counts(docs, _BLOCKLIST).orderBy("pattern")
+
+
+@q(
+    "intersection_point_exact",
+    oracle=r"""
+WITH d AS (SELECT DISTINCT doc_id AS i FROM documents),
+seg AS (
+  SELECT i,
+    (i*7) % 997 AS px, (i*13) % 997 AS py,
+    (i*7) % 997 + ((i*5) % 41 - 20) AS qx,
+    (i*13) % 997 + ((i*11) % 41 - 20) AS qy
+  FROM d
+),
+a AS (SELECT i AS ia, px AS ax, py AS ay, qx AS bx, qy AS by2 FROM seg WHERE i % 2 = 0),
+b AS (SELECT i AS ib, px AS cx, py AS cy, qx AS dx2, qy AS dy2 FROM seg WHERE i % 2 = 1),
+pairs AS (
+  SELECT *,
+    ((bx-ax)*(cy-ay) - (by2-ay)*(cx-ax)) AS o1,
+    ((bx-ax)*(dy2-ay) - (by2-ay)*(dx2-ax)) AS o2,
+    ((dx2-cx)*(ay-cy) - (dy2-cy)*(ax-cx)) AS o3,
+    ((dx2-cx)*(by2-cy) - (dy2-cy)*(bx-cx)) AS o4
+  FROM a CROSS JOIN b
+),
+x AS (
+  SELECT ia, ib, ax, ay, bx, by2,
+    (bx-ax)*(dy2-cy) - (by2-ay)*(dx2-cx) AS den0,
+    (cx-ax)*(dy2-cy) - (cy-ay)*(dx2-cx) AS tn0
+  FROM pairs WHERE o1*o2 < 0 AND o3*o4 < 0
+)
+SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib,
+  CAST(CASE WHEN den0 < 0 THEN -(ax*den0 + tn0*(bx-ax)) ELSE ax*den0 + tn0*(bx-ax) END AS BIGINT) AS ix_num,
+  CAST(CASE WHEN den0 < 0 THEN -(ay*den0 + tn0*(by2-ay)) ELSE ay*den0 + tn0*(by2-ay) END AS BIGINT) AS iy_num,
+  CAST(CASE WHEN den0 < 0 THEN -den0 ELSE den0 END AS BIGINT) AS den
+FROM x ORDER BY ia, ib
+""",
+)
+def q_intersection_point_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT RATIONAL INTERSECTION COORDINATES for every strictly
+    crossing segment pair (the construction step after
+    segment_crossing_join's detection): with integer endpoints the
+    crossing point is A + t*(B-A), t = cross(C-A, s)/cross(r, s) — a
+    rational with int64 numerator/denominator, emitted UNREDUCED in
+    the canonical den > 0 form (identical formulas on identical
+    integers need no gcd to compare exactly; floats would not
+    roundtrip). Candidates come from the same grid-blocked bbox join
+    as the detection gate (the 10^9-segment shape); the oracle pays
+    the quadratic."""
+    from .operators.spatial_join import rect_overlap_join
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("i")
+    ).distinct()
+    dx = (F.col("i") * 5) % 41 - 20
+    dy = (F.col("i") * 11) % 41 - 20
+    seg = d.select(
+        "i",
+        ((F.col("i") * 7) % 997).alias("px"),
+        ((F.col("i") * 13) % 997).alias("py"),
+        ((F.col("i") * 7) % 997 + dx).alias("qx"),
+        ((F.col("i") * 13) % 997 + dy).alias("qy"),
+    )
+
+    def boxes(s, idc, names):
+        px, py, qx, qy = names
+        return s.select(
+            F.col("i").alias(idc),
+            F.col("px").alias(px), F.col("py").alias(py),
+            F.col("qx").alias(qx), F.col("qy").alias(qy),
+            F.least("px", "qx").alias(f"{idc[0]}x0"),
+            F.least("py", "qy").alias(f"{idc[0]}y0"),
+            (F.greatest("px", "qx") + 1).alias(f"{idc[0]}x1"),
+            (F.greatest("py", "qy") + 1).alias(f"{idc[0]}y1"),
+        )
+
+    a = boxes(seg.filter(F.col("i") % 2 == 0), "aid", ("ax", "ay", "bx", "by2"))
+    b = boxes(seg.filter(F.col("i") % 2 == 1), "bid", ("cx", "cy", "dx2", "dy2"))
+    cand = rect_overlap_join(a, b, width=16).withColumnRenamed(
+        "aid", "ia"
+    ).withColumnRenamed("bid", "ib")
+    o1 = (F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay")) - (
+        F.col("by2") - F.col("ay")
+    ) * (F.col("cx") - F.col("ax"))
+    o2 = (F.col("bx") - F.col("ax")) * (F.col("dy2") - F.col("ay")) - (
+        F.col("by2") - F.col("ay")
+    ) * (F.col("dx2") - F.col("ax"))
+    o3 = (F.col("dx2") - F.col("cx")) * (F.col("ay") - F.col("cy")) - (
+        F.col("dy2") - F.col("cy")
+    ) * (F.col("ax") - F.col("cx"))
+    o4 = (F.col("dx2") - F.col("cx")) * (F.col("by2") - F.col("cy")) - (
+        F.col("dy2") - F.col("cy")
+    ) * (F.col("bx") - F.col("cx"))
+    crossing = cand.filter((o1 * o2 < 0) & (o3 * o4 < 0))
+    den0 = (F.col("bx") - F.col("ax")) * (F.col("dy2") - F.col("cy")) - (
+        F.col("by2") - F.col("ay")
+    ) * (F.col("dx2") - F.col("cx"))
+    tn0 = (F.col("cx") - F.col("ax")) * (F.col("dy2") - F.col("cy")) - (
+        F.col("cy") - F.col("ay")
+    ) * (F.col("dx2") - F.col("cx"))
+    w = crossing.withColumn("den0", den0).withColumn("tn0", tn0)
+    ixn = F.col("ax") * F.col("den0") + F.col("tn0") * (F.col("bx") - F.col("ax"))
+    iyn = F.col("ay") * F.col("den0") + F.col("tn0") * (F.col("by2") - F.col("ay"))
+    neg = F.col("den0") < 0
+    return w.select(
+        "ia",
+        "ib",
+        F.when(neg, -ixn).otherwise(ixn).cast("long").alias("ix_num"),
+        F.when(neg, -iyn).otherwise(iyn).cast("long").alias("iy_num"),
+        F.when(neg, -F.col("den0")).otherwise(F.col("den0")).cast("long").alias("den"),
+    ).orderBy("ia", "ib")
+
+
+_VITERBI_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+_VITERBI_N = 24
+_VITERBI_FALLBACK = 1500
+
+
+def _viterbi_cost(w: str) -> int:
+    return 1000 - 10 * len(w)
+
+
+def _viterbi_oracle_sql() -> str:
+    """Unrolled 24-stage DP as chained CTEs (the same shape as the BPE
+    oracle): stage i takes the least over words ending at position i
+    plus the per-character fallback. least() skips NULL candidates in
+    both engines."""
+    stages = [
+        "base AS (SELECT doc_id, substr(replace(text,' ',''),1,"
+        f"{_VITERBI_N}) AS s FROM documents)"
+    ]
+    prev = "base"
+    for i in range(1, _VITERBI_N + 1):
+        terms = []
+        for w in _VITERBI_VOCAB:
+            length = len(w)
+            if length <= i:
+                p = "0" if i - length == 0 else f"c{i - length}"
+                terms.append(
+                    f"CASE WHEN substr(s, {i - length + 1}, {length}) = '{w}' "
+                    f"THEN {p} + {_viterbi_cost(w)} ELSE NULL END"
+                )
+        pf = "0" if i - 1 == 0 else f"c{i - 1}"
+        terms.append(f"{pf} + {_VITERBI_FALLBACK}")
+        stages.append(
+            f"s{i} AS (SELECT *, least({', '.join(terms)}) AS c{i} FROM {prev})"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"\nSELECT doc_id, CAST(c{_VITERBI_N} AS BIGINT) AS min_cost "
+        f"FROM s{_VITERBI_N} ORDER BY doc_id"
+    )
+
+
+@q("viterbi_segment_cost", oracle=_viterbi_oracle_sql())
+def q_viterbi_segment_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM TOKENIZATION COST (the Viterbi DP at the heart of
+    SentencePiece-style unigram tokenizers): each doc's de-spaced
+    24-char prefix is segmented against the corpus vocabulary at
+    minimum total cost (cost 1000 - 10*len per word, 1500 per
+    fallback character), DP over positions inside one Arrow batch per
+    partition (numpy cost table, no per-row Python round trips). The
+    oracle unrolls the same DP as 24 chained CTE stages. Costs are
+    all-integer so the min is engine-exact; only the scalar cost is
+    emitted (the argmin path needs a tiebreak the gate doesn't
+    test)."""
+    docs = datagen._read(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = list(_VITERBI_VOCAB)
+    costs = [_viterbi_cost(w) for w in vocab]
+    n_pos, fb = _VITERBI_N, _VITERBI_FALLBACK
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for s in pdf["text"].fillna(""):
+                s = s.replace(" ", "")[:n_pos]
+                c = [0] * (n_pos + 1)
+                for i in range(1, n_pos + 1):
+                    best = c[i - 1] + fb
+                    if i <= len(s):
+                        for w, cw in zip(vocab, costs):
+                            ln = len(w)
+                            if ln <= i and s[i - ln : i] == w:
+                                cand = c[i - ln] + cw
+                                if cand < best:
+                                    best = cand
+                    c[i] = best
+                out.append(c[n_pos])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "min_cost": out}
+            )
+
+    return docs.mapInPandas(batches, "doc_id long, min_cost long").orderBy(
+        "doc_id"
+    )
+
+
+@q(
+    "media_box_blur",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+xs AS (SELECT unnest(range(1, 15)) AS x),
+ys AS (SELECT unnest(range(1, 11)) AS y),
+ds AS (SELECT unnest(range(-1, 2)) AS d),
+terms AS (
+  SELECT i.doc_id,
+         (i.doc_id + (x.x + dx.d) + (y.y + dy.d)) % 256 AS r,
+         (i.doc_id * 2 + (x.x + dx.d)) % 256 AS g,
+         (i.doc_id * 3 + (y.y + dy.d)) % 256 AS b
+  FROM ids i CROSS JOIN xs x CROSS JOIN ys y CROSS JOIN ds dx CROSS JOIN ds dy
+)
+SELECT doc_id, CAST(16 AS BIGINT) AS img_w, CAST(12 AS BIGINT) AS img_h,
+       CAST(140 AS BIGINT) AS n_boxes,
+       CAST(sum(r) AS BIGINT) AS box_r,
+       CAST(sum(g) AS BIGINT) AS box_g,
+       CAST(sum(b) AS BIGINT) AS box_b
+FROM terms GROUP BY doc_id
+""",
+)
+def q_media_box_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGRAL-IMAGE BOX FILTER over real decoded BMP bytes
+    (multimodal.box_blur_bmp): per doc a 16x12 BMP is built, decoded
+    by the actual binary parser, summed-area-tabled (one 2-D cumsum
+    per channel), and every interior 3x3 box sum comes from 4 table
+    lookups — O(pixels) independent of kernel size, the kernel shape
+    feature pipelines (blur/SSIM/Haar) rely on. Features are exact
+    int64 sums of all 140 interior box sums per channel; the oracle
+    recomputes them from the pixel closed forms."""
+    from .operators import multimodal as M
+
+    docs = (
+        datagen._read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                blob = M.build_bmp(int(i), 16, 12)
+                w, h, nb, br, bg, bb = M.box_blur_bmp(blob)
+                rows.append((int(i), w, h, nb, br, bg, bb))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "img_w", "img_h", "n_boxes",
+                    "box_r", "box_g", "box_b",
+                ],
+            )
+
+    return docs.mapInPandas(
+        batches,
+        "doc_id long, img_w long, img_h long, n_boxes long, "
+        "box_r long, box_g long, box_b long",
+    )
+
+
+@q(
+    "audio_resample_pairs",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+js AS (SELECT unnest(range(20)) AS j),
+terms AS (
+  SELECT i.doc_id, j.j,
+         ((i.doc_id * 7 + (2 * j.j) * 13) % 65536) - 32768
+           + ((i.doc_id * 7 + (2 * j.j + 1) * 13) % 65536) - 32768 AS pair_sum
+  FROM ids i CROSS JOIN js j
+)
+SELECT doc_id, CAST(20 AS BIGINT) AS n_out,
+       CAST(sum((j + 1) * pair_sum) AS BIGINT) AS checksum
+FROM terms GROUP BY doc_id
+""",
+)
+def q_audio_resample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2:1 PCM DOWNSAMPLE over real decoded WAV bytes
+    (multimodal.wav_pair_resample_checksum): the RIFF chunk walk
+    parses each doc's 40-sample PCM16 stream, consecutive samples are
+    paired and kept as EXACT pair sums (fixed-point 2x the mean —
+    integer division of negative samples rounds differently across
+    engines, the sum does not), and the gate pins the position-
+    weighted checksum so reordering/off-by-one bugs cannot cancel.
+    The audio analogue of the image resize gate."""
+    from .operators import multimodal as M
+
+    docs = (
+        datagen._read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                blob = M.build_wav(int(i))
+                m, cs = M.wav_pair_resample_checksum(blob)
+                rows.append((int(i), m, cs))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_out", "checksum"])
+
+    return docs.mapInPandas(batches, "doc_id long, n_out long, checksum long")
