@@ -808,3 +808,75 @@ def wav_pair_resample_checksum(blob: bytes) -> tuple[int, int]:
     pairs = samples[: 2 * m : 2] + samples[1 : 2 * m : 2]
     weights = np.arange(1, m + 1, dtype=np.int64)
     return m, int((weights * pairs).sum())
+
+
+def encode_bmp24(r, g, b) -> bytes:
+    """Encode three (h, w) uint8-range channel arrays as a 24-bit
+    bottom-up BMP (same layout build_bmp emits): header + BGR rows
+    padded to 4 bytes. The channel arrays are LOGICAL top-down."""
+    import numpy as np
+
+    h, w = r.shape
+    row_raw = w * 3
+    row_padded = (row_raw + 3) // 4 * 4
+    pixel_bytes = row_padded * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + pixel_bytes, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    px = np.zeros((h, row_padded), dtype=np.uint8)
+    flip = slice(None, None, -1)  # logical top-down -> bottom-up storage
+    px[:, 0:row_raw:3] = b[flip].astype(np.uint8)
+    px[:, 1:row_raw:3] = g[flip].astype(np.uint8)
+    px[:, 2:row_raw:3] = r[flip].astype(np.uint8)
+    return header + dib + px.tobytes()
+
+
+def build_phash_bmp(doc_id: int) -> bytes:
+    """16x12 synthetic photo for the perceptual-hash gate: quadratic
+    per-base gradient patterns (base = doc_id div 8 picks the pattern;
+    doc_id % 8 perturbs one 2x2 corner block), so docs sharing a base
+    are planted near-duplicates and cross-base hashes mostly differ."""
+    import numpy as np
+
+    base, v = doc_id // 8, doc_id % 8
+    Y, X = np.mgrid[0:12, 0:16].astype(np.int64)
+    noise = np.where((X < 2) & (Y < 2), v * 7, 0)
+    r = (X * Y * (1 + base % 4) + X * (3 + base % 9) + noise) % 256
+    g = ((X + 3 * Y) * (5 + base % 5) + Y * Y * (1 + base % 3)) % 256
+    b = (X * X * (1 + base % 7) + Y * (4 + base % 11)) % 256
+    return encode_bmp24(r, g, b)
+
+
+def ahash_bmp(blob: bytes) -> int:
+    """Average-hash (aHash) of a 24-bit BMP: decode the real bytes,
+    floor-map NN-resize to 8x8, integer luma (299r + 587g + 114b — the
+    BT.601 weights x1000, kept integer), bit i set iff
+    64 * luma_i > sum(luma) — the cross-multiplied EXACT form of
+    'above the mean' (a float mean would make marginal bits
+    engine-dependent). Bit i corresponds to resized cell (x, y) with
+    i = y*8 + x; packed into a signed int64 (bit 63 wraps negative,
+    irrelevant for XOR/popcount distance)."""
+    import numpy as np
+
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", blob, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    _hdr, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", blob, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+    row_padded = (w * 3 + 3) // 4 * 4
+    n_rows = abs(h)
+    px = np.frombuffer(
+        blob, dtype=np.uint8, count=row_padded * n_rows, offset=off
+    ).reshape(n_rows, row_padded)[:, : w * 3].reshape(n_rows, w, 3)
+    logical = (px[::-1] if h > 0 else px).astype(np.int64)
+    sx = (np.arange(8, dtype=np.int64) * w) // 8
+    sy = (np.arange(8, dtype=np.int64) * n_rows) // 8
+    cell = logical[sy][:, sx]  # (8, 8, 3) BGR
+    luma = 299 * cell[:, :, 2] + 587 * cell[:, :, 1] + 114 * cell[:, :, 0]
+    total = int(luma.sum())
+    bits = (64 * luma > total).astype(np.uint64).ravel()  # row-major: i = y*8+x
+    hashv = np.uint64(0)
+    for i in range(64):
+        hashv |= bits[i] << np.uint64(i)
+    return int(hashv.astype(np.int64))

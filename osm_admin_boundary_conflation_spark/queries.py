@@ -18754,3 +18754,385 @@ def q_audio_resample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "n_out", "checksum"])
 
     return docs.mapInPandas(batches, "doc_id long, n_out long, checksum long")
+
+
+@q(
+    "image_phash_neardup",
+    oracle="""
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 3),
+cells AS (SELECT unnest(range(8)) AS cx2),
+rows8 AS (SELECT unnest(range(8)) AS cy2),
+g AS (
+  SELECT i.doc_id, (r.cy2 * 8 + c.cx2) AS idx,
+         299 * (((2*c.cx2) * ((3*r.cy2)//2) * (1 + (i.doc_id//8) % 4)
+                 + (2*c.cx2) * (3 + (i.doc_id//8) % 9)
+                 + CASE WHEN 2*c.cx2 < 2 AND (3*r.cy2)//2 < 2 THEN (i.doc_id % 8) * 7 ELSE 0 END) % 256)
+       + 587 * ((((2*c.cx2) + 3*((3*r.cy2)//2)) * (5 + (i.doc_id//8) % 5)
+                 + ((3*r.cy2)//2) * ((3*r.cy2)//2) * (1 + (i.doc_id//8) % 3)) % 256)
+       + 114 * (((2*c.cx2) * (2*c.cx2) * (1 + (i.doc_id//8) % 7)
+                 + ((3*r.cy2)//2) * (4 + (i.doc_id//8) % 11)) % 256) AS luma
+  FROM ids i CROSS JOIN cells c CROSS JOIN rows8 r
+),
+tot AS (SELECT doc_id, sum(luma) AS t FROM g GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id, g.idx, CASE WHEN 64 * g.luma > tot.t THEN 1 ELSE 0 END AS bit
+  FROM g JOIN tot USING (doc_id)
+),
+ham AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM bits a JOIN bits b ON a.idx = b.idx AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, hamming
+FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b
+""",
+)
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE IMAGE DETECTION by perceptual hash: per doc a
+    16x12 'photo' (quadratic gradient pattern per base = doc div 8,
+    one perturbed corner block per doc % 8 — planted same-base
+    near-dups) is encoded to REAL BMP bytes, decoded by the actual
+    parser, aHashed (floor-map 8x8 resize, integer BT.601 luma, the
+    cross-multiplied 64*luma > total mean test —
+    multimodal.ahash_bmp), and pairs within Hamming distance 3 are
+    found by 4-BAND LSH BLOCKING on 16-bit hash bands: by pigeonhole
+    any pair with <= 3 differing bits shares an identical band, so
+    banding + popcount-verify is EXACT for this threshold while
+    touching only band-colliding candidates — the image analogue of
+    the MinHash/SimHash dedup family. The oracle recomputes the 64
+    bits per doc in closed form and pays the quadratic."""
+    from .operators import multimodal as M
+
+    docs = (
+        datagen._read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                blob = M.build_phash_bmp(int(i))
+                rows.append((int(i), M.ahash_bmp(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "hash"])
+
+    hashed = docs.mapInPandas(batches, "doc_id long, hash long")
+    bands = hashed.select(
+        "doc_id",
+        "hash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(hash, band * 16)").bitwiseAND(F.lit(0xFFFF)),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("hash").alias("hash_a"),
+        "band", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("hash").alias("hash_b"),
+        "band", "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b"))).cast("long")
+    )
+    return (
+        ham.filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q(
+    "polygon_rasterize_scanline",
+    oracle=f"""
+WITH {_PIP_WORLD_SQL},
+area AS (
+  SELECT poly_id,
+         CAST(abs(sum(x1 * y2 - x2 * y1)) AS BIGINT) AS area2
+  FROM pip_edges GROUP BY poly_id
+)
+SELECT poly_id, CAST(120 AS BIGINT) AS n_rows, area2
+FROM area ORDER BY poly_id
+""",
+)
+def q_polygon_rasterize_scanline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYGON RASTERIZATION BY SCANLINE: each (non-convex, notched)
+    ring is filled by sweeping 120 horizontal scan rows at half-integer
+    heights (doubled integer coordinates keep everything exact; odd
+    scan rows never hit the even vertex/edge heights, so no degeneracy
+    cases), intersecting the rows with the exploded edges, ranking the
+    crossings per row, and turning rank parity into covered intervals
+    — the signed sum over sorted crossings IS the covered length. The
+    oracle is the SHOELACE AREA: for piecewise-linear boundaries the
+    midline length of each unit strip equals the strip's exact area,
+    so total scan coverage == polygon area — an independent identity,
+    not the same algorithm. Engine shape: edges x rows meet on an
+    equi poly key (bucketed by y-range at scale); per-row ranking
+    windows are bounded by crossings-per-row."""
+    _, polys = _pip_world(spark, sf_dir)
+    edges = polys.select(
+        "poly_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), i -> struct("
+                "vertices[i].x * 2 as x1, vertices[i].y * 2 as y1, "
+                "vertices[(i + 1) % 8].x * 2 as x2, vertices[(i + 1) % 8].y * 2 as y2, "
+                "i as eidx))"
+            )
+        ).alias("e"),
+    ).select("poly_id", "e.*")
+    rows = polys.select(
+        "poly_id",
+        F.explode(
+            F.sequence(
+                F.expr("(poly_id div 8) * 320 + 1"),
+                F.expr("(poly_id div 8) * 320 + 239"),
+                F.lit(2),
+            )
+        ).alias("yscan"),
+    )
+    j = rows.join(edges, "poly_id").filter(
+        (F.least("y1", "y2") < F.col("yscan"))
+        & (F.col("yscan") < F.greatest("y1", "y2"))
+    )
+    xcross = F.col("x1") + F.expr("((yscan - y1) * (x2 - x1)) div (y2 - y1)")
+    c = j.select("poly_id", "yscan", xcross.alias("xc"), "eidx")
+    w = Window.partitionBy("poly_id", "yscan").orderBy("xc", "eidx")
+    signed = c.withColumn("rn", F.row_number().over(w)).select(
+        "poly_id",
+        "yscan",
+        F.when(F.col("rn") % 2 == 0, F.col("xc")).otherwise(-F.col("xc")).alias(
+            "sx"
+        ),
+    )
+    return (
+        signed.groupBy("poly_id")
+        .agg(
+            F.countDistinct("yscan").cast("long").alias("n_rows"),
+            F.sum("sx").cast("long").alias("area2"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+@q(
+    "rank_join_topk",
+    oracle="""
+WITH a AS (
+  SELECT doc_id,
+         CAST('0x'||substr(md5('a'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 100000 AS sa
+  FROM (SELECT DISTINCT doc_id FROM documents)
+),
+b AS (
+  SELECT event_id,
+         CAST('0x'||substr(md5('b'||CAST(event_id AS VARCHAR)),1,15) AS BIGINT) % 100000 AS sb
+  FROM events
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(event_id AS BIGINT) AS event_id,
+       CAST(sa + sb AS BIGINT) AS score
+FROM a CROSS JOIN b
+ORDER BY score DESC, doc_id, event_id LIMIT 10
+""",
+)
+def q_rank_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K RANK JOIN over the full cross space without the cross
+    join: the top-k pairs by sa + sb (total order with (score DESC,
+    ids ASC) tiebreak) can only use elements from each side's own
+    top-k under the matching per-side order — if a were outside side
+    A's top-k, the >= k elements beating it each form a pair with the
+    same b that beats (a, b), so (a, b) cannot be top-k. Both side
+    prunings are TakeOrderedAndProject; the residual k x k grid is a
+    broadcast. The oracle pays |A| x |B|; the engine pays
+    2 TakeOrdereds + k^2 — the threshold-algorithm result that makes
+    ranked retrieval joins feasible at corpus scale."""
+    docs = datagen._read(spark, sf_dir, "documents").select("doc_id").distinct()
+    ev = datagen._read(spark, sf_dir, "events").select("event_id")
+    sa = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("a"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long") % 100000
+    )
+    sb = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("b"), F.col("event_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long") % 100000
+    )
+    top_a = (
+        docs.select("doc_id", sa.alias("sa"))
+        .orderBy(F.col("sa").desc(), "doc_id")
+        .limit(10)
+    )
+    top_b = (
+        ev.select("event_id", sb.alias("sb"))
+        .orderBy(F.col("sb").desc(), "event_id")
+        .limit(10)
+    )
+    grid = top_a.crossJoin(F.broadcast(top_b)).select(
+        "doc_id", "event_id", (F.col("sa") + F.col("sb")).alias("score")
+    )
+    return grid.orderBy(F.col("score").desc(), "doc_id", "event_id").limit(10)
+
+
+@q(
+    "mann_kendall_trend",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+p AS (
+  SELECT a.user_id,
+         CAST(sum(CASE WHEN (CASE WHEN a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id) THEN 1 ELSE -1 END)
+                            * (CASE WHEN a.v < b.v THEN 1 WHEN a.v > b.v THEN -1 ELSE 0 END) = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+         CAST(sum(CASE WHEN (CASE WHEN a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id) THEN 1 ELSE -1 END)
+                            * (CASE WHEN a.v < b.v THEN 1 WHEN a.v > b.v THEN -1 ELSE 0 END) = -1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_id < b.event_id
+  GROUP BY a.user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, conc, disc,
+       CAST(conc - disc AS BIGINT) AS s_stat, n_pairs
+FROM p ORDER BY user_id
+""",
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL TREND TEST per user: the S statistic (concordant
+    minus discordant time/value pairs, value ties contributing
+    nothing) over each user's event series — the standard
+    nonparametric monotone-trend detector for telemetry. Pairs are
+    generated by a user-key equi self join (bounded per-user series;
+    the GLOBAL tau over unbounded series is the grid-decomposed
+    operators/rankcorr.py — this gate is the grouped sibling).
+    Timestamps compare with an event-id tiebreak so equal-microsecond
+    events are totally ordered in both engines."""
+    ev = datagen._read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    a = ev.alias("a")
+    b = ev.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    )
+    t_sign = F.when(
+        (F.col("a.t") < F.col("b.t"))
+        | ((F.col("a.t") == F.col("b.t")) & (F.col("a.event_id") < F.col("b.event_id"))),
+        1,
+    ).otherwise(-1)
+    v_sign = (
+        F.when(F.col("a.v") < F.col("b.v"), 1)
+        .when(F.col("a.v") > F.col("b.v"), -1)
+        .otherwise(0)
+    )
+    prod = (t_sign * v_sign).alias("sgn")
+    agg = (
+        j.select(F.col("a.user_id").alias("user_id"), prod)
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("sgn") == 1).cast("long")).alias("conc"),
+            F.sum((F.col("sgn") == -1).cast("long")).alias("disc"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    return agg.select(
+        "user_id", "conc", "disc",
+        (F.col("conc") - F.col("disc")).cast("long").alias("s_stat"),
+        "n_pairs",
+    ).orderBy("user_id")
+
+
+@q(
+    "str_rtree_pack",
+    oracle="""
+WITH r AS (
+  SELECT doc_id AS id, (doc_id*37) % 5000 AS cx, (doc_id*53) % 3000 AS cy,
+         doc_id % 7 + 1 AS hx, doc_id % 5 + 1 AS hy
+  FROM (SELECT DISTINCT doc_id FROM documents)
+),
+n AS (SELECT count(*) AS n FROM r),
+params AS (SELECT n, CAST(ceil(sqrt(ceil(n / 16.0))) AS BIGINT) AS s FROM n),
+p2 AS (SELECT n, s, CAST(ceil(n / CAST(s AS DOUBLE)) AS BIGINT) AS slice_sz FROM params),
+rx AS (SELECT r.*, row_number() OVER (ORDER BY cx, id) AS rank_x FROM r),
+sl AS (SELECT rx.*, CAST((rank_x - 1) // p2.slice_sz AS BIGINT) AS slice FROM rx, p2),
+ry AS (SELECT sl.*, row_number() OVER (PARTITION BY slice ORDER BY cy, id) AS rank_y FROM sl),
+leaves AS (SELECT slice * 100 + (rank_y - 1) // 16 AS leaf_id, * FROM ry)
+SELECT CAST(leaf_id AS BIGINT) AS leaf_id, CAST(count(*) AS BIGINT) AS n_rects,
+       CAST(min(cx - hx) AS BIGINT) AS x0, CAST(min(cy - hy) AS BIGINT) AS y0,
+       CAST(max(cx + hx) AS BIGINT) AS x1, CAST(max(cy + hy) AS BIGINT) AS y1
+FROM leaves GROUP BY leaf_id ORDER BY leaf_id
+""",
+)
+def q_str_rtree_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORT-TILE-RECURSIVE R-TREE BULK LOADING: rectangles are packed
+    into capacity-16 leaves by the STR recipe — rank by center x into
+    ceil(sqrt(P)) vertical slices, rank by center y within each slice,
+    tile every 16 — and the gate pins each leaf's population and MBR.
+    Both rankings are the scale-safe two-phase bucket rank
+    (plans/dense_index): the within-slice rank is a single GLOBAL rank
+    over the (slice, cy) composite key minus the slice's broadcast
+    rank offset, so no window ever sees an unbounded partition (a
+    naive PARTITION BY slice window would sort sqrt(N*C) rows in one
+    task at 10^12 rects). The only driver action is the two bounded
+    scalars N and S."""
+    import math
+
+    from .plans.dense_index import global_rank
+
+    docs = datagen._read(spark, sf_dir, "documents").select("doc_id").distinct()
+    r = docs.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 37) % 5000).alias("cx"),
+        ((F.col("doc_id") * 53) % 3000).alias("cy"),
+        (F.col("doc_id") % 7 + 1).alias("hx"),
+        (F.col("doc_id") % 5 + 1).alias("hy"),
+    )
+    n = r.count()
+    p = -(-n // 16)
+    s = math.isqrt(p)
+    if s * s < p:
+        s += 1
+    slice_sz = -(-n // s)
+    rx = global_rank(r, "cx", "rank_x", tiebreak=["id"])
+    sl = rx.withColumn("slice", F.expr(f"(rank_x - 1) div {slice_sz}"))
+    # global rank over the (slice, cy) composite key == rank within
+    # slice once the slice's first global rank is subtracted
+    sk = sl.withColumn("sk", F.col("slice") * 1000000 + F.col("cy"))
+    rk = global_rank(sk, "sk", "rank_sk", tiebreak=["id"])
+    offs = rk.groupBy("slice").agg(F.min("rank_sk").alias("rk0"))
+    ry = rk.join(F.broadcast(offs), "slice").withColumn(
+        "rank_y", F.col("rank_sk") - F.col("rk0") + 1
+    )
+    leaves = ry.withColumn(
+        "leaf_id", F.col("slice") * 100 + F.expr("(rank_y - 1) div 16")
+    )
+    return (
+        leaves.groupBy("leaf_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rects"),
+            F.min(F.col("cx") - F.col("hx")).cast("long").alias("x0"),
+            F.min(F.col("cy") - F.col("hy")).cast("long").alias("y0"),
+            F.max(F.col("cx") + F.col("hx")).cast("long").alias("x1"),
+            F.max(F.col("cy") + F.col("hy")).cast("long").alias("y1"),
+        )
+        .orderBy("leaf_id")
+    )

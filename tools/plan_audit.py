@@ -129,6 +129,7 @@ NESTED_LOOP_SCALAR_OK = {
     "lsh_recall_eval",  # crossJoin chain of four 1-row count aggregates
     "hull_diameter_calipers",  # hull x hull broadcast (|hull| = O(log n) vertices)
     "kendall_tau_inversions",  # cells x distinct-y-bucket broadcast (bounded metadata grain) + 1-row scalar combine chain
+    "rank_join_topk",  # k x k broadcast grid of the two pruned top-k sides (bounded by construction)
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
