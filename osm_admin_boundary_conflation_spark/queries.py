@@ -19136,3 +19136,311 @@ def q_str_rtree_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leaf_id")
     )
+
+
+@q(
+    "spearman_rho_exact",
+    oracle="""
+WITH s AS (
+  SELECT doc_id AS id, doc_id AS x, (doc_id * 131) % 500 AS y
+  FROM (SELECT DISTINCT doc_id FROM documents)
+),
+r AS (
+  SELECT id, row_number() OVER (ORDER BY x) AS rx,
+         row_number() OVER (ORDER BY y) AS ry
+  FROM s
+),
+agg AS (SELECT count(*) AS n, CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2 FROM r)
+SELECT CAST(n AS BIGINT) AS n, sum_d2,
+       CAST(n * (n * n - 1) AS BIGINT) AS den,
+       round(1.0 - 6.0 * sum_d2 / (n * (n * n - 1)), 6) AS rho
+FROM agg
+""",
+)
+def q_spearman_rho_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION, exact: with distinct values on both
+    axes (y = x * 131 mod 500 is a bijection on this id range) rho =
+    1 - 6*sum(d^2)/(n(n^2-1)) is a pure integer identity until the one
+    final division. BOTH rankings are the two-phase bucket rank
+    (plans/dense_index.global_rank) — a naive implementation needs two
+    full sorts through single-partition windows; this one needs none.
+    Complements kendall_tau_inversions (the other rank-correlation
+    family) on the same synthetic joint distribution."""
+    from .plans.dense_index import global_rank
+
+    docs = datagen._read(spark, sf_dir, "documents").select("doc_id").distinct()
+    s = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").alias("x"),
+        ((F.col("doc_id") * 131) % 500).alias("y"),
+    )
+    rx = global_rank(s, "x", "rx")
+    rxy = global_rank(rx, "y", "ry")
+    agg = rxy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("long")
+        .alias("sum_d2"),
+    )
+    return agg.select(
+        "n",
+        "sum_d2",
+        F.expr("n * (n * n - 1)").cast("long").alias("den"),
+        F.round(
+            F.lit(1.0) - F.lit(6.0) * F.col("sum_d2") / F.expr("n * (n * n - 1)"),
+            6,
+        ).alias("rho"),
+    )
+
+
+@q(
+    "ks_test_exact",
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CAST('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15) AS BIGINT) % 2 AS arm
+  FROM events
+),
+g AS (SELECT v, CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM s GROUP BY v),
+c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS i, sum(cb) OVER (ORDER BY v) AS j FROM g),
+t AS (SELECT (SELECT sum(ca) FROM g) AS n, (SELECT sum(cb) FROM g) AS m)
+SELECT CAST(t.n AS BIGINT) AS n, CAST(t.m AS BIGINT) AS m,
+       CAST(max(abs(c.i * t.m - c.j * t.n)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(c.i * t.m - c.j * t.n)) AS DOUBLE) / (t.n * t.m), 6) AS d_stat
+FROM c, t GROUP BY t.n, t.m
+""",
+)
+def q_ks_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV TEST, exact: D = max |F_a - F_b|
+    over the pooled sample is max |i*m - j*n| / (n*m) with integer
+    cumulative counts i, j — cross-multiplication removes every float
+    from the supremum (a float-CDF max is a tie-ordering hazard). The
+    global cumulative over distinct values uses the two-phase shape:
+    per-value counts -> range buckets (v div 4096) -> in-bucket window
+    cumsum + BROADCAST bucket prefix offsets (a bounded driver collect
+    of per-bucket totals, the q_global_row_number pattern) — no
+    single-partition window over the value domain."""
+    ev = datagen._read(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 2
+    )
+    s = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v"), arm.alias("arm")
+    )
+    g = s.groupBy("v").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("cb"),
+    ).withColumn("bucket", F.expr("v div 4096"))
+    # bounded driver collect: one row per populated 4096-wide value
+    # bucket; prefix sums broadcast back as offsets
+    totals = (
+        g.groupBy("bucket")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .collect()
+    )
+    totals.sort(key=lambda r: r["bucket"])
+    offs, pa, pb = [], 0, 0
+    for row in totals:
+        offs.append((row["bucket"], pa, pb))
+        pa += row["ta"]
+        pb += row["tb"]
+    n, m = pa, pb
+    spark_offs = spark.createDataFrame(offs, "bucket long, oa long, ob long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        g.join(F.broadcast(spark_offs), "bucket")
+        .withColumn("i", F.sum("ca").over(w) + F.col("oa"))
+        .withColumn("j", F.sum("cb").over(w) + F.col("ob"))
+    )
+    d = c.agg(
+        F.max(F.abs(F.col("i") * F.lit(m) - F.col("j") * F.lit(n))).alias("d_num")
+    )
+    return d.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(m).cast("long").alias("m"),
+        F.col("d_num").cast("long"),
+        F.round(F.col("d_num").cast("double") / F.lit(float(n * m)), 6).alias(
+            "d_stat"
+        ),
+    )
+
+
+@q(
+    "pearson_corr_exact",
+    oracle="""
+WITH s AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS x, (event_id * 7) % 1000 AS y FROM events),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+      FROM s GROUP BY event_type)
+SELECT event_type, n, CAST(n*sxy - sx*sy AS BIGINT) AS cov_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS varx_num, CAST(n*syy - sy*sy AS BIGINT) AS vary_num,
+       round((n*sxy - sx*sy) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS r
+FROM a ORDER BY event_type
+""",
+)
+def q_pearson_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON CORRELATION with integer-exact moments: n*sxy - sx*sy
+    and the two variance numerators are int64-exact sums (float
+    accumulation is summation-order-dependent and ungateable — the
+    r5 lesson), so r differs from the closed form only by the final
+    IEEE sqrt/divide, which are correctly-rounded and thus
+    deterministic across engines. One group-by pass computes all five
+    moments (no second scan, no collect)."""
+    ev = datagen._read(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        ((F.col("event_id") * 7) % 1000).alias("y"),
+    )
+    a = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    return a.select(
+        "event_type",
+        "n",
+        F.expr("n*sxy - sx*sy").cast("long").alias("cov_num"),
+        F.expr("n*sxx - sx*sx").cast("long").alias("varx_num"),
+        F.expr("n*syy - sy*sy").cast("long").alias("vary_num"),
+        F.round(
+            F.expr("n*sxy - sx*sy")
+            / (
+                F.sqrt(F.expr("CAST(n*sxx - sx*sx AS DOUBLE)"))
+                * F.sqrt(F.expr("CAST(n*syy - sy*sy AS DOUBLE)"))
+            ),
+            6,
+        ).alias("r"),
+    ).orderBy("event_type")
+
+
+@q(
+    "vertex_jaccard_similarity",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT least((event_id*3) % 200, (event_id // 3) % 200) AS u,
+                  greatest((event_id*3) % 200, (event_id // 3) % 200) AS v
+  FROM events WHERE (event_id*3) % 200 <> (event_id // 3) % 200
+),
+adj AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY a),
+inter AS (
+  SELECT x.a AS id_a, y.a AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a
+  GROUP BY x.a, y.a
+)
+SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+       i.common, da.d AS deg_a, db.d AS deg_b,
+       CAST((10000 * i.common) // (da.d + db.d - i.common) AS BIGINT) AS jacc_bp
+FROM inter i JOIN deg da ON da.a = i.id_a JOIN deg db ON db.a = i.id_b
+WHERE i.common >= 2
+ORDER BY id_a, id_b
+""",
+)
+def q_vertex_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURAL SIMILARITY OF GRAPH VERTICES (related-page /
+    follow-recommendation primitive): Jaccard of neighborhoods via
+    WEDGE COUNTING — the shared-neighbor equi join enumerates exactly
+    the co-neighbor pairs (never the all-pairs grid), degrees join in
+    by key, and the score is the exact basis-point ratio
+    10000*|inter| div |union|. The common >= 2 support floor is the
+    same semantic prune cooccurrence_counts uses: at web scale the
+    long tail of 1-common-neighbor pairs dominates the join output and
+    carries no signal."""
+    ev = datagen._read(spark, sf_dir, "events").select("event_id")
+    u = (F.col("event_id") * 3) % 200
+    v = F.expr("(event_id div 3) % 200")
+    e0 = (
+        ev.filter(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    adj = e0.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e0.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x = adj.select(F.col("a").alias("id_a"), F.col("b").alias("nbr"))
+    y = adj.select(F.col("a").alias("id_b"), F.col("b").alias("nbr"))
+    inter = (
+        x.join(y, "nbr")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    da = deg.select(F.col("a").alias("id_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("a").alias("id_b"), F.col("d").alias("deg_b"))
+    j = inter.join(da, "id_a").join(db, "id_b")
+    return j.select(
+        "id_a", "id_b", "common", "deg_a", "deg_b",
+        F.expr("(10000 * common) div (deg_a + deg_b - common)")
+        .cast("long")
+        .alias("jacc_bp"),
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "point_in_polygon_holes",
+    oracle=f"""
+WITH {_PIP_WORLD_SQL},
+hverts AS (
+  SELECT poly_id, CAST(v AS BIGINT) AS v,
+    ox + CASE v WHEN 0 THEN 12 WHEN 1 THEN 28 WHEN 2 THEN 28 ELSE 12 END AS vx,
+    oy + CASE v WHEN 0 THEN 12 WHEN 1 THEN 12 WHEN 2 THEN 28 ELSE 28 END AS vy
+  FROM polys, (SELECT unnest(range(4)) AS v)
+),
+hedges AS (
+  SELECT a.poly_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+  FROM hverts a JOIN hverts b ON a.poly_id = b.poly_id AND b.v = (a.v + 1) % 4
+),
+alledges AS (SELECT * FROM pip_edges UNION ALL SELECT * FROM hedges),
+hits AS (
+  SELECT p.pid, e.poly_id,
+         sum(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                   AND (((e.x1 - p.px) * (e.y2 - e.y1)
+                         + (p.py - e.y1) * (e.x2 - e.x1) > 0) = (e.y2 - e.y1 > 0))
+             THEN 1 ELSE 0 END) AS crossings
+  FROM pip_pts p, alledges e
+  GROUP BY p.pid, e.poly_id
+)
+SELECT pid, poly_id FROM hits WHERE crossings % 2 = 1
+""",
+)
+def q_point_in_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-POLYGON WITH HOLES (the multipolygon-with-inner-rings
+    case polygon_assembly produces and real admin boundaries have):
+    containment in (outer minus hole) composes the SAME cell-blocked
+    crossing-parity join run per ring — inside the outer ring AND NOT
+    inside the hole ring, an anti join of the two ring verdicts. The
+    oracle instead casts rays against the COMBINED edge set (odd total
+    crossings <=> inside outer XOR inside hole == inside the holed
+    region, since the hole lies within the outer) — a genuinely
+    different evaluation order, so ring-composition bugs cannot
+    cancel. Same degeneracy contract as point_in_polygon (vertices on
+    multiples of 4, points 1 mod 4)."""
+    from .operators.point_in_polygon import point_in_polygon_join
+
+    pts, polys = _pip_world(spark, sf_dir)
+    u = F.col("poly_id")
+    hole_ring = F.array(
+        *[
+            F.struct(
+                ((u % 8) * 160 + F.lit(lx)).alias("x"),
+                ((u / 8).cast("long") * 160 + F.lit(ly)).alias("y"),
+            )
+            for lx, ly in [(12, 12), (28, 12), (28, 28), (12, 28)]
+        ]
+    )
+    holes = polys.select("poly_id", hole_ring.alias("vertices"))
+    in_outer = point_in_polygon_join(pts, polys, cell=160)
+    in_hole = point_in_polygon_join(pts, holes, cell=160)
+    return in_outer.join(in_hole, ["pid", "poly_id"], "left_anti")
