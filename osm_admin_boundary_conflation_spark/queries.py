@@ -19444,3 +19444,268 @@ def q_point_in_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_outer = point_in_polygon_join(pts, polys, cell=160)
     in_hole = point_in_polygon_join(pts, holes, cell=160)
     return in_outer.join(in_hole, ["pid", "poly_id"], "left_anti")
+
+
+@q(
+    "rect_union_area",
+    oracle="""
+WITH r AS (
+  SELECT doc_id AS id, (doc_id*7) % 50 AS x0, (doc_id*11) % 40 AS y0,
+         doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+  FROM (SELECT DISTINCT doc_id FROM documents)
+),
+cells AS (
+  SELECT DISTINCT x.x, y.y
+  FROM r, LATERAL (SELECT unnest(range(r.x0, r.x0 + r.w)) AS x) x,
+          LATERAL (SELECT unnest(range(r.y0, r.y0 + r.h)) AS y) y
+)
+SELECT CAST(count(*) AS BIGINT) AS union_area,
+       CAST(count(DISTINCT y) AS BIGINT) AS covered_rows
+FROM cells
+""",
+)
+def q_rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA OF A RECTANGLE UNION (coverage of overlapping bboxes /
+    tile footprints) by SCANLINE + INTERVAL UNION: each unit-height
+    scan row collects the rectangles crossing it as [x0, x1) intervals
+    and the union length falls out of the running-max sweep
+    (contribution = max(0, x1 - max(x0, max_end_so_far)) — the
+    interval_union_length pattern applied per row), summed over rows.
+    Overlaps never double-count by construction, no
+    inclusion-exclusion blowup. The oracle counts DISTINCT covered
+    lattice cells — a different decomposition entirely. Scale: rows
+    shard the sweep naturally (the per-row window is bounded by
+    rectangles-per-row; at 10^12 rects the row key is the shuffle
+    key)."""
+    docs = datagen._read(spark, sf_dir, "documents").select("doc_id").distinct()
+    r = docs.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") * 7) % 50).alias("x0"),
+        ((F.col("doc_id") * 11) % 40).alias("y0"),
+        (F.col("doc_id") % 5 + 2).alias("w"),
+        (F.col("doc_id") % 3 + 2).alias("h"),
+    ).select(
+        "id", "x0", "y0",
+        (F.col("x0") + F.col("w")).alias("x1"),
+        (F.col("y0") + F.col("h")).alias("y1"),
+    )
+    rows = r.select(
+        "id", "x0", "x1",
+        F.explode(F.sequence(F.col("y0"), F.col("y1") - 1)).alias("y"),
+    )
+    w_prev = (
+        Window.partitionBy("y")
+        .orderBy("x0", "x1", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = rows.withColumn("prev_end", F.max("x1").over(w_prev)).withColumn(
+        "contrib",
+        F.greatest(
+            F.lit(0),
+            F.col("x1") - F.greatest(F.col("x0"), F.coalesce(F.col("prev_end"), F.col("x0"))),
+        ),
+    )
+    return swept.agg(
+        F.sum("contrib").cast("long").alias("union_area"),
+        F.countDistinct("y").cast("long").alias("covered_rows"),
+    )
+
+
+@q(
+    "functional_graph_cycles",
+    oracle="""
+WITH nodes AS (SELECT unnest(range(251)) AS v),
+s1 AS (SELECT v, (v*v + 3) % 251 AS j, (v*v + 3) % 251 AS m FROM nodes),
+s2 AS (SELECT a.v, b.j AS j, least(a.m, b.m) AS m FROM s1 a JOIN s1 b ON b.v = a.j),
+s4 AS (SELECT a.v, b.j AS j, least(a.m, b.m) AS m FROM s2 a JOIN s2 b ON b.v = a.j),
+s8 AS (SELECT a.v, b.j AS j, least(a.m, b.m) AS m FROM s4 a JOIN s4 b ON b.v = a.j),
+s16 AS (SELECT a.v, b.j AS j, least(a.m, b.m) AS m FROM s8 a JOIN s8 b ON b.v = a.j),
+s32 AS (SELECT a.v, b.j AS j, least(a.m, b.m) AS m FROM s16 a JOIN s16 b ON b.v = a.j),
+s64 AS (SELECT a.v, b.j AS j, least(a.m, b.m) AS m FROM s32 a JOIN s32 b ON b.v = a.j),
+s128 AS (SELECT a.v, b.j AS j, least(a.m, b.m) AS m FROM s64 a JOIN s64 b ON b.v = a.j),
+s256 AS (SELECT a.v, b.j AS j, least(a.m, b.m) AS m FROM s128 a JOIN s128 b ON b.v = a.j),
+cyc AS (SELECT a.v, b.m AS cycle_id FROM s256 a JOIN s256 b ON b.v = a.j),
+img AS (SELECT DISTINCT j FROM s256)
+SELECT CAST(c.v AS BIGINT) AS v, CAST(c.cycle_id AS BIGINT) AS cycle_id,
+       CAST(CASE WHEN i.j IS NULL THEN 0 ELSE 1 END AS BIGINT) AS on_cycle
+FROM cyc c LEFT JOIN img i ON i.j = c.v
+ORDER BY v
+""",
+)
+def q_functional_graph_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CYCLE DETECTION IN A FUNCTIONAL GRAPH by POINTER DOUBLING (the
+    list-ranking / rho-finding primitive behind hash-chain and
+    successor-graph analysis): every node carries (jump_k, min-of-
+    next-k); 8 doubling rounds — each ONE equi self-join — give
+    jump_256 and min_256 with 256 >= n, so jump_256 lands on the
+    node's attracting cycle and min_256 FROM that landing covers the
+    whole cycle: cycle_id = min cycle member, the same canonical label
+    CC uses. On-cycle membership is a semi-join against jump_256's
+    image (a node is on a cycle iff it is some node's 256-step
+    landing). O(log n) rounds where the sequential walk is O(n) —
+    the doubling transcript IS the scale story. Spark rounds
+    localCheckpoint to keep lineage flat."""
+    spark_range = spark.range(251).select(F.col("id").cast("long").alias("v"))
+    base = spark_range.select(
+        "v",
+        ((F.col("v") * F.col("v") + 3) % 251).alias("j"),
+        ((F.col("v") * F.col("v") + 3) % 251).alias("m"),
+    ).localCheckpoint()
+    cur = base
+    for rnd in range(8):
+        a = cur.alias("a")
+        b = cur.select(
+            F.col("v").alias("bv"), F.col("j").alias("bj"), F.col("m").alias("bm")
+        )
+        cur = (
+            a.join(b, F.col("a.j") == F.col("bv"))
+            .select(
+                F.col("a.v").alias("v"),
+                F.col("bj").alias("j"),
+                F.least(F.col("a.m"), F.col("bm")).alias("m"),
+            )
+        )
+        if rnd % 3 == 2:
+            cur = cur.localCheckpoint()
+    land = cur.select(F.col("v").alias("lv"), F.col("m").alias("lm"))
+    cyc = cur.join(land, cur["j"] == land["lv"]).select(
+        "v", F.col("lm").alias("cycle_id")
+    )
+    img = cur.select(F.col("j").alias("iv")).distinct()
+    out = cyc.join(img, cyc["v"] == img["iv"], "left").select(
+        "v",
+        "cycle_id",
+        F.when(F.col("iv").isNull(), 0).otherwise(1).cast("long").alias("on_cycle"),
+    )
+    return out.orderBy("v")
+
+
+@q(
+    "raster_slope_stencil",
+    oracle="""
+WITH xs AS (SELECT unnest(range(64)) AS x),
+ys AS (SELECT unnest(range(48)) AS y),
+g AS (
+  SELECT x.x, y.y FROM xs x CROSS JOIN ys y
+  WHERE x.x BETWEEN 1 AND 62 AND y.y BETWEEN 1 AND 46
+),
+m AS (
+  SELECT x, y,
+    (((x+1)*(x+1)*3 + y*7 + ((x+1)*y) % 13) % 50) - (((x-1)*(x-1)*3 + y*7 + ((x-1)*y) % 13) % 50) AS gx,
+    ((x*x*3 + (y+1)*7 + (x*(y+1)) % 13) % 50) - ((x*x*3 + (y-1)*7 + (x*(y-1)) % 13) % 50) AS gy
+  FROM g
+),
+h AS (SELECT (gx*gx + gy*gy) AS mag2 FROM m)
+SELECT CAST(mag2 // 100 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(mag2) AS BIGINT) AS sum_mag2
+FROM h GROUP BY 1 ORDER BY bucket
+""",
+)
+def q_raster_slope_stencil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RASTER GRADIENT STENCIL (slope magnitude census on a DEM) in
+    SCATTER FORM: instead of four shifted self-joins (one per
+    neighbor), every cell scatters its elevation to the four neighbor
+    positions it influences, tagged with the +-/axis role, and ONE
+    group-by reassembles (gx, gy) per target cell — one shuffle
+    regardless of stencil size, the same rewrite that turns
+    convolutions into aggregations. Central differences, exact
+    integers; the oracle evaluates the closed-form DEM directly at the
+    shifted positions (no scatter, no join — an independent
+    evaluation)."""
+    xs = spark.range(64).select(F.col("id").alias("x"))
+    ys = spark.range(48).select(F.col("id").alias("y"))
+    z = (
+        F.col("x") * F.col("x") * 3 + F.col("y") * 7
+        + (F.col("x") * F.col("y")) % 13
+    ) % 50
+    cells = xs.crossJoin(ys).select("x", "y", z.alias("z"))
+    scat = cells.select(
+        "x", "y", "z",
+        F.explode(
+            F.array(
+                F.struct((F.col("x") - 1).alias("tx"), F.col("y").alias("ty"),
+                         F.col("z").alias("dgx"), F.lit(0).cast("long").alias("dgy")),
+                F.struct((F.col("x") + 1).alias("tx"), F.col("y").alias("ty"),
+                         (-F.col("z")).alias("dgx"), F.lit(0).cast("long").alias("dgy")),
+                F.struct(F.col("x").alias("tx"), (F.col("y") - 1).alias("ty"),
+                         F.lit(0).cast("long").alias("dgx"), F.col("z").alias("dgy")),
+                F.struct(F.col("x").alias("tx"), (F.col("y") + 1).alias("ty"),
+                         F.lit(0).cast("long").alias("dgx"), (-F.col("z")).alias("dgy")),
+            )
+        ).alias("s"),
+    ).select("s.tx", "s.ty", "s.dgx", "s.dgy")
+    grad = (
+        scat.groupBy("tx", "ty")
+        .agg(F.sum("dgx").alias("gx"), F.sum("dgy").alias("gy"))
+        .filter(
+            (F.col("tx").between(1, 62)) & (F.col("ty").between(1, 46))
+        )
+    )
+    h = grad.select(
+        (F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).alias("mag2")
+    )
+    return (
+        h.groupBy(F.expr("mag2 div 100").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("mag2").cast("long").alias("sum_mag2"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "autocorr_lag",
+    oracle="""
+WITH s AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+l AS (
+  SELECT k.k, s.user_id, s.x,
+         lead(s.x, CAST(k.k AS INT)) OVER (PARTITION BY k.k, s.user_id ORDER BY s.rn) AS xk
+  FROM s CROSS JOIN (SELECT unnest(range(1, 4)) AS k) k
+)
+SELECT CAST(k AS BIGINT) AS lag_k, CAST(count(xk) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN xk IS NULL THEN 0 ELSE x * xk END) AS BIGINT) AS sum_xy,
+       CAST(sum(CASE WHEN xk IS NULL THEN 0 ELSE x END) AS BIGINT) AS sum_x,
+       CAST(sum(CASE WHEN xk IS NULL THEN 0 ELSE xk END) AS BIGINT) AS sum_y
+FROM l GROUP BY k ORDER BY lag_k
+""",
+)
+def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAGGED AUTOCORRELATION MOMENTS per series position (lags 1-3
+    over each user's time-ordered value series): the integer moment
+    sums (sum x_t*x_{t+k} and the aligned marginals) from which r_k
+    assembles exactly — emitted as int64 so the gate is
+    float-order-free. One window pass computes all three lags (lead()
+    over the bounded per-user partition); at corpus scale the user key
+    shards the state exactly like the sessionize family."""
+    ev = datagen._read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.row_number().over(w).alias("rn"),
+    )
+    parts = []
+    wl = Window.partitionBy("user_id").orderBy("rn")
+    for k in (1, 2, 3):
+        lk = s.withColumn("xk", F.lead("x", k).over(wl)).filter(
+            F.col("xk").isNotNull()
+        )
+        parts.append(
+            lk.agg(
+                F.lit(k).cast("long").alias("lag_k"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum(F.col("x") * F.col("xk")).cast("long").alias("sum_xy"),
+                F.sum("x").cast("long").alias("sum_x"),
+                F.sum("xk").cast("long").alias("sum_y"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("lag_k")
