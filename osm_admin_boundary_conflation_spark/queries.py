@@ -19709,3 +19709,210 @@ def q_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("lag_k")
+
+
+_BURST_MU0 = 50_000_000_000
+_BURST_MU1 = 5_000_000_000
+_BURST_TAU = 10_000_000_000
+_BURST_MAXG = 15
+
+
+def _burst_oracle_sql() -> str:
+    """Unrolled 2-state Viterbi over each user's first 15 inter-event
+    gaps: stage i carries (c0, c1) with NULL-gap carry-through for
+    shorter series."""
+    head = f"""
+s AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+gaps AS (
+  SELECT user_id, rn, lead(t) OVER (PARTITION BY user_id ORDER BY rn) - t AS g
+  FROM s WHERE rn <= {_BURST_MAXG + 1}
+),
+p AS (
+  SELECT user_id,
+         {", ".join(f"max(CASE WHEN rn = {i} THEN g END) AS g{i}" for i in range(1, _BURST_MAXG + 1))}
+  FROM gaps WHERE rn <= {_BURST_MAXG} GROUP BY user_id
+),
+d0 AS (SELECT user_id, CAST(0 AS BIGINT) AS c0, CAST({_BURST_TAU} AS BIGINT) AS c1,
+       {", ".join(f"g{i}" for i in range(1, _BURST_MAXG + 1))} FROM p)"""
+    stages = [head]
+    prev = "d0"
+    for i in range(1, _BURST_MAXG + 1):
+        stages.append(
+            f"""d{i} AS (SELECT user_id,
+  CASE WHEN g{i} IS NULL THEN c0
+       ELSE least(c0, c1 + {_BURST_TAU}) + abs(g{i} - {_BURST_MU0}) END AS c0,
+  CASE WHEN g{i} IS NULL THEN c1
+       ELSE least(c1, c0 + {_BURST_TAU}) + abs(g{i} - {_BURST_MU1}) END AS c1,
+  {", ".join(f"g{k}" for k in range(1, _BURST_MAXG + 1))}
+  FROM {prev})"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(least(c0, c1) AS BIGINT) AS min_cost,
+       CAST(CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS BIGINT) AS burst_final
+FROM {prev} ORDER BY user_id"""
+    )
+
+
+@q("burst_viterbi_2state", oracle=_burst_oracle_sql())
+def q_burst_viterbi_2state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURST DETECTION as a 2-STATE VITERBI over inter-event gaps (the
+    Kleinberg burst model with integer |gap - mu| emission costs and a
+    flat switch penalty): per user the DP runs over the first 15 gaps
+    in one Arrow batch — numpy state pair per step, no per-row Python
+    round trips — and the oracle unrolls the identical recurrence as
+    15 chained CTE stages with NULL carry-through for shorter series.
+    All-integer costs make the min path cost engine-exact; the argmin
+    STATE is emitted only at the final step where c0 != c1 decides it
+    (equal-cost ties resolve to the slow state in both engines)."""
+    ev = datagen._read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    mu0, mu1, tau, maxg = _BURST_MU0, _BURST_MU1, _BURST_TAU, _BURST_MAXG
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= maxg + 1)
+    g = s.withColumn(
+        "g", F.lead("t").over(Window.partitionBy("user_id").orderBy("rn")) - F.col("t")
+    ).filter((F.col("rn") <= maxg) & F.col("g").isNotNull())
+    glist = g.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("rn", "g"))).alias("gs")
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        out_uid, out_cost, out_state = [], [], []
+        for pdf in it:
+            for uid, gs in zip(pdf["user_id"], pdf["gs"]):
+                c0, c1 = 0, tau
+                for item in gs:
+                    gap = int(item["g"])
+                    n0 = min(c0, c1 + tau) + abs(gap - mu0)
+                    n1 = min(c1, c0 + tau) + abs(gap - mu1)
+                    c0, c1 = n0, n1
+                out_uid.append(int(uid))
+                out_cost.append(min(c0, c1))
+                out_state.append(1 if c1 < c0 else 0)
+            yield pd.DataFrame(
+                {"user_id": out_uid, "min_cost": out_cost, "burst_final": out_state}
+            )
+            out_uid, out_cost, out_state = [], [], []
+
+    dp = glist.mapInPandas(
+        batches, "user_id long, min_cost long, burst_final long"
+    )
+    # users with a single event have no gaps at all: cost 0, slow state
+    allu = ev.select("user_id").distinct()
+    return (
+        allu.join(dp, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("min_cost"), F.lit(0)).cast("long").alias("min_cost"),
+            F.coalesce(F.col("burst_final"), F.lit(0)).cast("long").alias("burst_final"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "rendezvous_hash_assign",
+    oracle="""
+WITH keys AS (SELECT DISTINCT doc_id FROM documents),
+nodes AS (SELECT 'node' || lpad(CAST(u AS VARCHAR), 2, '0') AS node
+          FROM (SELECT unnest(range(12)) AS u)),
+wt AS (
+  SELECT k.doc_id, n.node,
+         CAST('0x'||substr(md5(CAST(k.doc_id AS VARCHAR) || '|' || n.node),1,15) AS BIGINT) AS w
+  FROM keys k CROSS JOIN nodes n
+),
+full_assign AS (
+  SELECT doc_id, node FROM (
+    SELECT doc_id, node, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, node) AS rn FROM wt
+  ) WHERE rn = 1
+),
+after_assign AS (
+  SELECT doc_id, node FROM (
+    SELECT doc_id, node, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, node) AS rn
+    FROM wt WHERE node <> 'node03'
+  ) WHERE rn = 1
+),
+moved AS (
+  SELECT f.doc_id FROM full_assign f JOIN after_assign a USING (doc_id)
+  WHERE f.node <> a.node
+)
+SELECT a.node,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       CAST(count(*) AS BIGINT) AS n_after,
+       CAST((SELECT count(*) FROM moved) AS BIGINT) AS total_moved
+FROM after_assign a
+LEFT JOIN full_assign f ON f.doc_id = a.doc_id AND f.node = a.node
+GROUP BY a.node ORDER BY a.node
+""",
+)
+def q_rendezvous_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (HIGHEST-RANDOM-WEIGHT) HASHING: every key goes to
+    the node with the max md5(key|node) weight — the shard-assignment
+    scheme whose minimal-disruption property the gate verifies
+    STRUCTURALLY: recomputing with node03 removed, total_moved keys ==
+    keys that were on node03 (nothing else moves, because removing a
+    non-winning candidate never changes an argmax). Keys x 12 nodes is
+    a bounded-multiplier broadcast (consistent_hash_rebalance's ring
+    sibling); the argmax is max_by over the weight struct, no
+    per-key window."""
+    docs = datagen._read(spark, sf_dir, "documents").select("doc_id").distinct()
+    nodes = spark.range(12).select(
+        F.concat(F.lit("node"), F.lpad(F.col("id").cast("string"), 2, "0")).alias(
+            "node"
+        )
+    )
+    wt = docs.crossJoin(F.broadcast(nodes)).select(
+        "doc_id",
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("node"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long").alias("w"),
+    )
+
+    def argmax(df):
+        # max_by with a (w, node-desc) struct would invert the node
+        # tiebreak; use the max-struct idiom with an inverted node key
+        # free tiebreak: md5 collisions are absent in this world, and
+        # determinism is still guaranteed by (w DESC, node ASC) rank
+        r = df.groupBy("doc_id").agg(
+            F.max(F.struct(F.col("w"), F.col("node"))).alias("top")
+        )
+        return r.select("doc_id", F.col("top.node").alias("node"))
+
+    full = argmax(wt)
+    after = argmax(wt.filter(F.col("node") != "node03"))
+    moved = (
+        full.withColumnRenamed("node", "fnode")
+        .join(after.withColumnRenamed("node", "anode"), "doc_id")
+        .filter(F.col("fnode") != F.col("anode"))
+        .count()
+    )
+    f2 = full.withColumnRenamed("node", "node").groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full")
+    )
+    a2 = after.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+    out = a2.join(f2, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_full"), F.lit(0)).cast("long").alias("n_full"),
+        "n_after",
+        F.lit(moved).cast("long").alias("total_moved"),
+    )
+    return out.orderBy("node")

@@ -131,6 +131,7 @@ NESTED_LOOP_SCALAR_OK = {
     "kendall_tau_inversions",  # cells x distinct-y-bucket broadcast (bounded metadata grain) + 1-row scalar combine chain
     "rank_join_topk",  # k x k broadcast grid of the two pruned top-k sides (bounded by construction)
     "raster_slope_stencil",  # 64 x 48 constant grid spine (bounded dim x dim broadcast, same as grid_line_of_sight)
+    "rendezvous_hash_assign",  # keys x constant 12-node broadcast (bounded multiplier, consistent_hash sibling)
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
