@@ -19916,3 +19916,162 @@ def q_rendezvous_hash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(moved).cast("long").alias("total_moved"),
     )
     return out.orderBy("node")
+
+
+@q(
+    "merkle_tree_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT c_custkey AS k, c_name || '|' || CAST(round(c_acctbal*100) AS VARCHAR) AS payload
+  FROM customer
+),
+v2 AS (
+  SELECT k, CASE WHEN k % 499 = 3 THEN payload || '*' ELSE payload END AS payload
+  FROM v1 WHERE k % 997 <> 7
+),
+l1 AS (SELECT k // 64 AS chunk,
+              bit_xor(CAST('0x'||substr(md5(CAST(k AS VARCHAR)||':'||payload),1,15) AS BIGINT)) AS fp,
+              CAST(count(*) AS BIGINT) AS n FROM v1 GROUP BY 1),
+l2 AS (SELECT k // 64 AS chunk,
+              bit_xor(CAST('0x'||substr(md5(CAST(k AS VARCHAR)||':'||payload),1,15) AS BIGINT)) AS fp,
+              CAST(count(*) AS BIGINT) AS n FROM v2 GROUP BY 1)
+SELECT CAST(coalesce(a.chunk, b.chunk) AS BIGINT) AS chunk,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_v1,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_v2
+FROM l1 a FULL JOIN l2 b USING (chunk)
+WHERE a.fp IS DISTINCT FROM b.fp OR a.n IS DISTINCT FROM b.n
+ORDER BY chunk
+""",
+)
+def q_merkle_tree_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLICA ANTI-ENTROPY via MERKLE TREE DIFF: two table versions
+    (sparse in-place edits + deletes) are fingerprinted into a 3-level
+    hash tree — 64-key leaf chunks with commutative bit_xor(md5-long)
+    fingerprints (the table_checksum_reconcile idiom: order-free, so
+    each level is one shuffle-free re-agg of the level below), parents
+    of 4. The diff DESCENDS: compare the coarse level first, then
+    semi-join only the divergent parents' children downward — at
+    replica scale this is the O(divergent * log n) network exchange
+    Dynamo/Cassandra repair relies on, instead of shipping every leaf.
+    The oracle compares ALL leaves flat (no tree, no pruning) — the
+    engine's pruned walk must reproduce exactly the same divergent
+    set."""
+    cust = datagen._read(spark, sf_dir, "customer")
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.concat(
+            F.col("c_name"), F.lit("|"),
+            F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        ).alias("payload"),
+    )
+    v2 = v1.filter(F.col("k") % 997 != 7).select(
+        "k",
+        F.when(F.col("k") % 499 == 3, F.concat(F.col("payload"), F.lit("*")))
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+
+    def leaves(v):
+        fp = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("payload"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        return (
+            v.select(F.expr("k div 64").alias("chunk"), fp.alias("h"))
+            .groupBy("chunk")
+            .agg(
+                F.expr("bit_xor(h)").alias("fp"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+
+    def level_up(lv, fan):
+        return lv.groupBy(F.expr(f"chunk div {fan}").alias("chunk")).agg(
+            F.expr("bit_xor(fp)").alias("fp"), F.sum("n").cast("long").alias("n")
+        )
+
+    la, lb = leaves(v1).localCheckpoint(), leaves(v2).localCheckpoint()
+    m1a, m1b = level_up(la, 4), level_up(lb, 4)
+    m2a, m2b = level_up(m1a, 4), level_up(m1b, 4)
+
+    def divergent(a, b):
+        aa = a.select(F.col("chunk"), F.col("fp").alias("fa"), F.col("n").alias("na"))
+        bb = b.select(F.col("chunk"), F.col("fp").alias("fb"), F.col("n").alias("nb"))
+        j = aa.join(bb, "chunk", "full_outer")
+        return j.filter(
+            ~(F.col("fa").eqNullSafe(F.col("fb")))
+            | ~(F.col("na").eqNullSafe(F.col("nb")))
+        )
+
+    d2 = divergent(m2a, m2b).select(F.col("chunk").alias("p2"))
+    k1a = m1a.join(
+        F.broadcast(d2), F.expr("chunk div 4") == F.col("p2"), "left_semi"
+    )
+    k1b = m1b.join(
+        F.broadcast(d2), F.expr("chunk div 4") == F.col("p2"), "left_semi"
+    )
+    d1 = divergent(k1a, k1b).select(F.col("chunk").alias("p1"))
+    k0a = la.join(F.broadcast(d1), F.expr("chunk div 4") == F.col("p1"), "left_semi")
+    k0b = lb.join(F.broadcast(d1), F.expr("chunk div 4") == F.col("p1"), "left_semi")
+    d0 = divergent(k0a, k0b)
+    return d0.select(
+        "chunk",
+        F.coalesce(F.col("na"), F.lit(0)).cast("long").alias("n_v1"),
+        F.coalesce(F.col("nb"), F.lit(0)).cast("long").alias("n_v2"),
+    ).orderBy("chunk")
+
+
+@q(
+    "four_cycle_count",
+    oracle="""
+WITH e0 AS (
+  SELECT DISTINCT least((event_id*3) % 200, (event_id // 3) % 200) AS u,
+                  greatest((event_id*3) % 200, (event_id // 3) % 200) AS v
+  FROM events WHERE (event_id*3) % 200 <> (event_id // 3) % 200
+),
+adj AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+inter AS (
+  SELECT x.a AS id_a, y.a AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a
+  GROUP BY x.a, y.a
+)
+SELECT CAST(sum(common * (common - 1) // 2) AS BIGINT) AS wedge_pairs,
+       CAST(sum(common * (common - 1) // 2) // 2 AS BIGINT) AS c4_count
+FROM inter
+""",
+)
+def q_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-CYCLE (rectangle) COUNTING by the wedge identity: every C4
+    has exactly two diagonal vertex pairs, and a pair (u, v) with c
+    common neighbours closes C(c, 2) four-cycles through them — so
+    C4 = sum C(common, 2) / 2 over co-neighbour pairs, computed from
+    the SAME wedge-counting equi join vertex_jaccard_similarity uses
+    (never materializing cycles). The companion motif gate to
+    triangle_count; spam-farm and near-bipartite link structures show
+    up as C4 inflation long before triangles move."""
+    ev = datagen._read(spark, sf_dir, "events").select("event_id")
+    u = (F.col("event_id") * 3) % 200
+    v = F.expr("(event_id div 3) % 200")
+    e0 = (
+        ev.filter(u != v)
+        .select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .distinct()
+    )
+    adj = e0.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e0.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    x = adj.select(F.col("a").alias("id_a"), F.col("b").alias("nbr"))
+    y = adj.select(F.col("a").alias("id_b"), F.col("b").alias("nbr"))
+    inter = (
+        x.join(y, "nbr")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    return inter.agg(
+        F.sum(F.expr("common * (common - 1) div 2")).cast("long").alias("wedge_pairs"),
+        (F.sum(F.expr("common * (common - 1) div 2")) / 2).cast("long").alias("c4_count"),
+    )
