@@ -20075,3 +20075,296 @@ def q_four_cycle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("common * (common - 1) div 2")).cast("long").alias("wedge_pairs"),
         (F.sum(F.expr("common * (common - 1) div 2")) / 2).cast("long").alias("c4_count"),
     )
+
+
+@q(
+    "ring_orientation_fix",
+    oracle=f"""
+WITH {_PIP_WORLD_SQL},
+bothv AS (
+  -- rings 0..39 keep the CCW build order; 40..79 are exact reversals
+  SELECT poly_id, v, vx, vy FROM verts
+  UNION ALL
+  SELECT poly_id + 40 AS poly_id, CAST(7 - v AS BIGINT) AS v, vx, vy FROM verts
+),
+shoe AS (
+  SELECT a.poly_id,
+         CAST(sum(a.vx * b.vy - b.vx * a.vy) AS BIGINT) AS signed2
+  FROM bothv a JOIN bothv b ON a.poly_id = b.poly_id AND b.v = (a.v + 1) % 8
+  GROUP BY a.poly_id
+),
+canon AS (
+  SELECT s.poly_id, s.signed2,
+         md5(string_agg(CAST(v.vx AS VARCHAR) || ',' || CAST(v.vy AS VARCHAR), ';'
+             ORDER BY CASE WHEN s.signed2 > 0 THEN v.v ELSE 7 - v.v END)) AS canon_md5
+  FROM shoe s JOIN bothv v ON v.poly_id = s.poly_id
+  GROUP BY s.poly_id, s.signed2
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       CAST(CASE WHEN signed2 > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_ccw,
+       CAST(abs(signed2) AS BIGINT) AS area2,
+       canon_md5
+FROM canon ORDER BY poly_id
+""",
+)
+def q_ring_orientation_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RING ORIENTATION NORMALIZATION (the OSM multipolygon rule:
+    outers CCW, holes CW — assembly must detect and FIX winding):
+    signed shoelace area per ring evaluated entirely as a JVM ARRAY
+    FOLD (aggregate over the retained vertex array — no explode, no
+    shuffle for the per-ring math), CW rings reversed, and the
+    canonical form fingerprinted. Rings 40..79 are exact reversals of
+    rings 0..39, so the gate structurally proves fix correctness: both
+    orientations of the same ring emit the SAME canon_md5 and area2
+    with opposite is_ccw."""
+    _, polys = _pip_world(spark, sf_dir)
+    flipped = polys.select(
+        (F.col("poly_id") + 40).alias("poly_id"),
+        F.reverse(F.col("vertices")).alias("vertices"),
+    )
+    allp = polys.unionByName(flipped)
+    signed2 = F.expr(
+        "aggregate(sequence(0, 7), cast(0 as bigint), (acc, i) -> acc"
+        " + element_at(vertices, i + 1).x * element_at(vertices, (i + 1) % 8 + 1).y"
+        " - element_at(vertices, (i + 1) % 8 + 1).x * element_at(vertices, i + 1).y)"
+    )
+    s = allp.withColumn("signed2", signed2)
+    canon = s.withColumn(
+        "cv",
+        F.when(F.col("signed2") > 0, F.col("vertices")).otherwise(
+            F.reverse(F.col("vertices"))
+        ),
+    )
+    md5s = F.md5(
+        F.expr(
+            "array_join(transform(cv, p -> cast(p.x as string) || ',' || cast(p.y as string)), ';')"
+        )
+    )
+    return canon.select(
+        "poly_id",
+        F.when(F.col("signed2") > 0, 1).otherwise(0).cast("long").alias("is_ccw"),
+        F.abs(F.col("signed2")).cast("long").alias("area2"),
+        md5s.alias("canon_md5"),
+    ).orderBy("poly_id")
+
+
+@q(
+    "image_dedup_clusters",
+    oracle="""
+WITH RECURSIVE ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 3),
+cells AS (SELECT unnest(range(8)) AS cx2),
+rows8 AS (SELECT unnest(range(8)) AS cy2),
+g AS (
+  SELECT i.doc_id, (r.cy2 * 8 + c.cx2) AS idx,
+         299 * (((2*c.cx2) * ((3*r.cy2)//2) * (1 + (i.doc_id//8) % 4)
+                 + (2*c.cx2) * (3 + (i.doc_id//8) % 9)
+                 + CASE WHEN 2*c.cx2 < 2 AND (3*r.cy2)//2 < 2 THEN (i.doc_id % 8) * 7 ELSE 0 END) % 256)
+       + 587 * ((((2*c.cx2) + 3*((3*r.cy2)//2)) * (5 + (i.doc_id//8) % 5)
+                 + ((3*r.cy2)//2) * ((3*r.cy2)//2) * (1 + (i.doc_id//8) % 3)) % 256)
+       + 114 * (((2*c.cx2) * (2*c.cx2) * (1 + (i.doc_id//8) % 7)
+                 + ((3*r.cy2)//2) * (4 + (i.doc_id//8) % 11)) % 256) AS luma
+  FROM ids i CROSS JOIN cells c CROSS JOIN rows8 r
+),
+tot AS (SELECT doc_id, sum(luma) AS t FROM g GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id, g.idx, CASE WHEN 64 * g.luma > tot.t THEN 1 ELSE 0 END AS bit
+  FROM g JOIN tot USING (doc_id)
+),
+vp AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM bits a JOIN bits b ON a.idx = b.idx AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+),
+e AS (SELECT ia AS u, ib AS v FROM vp UNION SELECT ib, ia FROM vp),
+r AS (
+  SELECT doc_id AS id, doc_id AS lab FROM ids
+  UNION
+  SELECT e.u AS id, r.lab FROM r JOIN e ON e.v = r.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM r GROUP BY id ORDER BY doc_id
+""",
+)
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END IMAGE DEDUP PIPELINE: real BMP bytes -> aHash
+    (multimodal.ahash_bmp) -> 4-band LSH candidate pairs -> popcount
+    verify (Hamming <= 3) -> large-star/small-star CONNECTED
+    COMPONENTS -> canonical cluster label (min doc) per image: the
+    full near-dup-media curation path a training-data pipeline runs,
+    every stage the scale-shaped variant (banding exact by pigeonhole,
+    CC in O(log n) rounds). The oracle replays the closed-form hash
+    quadratically and closes the transitive hull with a recursive
+    CTE."""
+    from .operators import multimodal as M
+    from .operators.graph import connected_components
+
+    docs = (
+        datagen._read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id")
+        .distinct()
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = [(int(i), M.ahash_bmp(M.build_phash_bmp(int(i)))) for i in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "hash"])
+
+    hashed = docs.mapInPandas(batches, "doc_id long, hash long").localCheckpoint()
+    bands = hashed.select(
+        "doc_id", "hash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned(hash, band * 16)").bitwiseAND(F.lit(0xFFFF)),
+    )
+    a = bands.select(F.col("doc_id").alias("ia"), F.col("hash").alias("ha"), "band", "band_val")
+    b = bands.select(F.col("doc_id").alias("ib"), F.col("hash").alias("hb"), "band", "band_val")
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", "ha", "hb")
+        .distinct()
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+    )
+    nodes = hashed.select(F.col("doc_id").alias("id"))
+    cc = connected_components(nodes, pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("cluster_id").cast("long")
+    ).orderBy("doc_id")
+
+
+@q(
+    "poly_containment_hierarchy",
+    oracle=f"""
+WITH {_PIP_WORLD_SQL},
+sq AS (
+  SELECT l.lvl, p.poly_id AS u, p.ox, p.oy,
+         CAST(l.lvl * 1000 + p.poly_id AS BIGINT) AS ring_id,
+         CASE l.lvl WHEN 1 THEN 8 ELSE 16 END AS lo,
+         CASE l.lvl WHEN 1 THEN 36 ELSE 28 END AS hi
+  FROM polys p, (SELECT unnest([1, 2]) AS lvl) l
+),
+sqverts AS (
+  SELECT ring_id, CAST(v AS BIGINT) AS v,
+    ox + CASE v WHEN 0 THEN lo WHEN 1 THEN hi WHEN 2 THEN hi ELSE lo END AS vx,
+    oy + CASE v WHEN 0 THEN lo WHEN 1 THEN lo WHEN 2 THEN hi ELSE hi END AS vy
+  FROM sq, (SELECT unnest(range(4)) AS v)
+),
+sqedges AS (
+  SELECT a.ring_id, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+  FROM sqverts a JOIN sqverts b ON a.ring_id = b.ring_id AND b.v = (a.v + 1) % 4
+),
+alledges AS (
+  SELECT CAST(poly_id AS BIGINT) AS ring_id, x1, y1, x2, y2 FROM pip_edges
+  UNION ALL SELECT ring_id, x1, y1, x2, y2 FROM sqedges
+),
+probes AS (
+  SELECT CAST(poly_id AS BIGINT) AS ring_id, ox + 1 AS px, oy + 1 AS py FROM polys
+  UNION ALL
+  SELECT ring_id, ox + lo + 1 AS px, oy + lo + 1 AS py FROM sq
+),
+areas AS (
+  SELECT ring_id, CAST(abs(sum(x1 * y2 - x2 * y1)) AS BIGINT) AS area2
+  FROM alledges GROUP BY ring_id
+),
+hits AS (
+  SELECT p.ring_id AS child_id, e.ring_id AS container_id,
+         sum(CASE WHEN ((e.y1 > p.py) <> (e.y2 > p.py))
+                   AND (((e.x1 - p.px) * (e.y2 - e.y1)
+                         + (p.py - e.y1) * (e.x2 - e.x1) > 0) = (e.y2 - e.y1 > 0))
+             THEN 1 ELSE 0 END) AS crossings
+  FROM probes p, alledges e
+  GROUP BY p.ring_id, e.ring_id
+),
+containers AS (
+  SELECT child_id, container_id FROM hits
+  WHERE crossings % 2 = 1 AND child_id <> container_id
+),
+direct AS (
+  SELECT c.child_id,
+         min_by(c.container_id, a.area2) AS parent_id,
+         CAST(count(*) AS BIGINT) AS depth
+  FROM containers c JOIN areas a ON a.ring_id = c.container_id
+  GROUP BY c.child_id
+)
+SELECT r.ring_id, CAST(coalesce(d.parent_id, -1) AS BIGINT) AS parent_id,
+       CAST(coalesce(d.depth, 0) AS BIGINT) AS depth
+FROM (SELECT ring_id FROM areas) r LEFT JOIN direct d ON d.child_id = r.ring_id
+ORDER BY r.ring_id
+""",
+)
+def q_poly_containment_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADMIN-BOUNDARY CONTAINMENT HIERARCHY (country > region > county
+    nesting — the structure the reference's admin_level tags encode):
+    three nested rings per cell; each ring probes one interior point
+    through the SAME cell-blocked point-in-polygon join, containment
+    pairs aggregate to (direct parent = smallest-area container, depth
+    = container count). Correct under the no-partial-overlap invariant
+    admin hierarchies guarantee (a single interior point decides
+    containment), which is the semantic the reference relies on too.
+    Areas come from the JVM array-fold shoelace; the min-area argmin
+    is a min(struct) — no window."""
+    from .operators.point_in_polygon import point_in_polygon_join
+
+    _, polys = _pip_world(spark, sf_dir)
+    u = F.col("poly_id")
+    ox = (u % 8) * 160
+    oy = (u / 8).cast("long") * 160
+
+    def square(level, lo, hi):
+        ring = F.array(
+            *[
+                F.struct(
+                    (ox + F.lit(lx)).alias("x"), (oy + F.lit(ly)).alias("y")
+                )
+                for lx, ly in [(lo, lo), (hi, lo), (hi, hi), (lo, hi)]
+            ]
+        )
+        return polys.select(
+            (F.lit(level * 1000) + u).alias("ring_id"), ring.alias("vertices")
+        )
+
+    l0 = polys.select(F.col("poly_id").cast("long").alias("ring_id"), "vertices")
+    rings = l0.unionByName(square(1, 8, 36)).unionByName(square(2, 16, 28))
+    nverts = F.size("vertices")
+    signed2 = F.expr(
+        "aggregate(sequence(0, size(vertices) - 1), cast(0 as bigint), (acc, i) -> acc"
+        " + element_at(vertices, i + 1).x * element_at(vertices, (i + 1) % size(vertices) + 1).y"
+        " - element_at(vertices, (i + 1) % size(vertices) + 1).x * element_at(vertices, i + 1).y)"
+    )
+    areas = rings.select("ring_id", F.abs(signed2).alias("area2"), nverts.alias("nv"))
+    probes = rings.select(
+        F.col("ring_id").alias("pid"),
+        (F.element_at("vertices", 1).getField("x") + 1).alias("px"),
+        (F.element_at("vertices", 1).getField("y") + 1).alias("py"),
+    )
+    hits = point_in_polygon_join(
+        probes, rings.withColumnRenamed("ring_id", "poly_id"), cell=160
+    )
+    containers = hits.filter(F.col("pid") != F.col("poly_id")).join(
+        areas.withColumnRenamed("ring_id", "poly_id").select("poly_id", "area2"),
+        "poly_id",
+    )
+    direct = containers.groupBy("pid").agg(
+        F.min(F.struct(F.col("area2"), F.col("poly_id"))).alias("top"),
+        F.count(F.lit(1)).cast("long").alias("depth"),
+    ).select(
+        F.col("pid").alias("ring_id"),
+        F.col("top.poly_id").alias("parent_id"),
+        "depth",
+    )
+    return (
+        areas.select("ring_id")
+        .join(direct, "ring_id", "left")
+        .select(
+            "ring_id",
+            F.coalesce(F.col("parent_id"), F.lit(-1)).cast("long").alias("parent_id"),
+            F.coalesce(F.col("depth"), F.lit(0)).cast("long").alias("depth"),
+        )
+        .orderBy("ring_id")
+    )
