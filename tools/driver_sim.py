@@ -68,13 +68,37 @@ def materialize_worlds(spark, sf_dir: str) -> None:
     from osm_admin_boundary_conflation_spark import datagen_osm
 
     tag = os.path.basename(sf_dir.rstrip("/"))
+    # The worlds are deterministic per sf_dir, so a completed copy is
+    # REUSED, never rewritten: concurrent driver_sim runs sharing the
+    # /tmp path must not yank parquet files out from under each
+    # other's in-flight scans. Fresh builds go to a pid-unique tmp dir
+    # and atomically rename into place (first writer wins; a loser
+    # reuses the winner's copy).
+    def _ready(d: str, marker: str) -> bool:
+        return os.path.exists(os.path.join(d, marker))
+
+    def _publish(tmp: str, final: str, marker: str) -> None:
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
+        assert _ready(final, marker), f"world publish failed: {final}"
+
     if not os.environ.get("SPARK_GRAFT_WORLD_DIR"):
         wdir = f"/tmp/sim_world_{tag}"
-        datagen_osm.materialize_osm_world(spark, sf_dir, wdir)
+        if not _ready(wdir, "osm_rels/_SUCCESS"):
+            tmp = f"{wdir}.tmp.{os.getpid()}"
+            datagen_osm.materialize_osm_world(spark, sf_dir, tmp)
+            _publish(tmp, wdir, "osm_rels/_SUCCESS")
         os.environ["SPARK_GRAFT_WORLD_DIR"] = wdir
     if not os.environ.get("SPARK_GRAFT_STRIP_DIR"):
         sdir = f"/tmp/sim_strip_{tag}"
-        datagen_osm.materialize_strip_world(spark, sf_dir, sdir)
+        if not _ready(sdir, "_SUCCESS"):
+            tmp = f"{sdir}.tmp.{os.getpid()}"
+            datagen_osm.materialize_strip_world(spark, sf_dir, tmp)
+            _publish(tmp, sdir, "_SUCCESS")
         os.environ["SPARK_GRAFT_STRIP_DIR"] = sdir
 
 
