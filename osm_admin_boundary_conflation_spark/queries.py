@@ -20368,3 +20368,252 @@ def q_poly_containment_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ring_id")
     )
+
+
+@q(
+    "degree2_contraction",
+    oracle="""
+WITH RECURSIVE nodes AS (SELECT unnest(range(250)) AS v),
+e0 AS (
+  SELECT v AS u, v + 1 AS w FROM nodes WHERE v < 249
+  UNION ALL
+  SELECT j, j + 50 FROM (SELECT unnest([25, 75, 125, 175]) AS j)
+),
+adj AS (SELECT u AS a, w AS b FROM e0 UNION ALL SELECT w, u FROM e0),
+deg AS (SELECT a AS v, count(*) AS d FROM adj GROUP BY a),
+junc AS (SELECT v FROM deg WHERE d <> 2),
+walk AS (
+  SELECT j.v AS start, a.b AS cur, j.v AS prev, 1 AS steps, a.b AS min_int
+  FROM junc j JOIN adj a ON a.a = j.v
+  WHERE a.b NOT IN (SELECT v FROM junc)
+  UNION ALL
+  SELECT w.start, a.b AS cur, w.cur AS prev, w.steps + 1,
+         CASE WHEN a.b NOT IN (SELECT v FROM junc) AND a.b < w.min_int THEN a.b ELSE w.min_int END
+  FROM walk w JOIN adj a ON a.a = w.cur AND a.b <> w.prev
+  WHERE w.cur NOT IN (SELECT v FROM junc)
+),
+chains AS (
+  SELECT least(start, cur) AS ju, greatest(start, cur) AS jv, steps, min_int
+  FROM walk WHERE cur IN (SELECT v FROM junc)
+),
+dedup AS (SELECT DISTINCT ju, jv, steps, min_int FROM chains),
+direct AS (
+  SELECT least(u, w) AS ju, greatest(u, w) AS jv, 1 AS steps
+  FROM e0 WHERE u IN (SELECT v FROM junc) AND w IN (SELECT v FROM junc)
+),
+alle AS (
+  SELECT ju, jv, steps FROM dedup
+  UNION ALL SELECT ju, jv, steps FROM direct
+)
+SELECT CAST(ju AS BIGINT) AS ju, CAST(jv AS BIGINT) AS jv,
+       CAST(count(*) AS BIGINT) AS n_chains,
+       CAST(sum(steps) AS BIGINT) AS total_hops
+FROM alle GROUP BY ju, jv ORDER BY ju, jv
+""",
+)
+def q_degree2_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROAD-NETWORK SIMPLIFICATION by DEGREE-2 CHAIN CONTRACTION (the
+    preprocessing every router runs on OSM ways: collapse runs of
+    pass-through vertices into single weighted edges between
+    junctions): the degree-2 subgraph's CONNECTED COMPONENTS are
+    exactly the chains (operators/graph.py star CC — O(log n)
+    rounds), each chain's two junction-attachment edges give its
+    endpoints, hops = interior + 1; direct junction-junction edges
+    union in. The oracle walks every chain sequentially with a
+    recursive CTE — the engine never walks, it labels. Output is the
+    contracted multigraph aggregated per junction pair."""
+    from .operators.graph import connected_components
+
+    nodes = spark.range(250).select(F.col("id").alias("v"))
+    path = nodes.filter(F.col("v") < 249).select(
+        F.col("v").alias("u"), (F.col("v") + 1).alias("w")
+    )
+    shortcuts = spark.createDataFrame(
+        [(25, 75), (75, 125), (125, 175), (175, 225)], "u long, w long"
+    )
+    e0 = path.unionByName(shortcuts).localCheckpoint()
+    adj = e0.select(F.col("u").alias("a"), F.col("w").alias("b")).unionByName(
+        e0.select(F.col("w").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    junc = deg.filter(F.col("d") != 2).select(F.col("a").alias("v"))
+    is_j = F.broadcast(junc.withColumn("ij", F.lit(1)))
+    # subgraph induced on degree-2 nodes -> CC labels = chains
+    d2 = deg.filter(F.col("d") == 2).select(F.col("a").alias("v"))
+    sub_e = (
+        e0.join(d2.withColumnRenamed("v", "u"), "u", "left_semi")
+        .join(d2.withColumnRenamed("v", "w"), "w", "left_semi")
+        .select(F.col("u").alias("src"), F.col("w").alias("dst"))
+    )
+    # chains are long paths (diameter ~50): star CC converges in
+    # O(log n) rounds where min-label needs diameter rounds
+    cc = connected_components(d2.withColumnRenamed("v", "id"), sub_e, algorithm="star")
+    # attachment edges: junction -- chain member
+    att = (
+        adj.join(is_j, adj["a"] == is_j["v"], "inner")
+        .select(F.col("a").alias("j"), F.col("b").alias("member"))
+        .join(cc.withColumnRenamed("id", "member"), "member")
+    )
+    chains = (
+        att.groupBy("cluster_id")
+        .agg(F.min("j").alias("ju"), F.max("j").alias("jv"))
+        .join(
+            cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("interior")),
+            "cluster_id",
+        )
+        .select("ju", "jv", (F.col("interior") + 1).alias("steps"))
+    )
+    direct = (
+        e0.join(junc.withColumnRenamed("v", "u"), "u", "left_semi")
+        .join(junc.withColumnRenamed("v", "w"), "w", "left_semi")
+        .select(
+            F.least("u", "w").alias("ju"),
+            F.greatest("u", "w").alias("jv"),
+            F.lit(1).alias("steps"),
+        )
+    )
+    alle = chains.unionByName(direct)
+    return (
+        alle.groupBy("ju", "jv")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chains"),
+            F.sum("steps").cast("long").alias("total_hops"),
+        )
+        .orderBy("ju", "jv")
+    )
+
+
+_LIS_MAXN = 12
+
+
+def _lis_oracle_sql() -> str:
+    """Unrolled LIS DP: stage k relaxes lis(i) against all j < i with
+    v_j < v_i; LIS length <= 12 events, so 12 stages reach the
+    fixpoint."""
+    head = f"""
+s AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events
+),
+l0 AS MATERIALIZED (SELECT user_id, i, v, CAST(1 AS BIGINT) AS l FROM s WHERE i <= {_LIS_MAXN})"""
+    stages = [head]
+    prev = "l0"
+    for k in range(1, _LIS_MAXN + 1):
+        stages.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT a.user_id, a.i, a.v,
+         greatest(max(a.l), coalesce(1 + max(CASE WHEN b.i < a.i AND b.v < a.v THEN b.l END), max(a.l))) AS l
+  FROM {prev} a LEFT JOIN {prev} b ON b.user_id = a.user_id
+  GROUP BY a.user_id, a.i, a.v
+)"""
+        )
+        prev = f"l{k}"
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(l) AS BIGINT) AS lis_len
+FROM {prev} GROUP BY user_id ORDER BY user_id"""
+    )
+
+
+@q("lis_per_user", oracle=_lis_oracle_sql())
+def q_lis_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONGEST STRICTLY-INCREASING SUBSEQUENCE per user series (the
+    sequence-mining primitive behind trend persistence and sortedness
+    scoring): patience-style DP over each user's first 12 events in
+    one Arrow batch; the oracle relaxes the same recurrence as 12
+    unrolled CTE stages (quadratic per user — the engine's DP is
+    O(n log n)-shaped and the series bound keeps the gate exact).
+    Strict inequality: equal values do not extend a run, pinned
+    identically in both engines."""
+    ev = datagen._read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.row_number().over(w).alias("i"),
+    ).filter(F.col("i") <= _LIS_MAXN)
+    g = s.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("i", "v"))).alias("seq")
+    )
+
+    def batches(it):
+        import bisect
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for uid, seq in zip(pdf["user_id"], pdf["seq"]):
+                vals = [int(x["v"]) for x in seq]
+                tails = []
+                for v in vals:
+                    k = bisect.bisect_left(tails, v)
+                    if k == len(tails):
+                        tails.append(v)
+                    else:
+                        tails[k] = v
+                rows.append((int(uid), len(vals), len(tails)))
+            yield pd.DataFrame(rows, columns=["user_id", "n_events", "lis_len"])
+
+    return g.mapInPandas(
+        batches, "user_id long, n_events long, lis_len long"
+    ).orderBy("user_id")
+
+
+@q(
+    "shortest_unique_prefix",
+    oracle="""
+WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+pref AS (
+  SELECT id, name, substr(name, 1, CAST(k AS INT)) AS p, k
+  FROM n, (SELECT unnest(range(1, 19)) AS k)
+  WHERE k <= length(name)
+),
+cnt AS (SELECT p, count(*) AS c FROM pref GROUP BY p),
+uniq AS (
+  SELECT pref.id, min(pref.k) AS plen
+  FROM pref JOIN cnt ON cnt.p = pref.p
+  WHERE cnt.c = 1
+  GROUP BY pref.id
+)
+SELECT CAST(n.id AS BIGINT) AS id,
+       CAST(coalesce(u.plen, -1) AS BIGINT) AS prefix_len
+FROM n LEFT JOIN uniq u ON u.id = n.id
+ORDER BY id
+""",
+)
+def q_shortest_unique_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHORTEST UNIQUE PREFIX per name (the autocomplete / minimal-key
+    index primitive): every name explodes its prefixes (JVM substring
+    expressions), a count per prefix finds the globally unique ones,
+    and per name the minimum unique length wins; names that are a
+    prefix of another name get -1. Two shuffles total (prefix count +
+    per-name min) — the trie the textbook builds never materializes,
+    its NODE COUNTS do."""
+    cust = datagen._read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    pref = cust.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.length("name"))).alias("k"),
+        F.col("name"),
+    ).select("id", "k", F.expr("substring(name, 1, k)").alias("p"))
+    cnt = pref.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    uniq = (
+        pref.join(cnt, "p")
+        .filter(F.col("c") == 1)
+        .groupBy("id")
+        .agg(F.min("k").alias("plen"))
+    )
+    return (
+        cust.join(uniq, "id", "left")
+        .select(
+            "id", F.coalesce(F.col("plen"), F.lit(-1)).cast("long").alias("prefix_len")
+        )
+        .orderBy("id")
+    )
