@@ -20617,3 +20617,241 @@ def q_shortest_unique_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@q(
+    "ivm_with_retractions",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT event_id, event_type, CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+),
+final AS (
+  SELECT * FROM ev
+  WHERE event_id % 4 IN (0, 1, 2) AND event_id % 20 <> 0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_ivm_with_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE WITH RETRACTIONS — the
+    counting-IVM step ivm_incremental_aggs cannot do: the chain is
+    append v0, append v1, MERGE-ON-READ DELETE v2 (keys only), append
+    v3, and the maintained (count, sum) per group absorbs the delete
+    as NEGATIVE partials. The retraction payload (group + measures of
+    the deleted rows) is fetched by joining the delete commit's OWN
+    key list against the parent snapshot — O(deleted keys) driver-free
+    work (at 100 TB the join is bloom/minmax-file-skipped point
+    lookups, snapshot_bloom_skipping's path), never a rescan of the
+    maintained state. Final merged state must equal the oracle's
+    closed-form recompute of the surviving rows."""
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .distinct()
+    )
+    loc = tempfile.mkdtemp(prefix="ivm_retract_") + "/tbl"
+    v0 = ST.write_append_snapshot(ev.filter(F.col("event_id") % 4 == 0), loc, commit_ms=0)
+    v1 = ST.write_append_snapshot(ev.filter(F.col("event_id") % 4 == 1), loc, commit_ms=1)
+    del_keys = ev.filter(F.col("event_id") % 20 == 0).select("event_id")
+    v2 = ST.write_delete_snapshot(del_keys, loc, key_col="event_id", commit_ms=2)
+    v3 = ST.write_append_snapshot(ev.filter(F.col("event_id") % 4 == 2), loc, commit_ms=3)
+
+    def partials(df, sign=1):
+        return df.groupBy("event_type").agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias("n_events"),
+            (F.lit(sign) * F.sum("cents")).alias("sum_cents"),
+        )
+
+    state = partials(spark.read.parquet(os.path.join(loc, _dirof(loc, v0))))
+    state = state.unionByName(
+        partials(spark.read.parquet(os.path.join(loc, _dirof(loc, v1))))
+    )
+    # retraction: the delete commit's key list joined against the
+    # PARENT snapshot supplies the retracted rows' groups and measures
+    dkeys = spark.read.parquet(os.path.join(loc, _dirof(loc, v2)))
+    parent_rows = ST.read_snapshot(spark, loc, version=v2 - 1)
+    retracted = parent_rows.join(dkeys, "event_id", "left_semi")
+    state = state.unionByName(partials(retracted, sign=-1))
+    state = state.unionByName(
+        partials(spark.read.parquet(os.path.join(loc, _dirof(loc, v3))))
+    )
+    merged = state.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+    )
+    return merged.orderBy("event_type")
+
+
+def _dirof(loc: str, version: int) -> str:
+    """data_dir of a committed version (manifest lookup)."""
+    import json
+
+    from .sources import snapshot_table as ST
+
+    with open(ST._manifest_path(loc, version)) as f:
+        return json.load(f)["data_dir"]
+
+
+@q(
+    "stream_phash_dedup",
+    oracle="""
+WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 3),
+cells AS (SELECT unnest(range(8)) AS cx2),
+rows8 AS (SELECT unnest(range(8)) AS cy2),
+g AS (
+  SELECT i.doc_id, (r.cy2 * 8 + c.cx2) AS idx,
+         299 * (((2*c.cx2) * ((3*r.cy2)//2) * (1 + (i.doc_id//8) % 4)
+                 + (2*c.cx2) * (3 + (i.doc_id//8) % 9)
+                 + CASE WHEN 2*c.cx2 < 2 AND (3*r.cy2)//2 < 2 THEN (i.doc_id % 8) * 7 ELSE 0 END) % 256)
+       + 587 * ((((2*c.cx2) + 3*((3*r.cy2)//2)) * (5 + (i.doc_id//8) % 5)
+                 + ((3*r.cy2)//2) * ((3*r.cy2)//2) * (1 + (i.doc_id//8) % 3)) % 256)
+       + 114 * (((2*c.cx2) * (2*c.cx2) * (1 + (i.doc_id//8) % 7)
+                 + ((3*r.cy2)//2) * (4 + (i.doc_id//8) % 11)) % 256) AS luma
+  FROM ids i CROSS JOIN cells c CROSS JOIN rows8 r
+),
+tot AS (SELECT doc_id, sum(luma) AS t FROM g GROUP BY doc_id),
+bits AS (
+  SELECT g.doc_id, g.idx, CASE WHEN 64 * g.luma > tot.t THEN 1 ELSE 0 END AS bit
+  FROM g JOIN tot USING (doc_id)
+),
+b1 AS (SELECT doc_id FROM ids WHERE doc_id % 8 = 3),
+b2 AS (SELECT doc_id FROM ids WHERE doc_id % 8 = 7),
+suppressed AS (
+  SELECT DISTINCT x2.doc_id
+  FROM b2 x2 JOIN bits ba ON ba.doc_id = x2.doc_id
+  JOIN bits bb ON bb.idx = ba.idx
+  JOIN b1 x1 ON x1.doc_id = bb.doc_id
+  GROUP BY x2.doc_id, x1.doc_id
+  HAVING sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 3
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM b1
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM b2
+WHERE doc_id NOT IN (SELECT doc_id FROM suppressed)
+ORDER BY doc_id
+""",
+)
+def q_stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING NEAR-DUP IMAGE SUPPRESSION (streaming/stream_phash):
+    batch 1 = images with doc_id % 8 = 3, batch 2 = their same-base
+    siblings (% 8 = 7 — planted near-dups that MUST be suppressed by
+    banding state carried across the batch boundary) plus whatever is
+    genuinely novel. One file per trigger; per batch the aHash bands
+    join the persisted emitted-state table (band-bucketed, never
+    all-pairs), popcount verifies Hamming <= 3. The oracle replays the
+    same visibility rule in closed form: batch 1 fully emitted, batch
+    2 minus near-dups-of-batch-1."""
+    import os
+    import tempfile
+
+    from .streaming.stream_phash import stream_phash_dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select("doc_id")
+        .distinct()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_phash_")
+    in_dir = os.path.join(tmp, "in")
+    docs.filter(F.col("doc_id") % 8 == 3).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    docs.filter(F.col("doc_id") % 8 == 7).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    out_dir = os.path.join(tmp, "out")
+    stream_phash_dedup(
+        spark, in_dir, out_dir, os.path.join(tmp, "ck"), os.path.join(tmp, "state")
+    )
+    return spark.read.parquet(out_dir).select("doc_id").orderBy("doc_id")
+
+
+@q(
+    "overlap_weighted_join",
+    oracle="""
+WITH a AS (
+  SELECT event_id AS aid, (event_id * 13) % 5000 AS s,
+         (event_id * 13) % 5000 + event_id % 50 + 5 AS e
+  FROM events WHERE event_id % 2 = 0
+),
+b AS (
+  SELECT event_id AS bid, (event_id * 29) % 5000 AS s,
+         (event_id * 29) % 5000 + event_id % 40 + 5 AS e
+  FROM events WHERE event_id % 2 = 1
+),
+ov AS (
+  SELECT a.aid, b.bid,
+         least(a.e, b.e) - greatest(a.s, b.s) AS w
+  FROM a JOIN b ON a.s < b.e AND b.s < a.e
+)
+SELECT CAST(aid AS BIGINT) AS aid,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(w) AS BIGINT) AS total_overlap,
+       CAST(max(w) AS BIGINT) AS max_overlap
+FROM ov GROUP BY aid ORDER BY aid
+""",
+)
+def q_overlap_weighted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAP-WEIGHTED INTERVAL JOIN (temporal attribution: how much
+    of each session overlapped each campaign window): candidates come
+    from the BUCKETED range join — each interval keys to the fixed
+    buckets it spans, pairs meet on the bucket key and deduplicate at
+    the REFERENCE BUCKET (the bucket of the overlap's left edge, so
+    every pair is emitted exactly once without dropDuplicates) — and
+    the weight is the exact integer overlap length least(e)-greatest(s).
+    The oracle runs the quadratic inequality join. Interval lengths
+    are bounded (<= 55) so the per-interval bucket explode is O(1):
+    the 10^12-row shape."""
+    ev = datagen._read(spark, sf_dir, "events").select("event_id")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("aid"),
+        ((F.col("event_id") * 13) % 5000).alias("as_"),
+        ((F.col("event_id") * 13) % 5000 + F.col("event_id") % 50 + 5).alias("ae"),
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.col("event_id").alias("bid"),
+        ((F.col("event_id") * 29) % 5000).alias("bs"),
+        ((F.col("event_id") * 29) % 5000 + F.col("event_id") % 40 + 5).alias("be"),
+    )
+    W = 64
+    ax = a.select(
+        "aid", "as_", "ae",
+        F.explode(
+            F.sequence(F.expr(f"as_ div {W}"), F.expr(f"(ae - 1) div {W}"))
+        ).alias("bk"),
+    )
+    bx = b.select(
+        "bid", "bs", "be",
+        F.explode(
+            F.sequence(F.expr(f"bs div {W}"), F.expr(f"(be - 1) div {W}"))
+        ).alias("bk"),
+    )
+    cand = ax.join(bx, "bk").filter(
+        (F.col("as_") < F.col("be")) & (F.col("bs") < F.col("ae"))
+    )
+    # reference-bucket dedup: count the pair only in the bucket that
+    # contains the overlap's left edge
+    ref = F.expr(f"greatest(as_, bs) div {W}")
+    pairs = cand.filter(F.col("bk") == ref).select(
+        "aid", "bid",
+        (F.least("ae", "be") - F.greatest("as_", "bs")).alias("w"),
+    )
+    return (
+        pairs.groupBy("aid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+            F.sum("w").cast("long").alias("total_overlap"),
+            F.max("w").cast("long").alias("max_overlap"),
+        )
+        .orderBy("aid")
+    )
