@@ -20855,3 +20855,147 @@ def q_overlap_weighted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("aid")
     )
+
+
+@q(
+    "tile_simplify_pyramid",
+    oracle=f"""
+WITH {_PIP_WORLD_SQL},
+zoom AS (SELECT unnest([2, 4, 6]) AS z),
+qv AS (
+  SELECT poly_id, z, v,
+         (vx // (1 << (8 - z))) * (1 << (8 - z)) AS qx,
+         (vy // (1 << (8 - z))) * (1 << (8 - z)) AS qy
+  FROM verts CROSS JOIN zoom
+),
+keep AS (
+  SELECT *, lag(qx) OVER w AS px, lag(qy) OVER w AS py
+  FROM qv WINDOW w AS (PARTITION BY poly_id, z ORDER BY v)
+),
+kept AS (
+  SELECT poly_id, z, v, qx, qy FROM keep
+  WHERE px IS NULL OR qx <> px OR qy <> py
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(z AS BIGINT) AS z,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       md5(string_agg(CAST(qx AS VARCHAR) || ',' || CAST(qy AS VARCHAR), ';' ORDER BY v)) AS geom_md5
+FROM kept GROUP BY poly_id, z ORDER BY poly_id, z
+""",
+)
+def q_tile_simplify_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR-TILE SIMPLIFICATION PYRAMID (the per-zoom geometry
+    reduction MVT renderers apply): each ring is quantized to the zoom
+    level's grid (snap to 2^(8-z) units) and consecutive coincident
+    vertices collapse — ENTIRELY as JVM array expressions (transform +
+    index-aware filter on the retained vertex array; the geometry
+    never explodes to rows, so a way is one record at every zoom and
+    the per-zoom fan-out is array-cheap). Output pins the kept-vertex
+    count and the exact simplified-geometry fingerprint per (ring,
+    zoom)."""
+    _, polys = _pip_world(spark, sf_dir)
+    zooms = spark.range(3).select((F.col("id") * 2 + 2).alias("z"))
+    pz = polys.crossJoin(F.broadcast(zooms))
+    q = F.expr(
+        "transform(vertices, p -> struct("
+        "(p.x div (1 << (8 - z))) * (1 << (8 - z)) as qx, "
+        "(p.y div (1 << (8 - z))) * (1 << (8 - z)) as qy))"
+    )
+    pq = pz.withColumn("q", q)
+    kept = F.expr(
+        "filter(q, (p, i) -> i = 0 OR NOT (p.qx = element_at(q, i).qx"
+        " AND p.qy = element_at(q, i).qy))"
+    )
+    k = pq.withColumn("kept", kept)
+    md5s = F.md5(
+        F.expr(
+            "array_join(transform(kept, p -> cast(p.qx as string) || ',' || cast(p.qy as string)), ';')"
+        )
+    )
+    return k.select(
+        "poly_id",
+        F.col("z").cast("long"),
+        F.size("kept").cast("long").alias("n_kept"),
+        md5s.alias("geom_md5"),
+    ).orderBy("poly_id", "z")
+
+
+@q(
+    "snapshot_compact_folds_deletes",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT event_id, event_type FROM events
+),
+final AS (
+  SELECT * FROM ev WHERE event_id % 2 = 0 AND event_id % 14 <> 0
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       CAST(1 AS BIGINT) AS n_data_dirs_after,
+       CAST(3 AS BIGINT) AS n_data_dirs_before
+FROM final GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_snapshot_compact_folds_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION FOLDS A MERGE-ON-READ DELETE CHAIN: after append +
+    append + MoR delete, every read pays the anti-join against the
+    delete keys; `write_snapshot(read_snapshot(...))` rewrites the
+    survivors into ONE data snapshot, and the gate PINS the structural
+    outcome — the pre-compaction read resolves 3 data dirs (2 appends
+    + 1 delete-key list) while the compacted version resolves exactly
+    1, with row-for-row identical content (the oracle's closed-form
+    survivors). This is the maintenance operation that keeps MoR read
+    amplification bounded at 10^12 rows; correctness is the
+    engine-side assertion that both reads agree with the oracle."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type")
+        .distinct()
+    )
+    loc = tempfile.mkdtemp(prefix="compact_mor_") + "/tbl"
+    ST.write_append_snapshot(
+        ev.filter((F.col("event_id") % 2 == 0) & (F.col("event_id") % 4 == 0)),
+        loc, commit_ms=0,
+    )
+    ST.write_append_snapshot(
+        ev.filter((F.col("event_id") % 2 == 0) & (F.col("event_id") % 4 != 0)),
+        loc, commit_ms=1,
+    )
+    vdel = ST.write_delete_snapshot(
+        ev.filter(F.col("event_id") % 14 == 0).select("event_id"),
+        loc, key_col="event_id", commit_ms=2,
+    )
+    # structural pre-count: the MoR read at vdel resolves 3 data dirs
+    import json as _json
+
+    def n_dirs(version):
+        seen, v = set(), version
+        while v is not None:
+            with open(ST._manifest_path(loc, v)) as f:
+                m = _json.load(f)
+            if m.get("data_dir"):
+                seen.add(m["data_dir"])
+            v = m.get("parent")
+        return len(seen)
+
+    before = n_dirs(vdel)
+    vc = ST.write_snapshot(ST.read_snapshot(spark, loc, version=vdel), loc, commit_ms=3)
+    compacted = ST.read_snapshot(spark, loc, version=vc)
+    with open(ST._manifest_path(loc, vc)) as f:
+        mc = _json.load(f)
+    after = 1 if mc.get("data_dir") else 0
+    return (
+        compacted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+        .withColumn("n_data_dirs_after", F.lit(after).cast("long"))
+        .withColumn("n_data_dirs_before", F.lit(before).cast("long"))
+        .orderBy("event_type")
+    )

@@ -132,6 +132,7 @@ NESTED_LOOP_SCALAR_OK = {
     "rank_join_topk",  # k x k broadcast grid of the two pruned top-k sides (bounded by construction)
     "raster_slope_stencil",  # 64 x 48 constant grid spine (bounded dim x dim broadcast, same as grid_line_of_sight)
     "rendezvous_hash_assign",  # keys x constant 12-node broadcast (bounded multiplier, consistent_hash sibling)
+    "tile_simplify_pyramid",  # rings x constant 3-zoom broadcast (bounded multiplier)
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
