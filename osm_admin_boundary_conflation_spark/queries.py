@@ -20999,3 +20999,74 @@ def q_snapshot_compact_folds_deletes(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("n_data_dirs_before", F.lit(before).cast("long"))
         .orderBy("event_type")
     )
+
+
+@q(
+    "snapshot_multi_table_txn",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT event_id, event_type FROM events WHERE event_id % 3 = 0
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY event_type
+)
+SELECT event_type, n AS fact_rows, n AS agg_rows,
+       CAST(1 AS BIGINT) AS torn_detected, CAST(1 AS BIGINT) AS recovered_publishes
+FROM agg ORDER BY event_type
+""",
+)
+def q_snapshot_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE ATOMIC TRANSACTION with crash recovery
+    (snapshot_table.txn_commit/txn_recover): a fact table and its
+    derived per-type aggregate are staged together, an intent file is
+    the commit point, and the gate INJECTS A CRASH after the fact
+    table publishes but before the aggregate does — the torn window
+    every two-table pipeline has. Recovery replays the intent
+    (idempotently: published_from detection + the publish claim make
+    double-publish impossible) and the gate pins (a) the torn state
+    was real — fact visible, aggregate absent, (b) exactly one publish
+    was replayed, (c) after recovery BOTH tables are visible and
+    mutually CONSISTENT: the aggregate read from table B equals the
+    group-by of the fact rows read from table A, matching the oracle's
+    closed form."""
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type")
+        .distinct()
+        .filter(F.col("event_id") % 3 == 0)
+    )
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tmp = tempfile.mkdtemp(prefix="txn_")
+    loc_a, loc_b = os.path.join(tmp, "fact"), os.path.join(tmp, "agg")
+    # staging needs the table dirs to exist (stage is the first write)
+    os.makedirs(os.path.join(loc_a, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(loc_b, "metadata"), exist_ok=True)
+    ST.write_staged_snapshot(ev, loc_a, token="txn1-fact", commit_ms=0)
+    ST.write_staged_snapshot(agg, loc_b, token="txn1-agg", commit_ms=0)
+    txn_dir = os.path.join(tmp, "txns")
+    # crash after publishing only the fact table
+    ST.txn_commit(
+        [(loc_a, "txn1-fact"), (loc_b, "txn1-agg")],
+        txn_dir, "txn1", commit_ms=1, crash_after=1,
+    )
+    torn = int(
+        len(ST._versions(loc_a)) == 1 and len(ST._versions(loc_b)) == 0
+    )
+    recovered = ST.txn_recover(txn_dir, commit_ms=2)["txn1"]
+    fact = ST.read_snapshot(spark, loc_a).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("fact_rows")
+    )
+    agg_read = ST.read_snapshot(spark, loc_b).select(
+        "event_type", F.col("n").cast("long").alias("agg_rows")
+    )
+    return (
+        fact.join(agg_read, "event_type")
+        .withColumn("torn_detected", F.lit(torn).cast("long"))
+        .withColumn("recovered_publishes", F.lit(recovered).cast("long"))
+        .orderBy("event_type")
+    )

@@ -1379,3 +1379,100 @@ def write_snapshot_checked(
         if problems:
             raise ConstraintViolation("; ".join(problems))
     return write_snapshot(df, location, commit_ms=commit_ms)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic transactions (round 7).
+#
+# The cross-table guarantee real lakehouse pipelines need (fact +
+# derived aggregate, data + index, table + DLQ) that single-table
+# commits cannot give: either EVERY table's staged snapshot becomes
+# visible or none does. Protocol (single-host rename-atomic; the
+# object-store variant swaps each rename for a conditional PUT, same
+# structure):
+#
+# 1. stage every table's snapshot (write_staged_snapshot — invisible).
+# 2. write txn_dir/<txn_id>.intent listing (location, token) pairs via
+#    tmp + atomic rename. THE COMMIT POINT: once the intent exists the
+#    transaction MUST eventually complete; before it, nothing is
+#    visible and vacuum reclaims the stages.
+# 3. publish each staged snapshot (publish_staged's atomic claim makes
+#    each step idempotent-safe against racers).
+# 4. rename the intent to <txn_id>.done.
+#
+# A crash between 3 and 4 leaves a recoverable torn state: recovery
+# replays the intent, re-publishing every token not yet published —
+# "published" is decided by scanning the table's manifests for
+# published_from == token, so a completed-but-uncleaned publish is
+# never double-applied (publish_staged would also refuse: the staged
+# marker is gone).
+# ---------------------------------------------------------------------------
+
+
+def _token_published(location: str, token: str) -> int | None:
+    """Version that published `token`, or None."""
+    for v in _versions(location):
+        with open(_manifest_path(location, v)) as f:
+            m = json.load(f)
+        if m.get("published_from") == token:
+            return v
+    return None
+
+
+def txn_commit(
+    staged: list[tuple[str, str]],
+    txn_dir: str,
+    txn_id: str,
+    commit_ms: int | None = None,
+    crash_after: int | None = None,
+) -> list[int]:
+    """Atomically publish the staged (location, token) pairs. Returns
+    the published versions. `crash_after=k` stops after k publishes
+    WITHOUT writing the .done marker — the fault-injection hook the
+    gate uses to exercise recovery (a real crash at that point leaves
+    the identical on-disk state)."""
+    os.makedirs(txn_dir, exist_ok=True)
+    intent = {
+        "txn_id": txn_id,
+        "tables": [{"location": loc, "token": tok} for loc, tok in staged],
+    }
+    ipath = os.path.join(txn_dir, f"{txn_id}.intent")
+    tmp = f"{ipath}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(intent, f)
+    os.rename(tmp, ipath)  # commit point
+    versions: list[int] = []
+    for k, (loc, tok) in enumerate(staged):
+        if crash_after is not None and k >= crash_after:
+            return versions  # simulated crash: intent stays, no .done
+        versions.append(publish_staged(loc, tok, commit_ms=commit_ms))
+    os.rename(ipath, os.path.join(txn_dir, f"{txn_id}.done"))
+    return versions
+
+
+def txn_recover(txn_dir: str, commit_ms: int | None = None) -> dict[str, int]:
+    """Complete every torn transaction: for each .intent, publish the
+    tokens that have no published version yet, then mark .done.
+    Idempotent — running it twice (or concurrently with a resumed
+    committer) cannot double-publish because publish_staged's claim is
+    atomic and already-published tokens are detected via
+    published_from. Returns {txn_id: n_republished}."""
+    out: dict[str, int] = {}
+    if not os.path.isdir(txn_dir):
+        return out
+    for fname in sorted(os.listdir(txn_dir)):
+        if not fname.endswith(".intent"):
+            continue
+        with open(os.path.join(txn_dir, fname)) as f:
+            intent = json.load(f)
+        n = 0
+        for t in intent["tables"]:
+            if _token_published(t["location"], t["token"]) is None:
+                publish_staged(t["location"], t["token"], commit_ms=commit_ms)
+                n += 1
+        os.rename(
+            os.path.join(txn_dir, fname),
+            os.path.join(txn_dir, fname[: -len(".intent")] + ".done"),
+        )
+        out[intent["txn_id"]] = n
+    return out
