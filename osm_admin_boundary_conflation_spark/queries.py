@@ -21070,3 +21070,148 @@ def q_snapshot_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recovered_publishes", F.lit(recovered).cast("long"))
         .orderBy("event_type")
     )
+
+
+@q(
+    "ransac_line_fit",
+    oracle="""
+WITH pts AS (
+  SELECT doc_id AS id, doc_id AS x,
+         CASE WHEN CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 5 = 0
+              THEN (doc_id * 7919) % 3000
+              ELSE 3 * doc_id + 7 + CAST('0x'||substr(md5('n'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 5 - 2
+         END AS y
+  FROM (SELECT DISTINCT doc_id FROM documents)
+),
+cand AS (
+  SELECT j, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM (SELECT unnest(range(16)) AS j)
+  JOIN pts a ON a.id = 3 * j
+  JOIN pts b ON b.id = 3 * j + 1
+),
+scored AS (
+  SELECT c.j, c.x1, c.y1, c.x2, c.y2,
+         CAST(sum(CASE WHEN
+           ((c.y2-c.y1)*(p.x-c.x1) - (c.x2-c.x1)*(p.y-c.y1))
+           * ((c.y2-c.y1)*(p.x-c.x1) - (c.x2-c.x1)*(p.y-c.y1))
+           <= 9 * ((c.x2-c.x1)*(c.x2-c.x1) + (c.y2-c.y1)*(c.y2-c.y1))
+         THEN 1 ELSE 0 END) AS BIGINT) AS inliers
+  FROM cand c CROSS JOIN pts p GROUP BY c.j, c.x1, c.y1, c.x2, c.y2
+)
+SELECT CAST(j AS BIGINT) AS best_j, CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+       CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2, inliers
+FROM scored ORDER BY inliers DESC, j LIMIT 1
+""",
+)
+def q_ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST LINE FITTING BY DETERMINISTIC RANSAC (GPS-track /
+    boundary-edge estimation under 20% planted outliers): 16
+    deterministic candidate pairs (ids 3j, 3j+1 — both engines pick
+    identical hypotheses, no RNG) are scored against every point with
+    the EXACT integer inlier test dist^2 <= eps^2 cross-multiplied to
+    cross(p)^2 <= eps^2 * |d|^2 — no sqrt, no float, no epsilon
+    ambiguity. The score pass is candidates-broadcast x points (16
+    constant hypotheses — the classic RANSAC shape where data is big
+    and hypotheses are few); argmax by (inliers DESC, j) is a
+    TakeOrdered."""
+    docs = datagen._read(spark, sf_dir, "documents").select("doc_id").distinct()
+    noise = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("n"), F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 5 - 2
+    )
+    is_out = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 5 == 0
+    )
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").alias("x"),
+        F.when(is_out, (F.col("doc_id") * 7919) % 3000)
+        .otherwise(3 * F.col("doc_id") + 7 + noise)
+        .alias("y"),
+    )
+    js = spark.range(16).select(F.col("id").alias("j"))
+    a = pts.select((F.col("id") / 3).cast("long").alias("j"), F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("id").alias("ida"))
+    b = pts.select(((F.col("id") - 1) / 3).cast("long").alias("j"), F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("id").alias("idb"))
+    cand = (
+        js.join(a.filter(F.col("ida") % 3 == 0), "j")
+        .join(b.filter(F.col("idb") % 3 == 1), "j")
+        .select("j", "x1", "y1", "x2", "y2")
+    )
+    cr = (F.col("y2") - F.col("y1")) * (F.col("x") - F.col("x1")) - (
+        F.col("x2") - F.col("x1")
+    ) * (F.col("y") - F.col("y1"))
+    len2 = (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1")) + (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("y2") - F.col("y1"))
+    scored = (
+        pts.crossJoin(F.broadcast(cand))
+        .withColumn("inl", (cr * cr <= 9 * len2).cast("long"))
+        .groupBy("j", "x1", "y1", "x2", "y2")
+        .agg(F.sum("inl").cast("long").alias("inliers"))
+    )
+    return scored.select(
+        F.col("j").alias("best_j"), "x1", "y1", "x2", "y2", "inliers"
+    ).orderBy(F.col("inliers").desc(), "best_j").limit(1)
+
+
+@q(
+    "yannakakis_reduction",
+    oracle="""
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+l AS (SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_quantity > 45),
+o_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+o_red AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM c)
+    AND o_orderkey IN (SELECT l_orderkey FROM l)
+),
+res AS (
+  SELECT o.o_orderkey, sum(l.cents) AS rev
+  FROM o_red o JOIN l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey
+)
+SELECT (SELECT n FROM o_total) AS n_orders_total,
+       CAST((SELECT count(*) FROM o_red) AS BIGINT) AS n_orders_reduced,
+       CAST(count(*) AS BIGINT) AS n_result_orders,
+       CAST(sum(rev) AS BIGINT) AS total_rev_cents
+FROM res
+""",
+)
+def q_yannakakis_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YANNAKAKIS SEMI-JOIN REDUCTION for an acyclic 3-way join
+    (customer - orders - lineitem): before any fat join runs, orders
+    is reduced by SEMI JOINS against both filtered neighbors, so the
+    final join touches only rows that contribute to the output — the
+    classical guarantee (intermediate size <= output size) that
+    protects a 10^12-row join from exploding intermediates where a
+    naive plan would materialize orders x lineitem first. The gate
+    pins the reduction factor (orders before/after) alongside the
+    final aggregate; the oracle states the same query relationally
+    with IN-subqueries."""
+    cust = datagen._read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    li = datagen._read(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    orders = datagen._read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n_total = orders.count()
+    reduced = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_semi")
+        .join(li.select("l_orderkey").distinct(), orders["o_orderkey"] == F.col("l_orderkey"), "left_semi")
+    )
+    reduced = reduced.localCheckpoint()
+    n_red = reduced.count()
+    res = (
+        reduced.join(li, reduced["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    return res.agg(
+        F.lit(n_total).cast("long").alias("n_orders_total"),
+        F.lit(n_red).cast("long").alias("n_orders_reduced"),
+        F.count(F.lit(1)).cast("long").alias("n_result_orders"),
+        F.sum("rev").cast("long").alias("total_rev_cents"),
+    )

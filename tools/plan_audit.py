@@ -133,6 +133,7 @@ NESTED_LOOP_SCALAR_OK = {
     "raster_slope_stencil",  # 64 x 48 constant grid spine (bounded dim x dim broadcast, same as grid_line_of_sight)
     "rendezvous_hash_assign",  # keys x constant 12-node broadcast (bounded multiplier, consistent_hash sibling)
     "tile_simplify_pyramid",  # rings x constant 3-zoom broadcast (bounded multiplier)
+    "ransac_line_fit",  # points x constant 16-hypothesis broadcast (the RANSAC shape)
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
