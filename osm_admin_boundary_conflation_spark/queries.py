@@ -21215,3 +21215,202 @@ def q_yannakakis_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_result_orders"),
         F.sum("rev").cast("long").alias("total_rev_cents"),
     )
+
+
+@q(
+    "column_encoding_roundtrip",
+    oracle="""
+WITH s AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+d AS (
+  SELECT user_id, rn, cents - coalesce(lag(cents) OVER (PARTITION BY user_id ORDER BY rn), 0) AS delta,
+         CASE WHEN event_type = coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY rn), '')
+              THEN 0 ELSE 1 END AS is_run_start
+  FROM s
+),
+z AS (
+  SELECT user_id, rn,
+         CASE WHEN delta >= 0 THEN 2*delta ELSE -2*delta - 1 END AS zz,
+         is_run_start
+  FROM d
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       CAST(sum(CASE WHEN zz < 128 THEN 1 WHEN zz < 16384 THEN 2 WHEN zz < 2097152 THEN 3
+                     WHEN zz < 268435456 THEN 4 ELSE 5 END) AS BIGINT) AS varint_bytes,
+       CAST(sum(is_run_start) AS BIGINT) AS n_runs
+FROM z GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_column_encoding_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMNAR ENCODING KERNELS FROM SCRATCH (the parquet/ORC
+    building blocks): each user's time-ordered cents column is
+    DELTA-encoded, ZIGZAG-mapped, and VARINT-packed to REAL bytes; the
+    event_type column is RLE'd to (value, run_length) pairs — then
+    both are DECODED and the roundtrip asserted inside the Arrow batch
+    (any bit error fails the gate before the oracle is even
+    consulted). Emitted features are the encoded varint byte length
+    and the RLE run count, which the oracle recomputes arithmetically
+    (varint length = magnitude bucket of the zigzag value) without
+    touching bytes — closed-form vs real-codec, the media-gate
+    pattern applied to storage encodings."""
+    ev = datagen._read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    g = s.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("rn", "cents", "event_type"))).alias("seq")
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        def varint(n: int) -> bytes:
+            out = bytearray()
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        rows = []
+        for pdf in it:
+            for uid, seq in zip(pdf["user_id"], pdf["seq"]):
+                cents = [int(x["cents"]) for x in seq]
+                types = [str(x["event_type"]) for x in seq]
+                prev, enc = 0, bytearray()
+                for c in cents:
+                    delta = c - prev
+                    prev = c
+                    zz = 2 * delta if delta >= 0 else -2 * delta - 1
+                    enc += varint(zz)
+                # decode + assert roundtrip
+                dec, acc, shift, cur = [], 0, 0, 0
+                for byte in enc:
+                    cur |= (byte & 0x7F) << shift
+                    if byte & 0x80:
+                        shift += 7
+                    else:
+                        delta = (cur >> 1) if cur % 2 == 0 else -((cur + 1) >> 1)
+                        acc += delta
+                        dec.append(acc)
+                        cur, shift = 0, 0
+                assert dec == cents, "varint/delta roundtrip failed"
+                runs = []
+                for t in types:
+                    if runs and runs[-1][0] == t:
+                        runs[-1][1] += 1
+                    else:
+                        runs.append([t, 1])
+                rebuilt = [t for t, n in runs for _ in range(n)]
+                assert rebuilt == types, "RLE roundtrip failed"
+                rows.append((int(uid), len(cents), len(enc), len(runs)))
+            yield pd.DataFrame(
+                rows, columns=["user_id", "n_vals", "varint_bytes", "n_runs"]
+            )
+            rows = []
+
+    return g.mapInPandas(
+        batches, "user_id long, n_vals long, varint_bytes long, n_runs long"
+    ).orderBy("user_id")
+
+
+@q(
+    "segment_supercover_cells",
+    oracle="""
+WITH d AS (SELECT DISTINCT doc_id AS i FROM documents),
+seg AS (
+  SELECT i,
+    2*((i*7) % 997) + 1 AS px, 2*((i*13) % 997) + 1 AS py,
+    2*((i*7) % 997 + ((i*5) % 41 - 20)) + 1 AS qx,
+    2*((i*13) % 997 + ((i*11) % 41 - 20)) + 1 AS qy
+  FROM d
+),
+cand AS (
+  SELECT s.i, s.px, s.py, s.qx, s.qy, cx.cx, cy.cy
+  FROM seg s,
+       LATERAL (SELECT unnest(range(least(s.px, s.qx) // 64, greatest(s.px, s.qx) // 64 + 1)) AS cx) cx,
+       LATERAL (SELECT unnest(range(least(s.py, s.qy) // 64, greatest(s.py, s.qy) // 64 + 1)) AS cy) cy
+),
+hit AS (
+  SELECT i, cx, cy FROM (
+    SELECT *,
+      (qx-px)*(64*cy - py)     - (qy-py)*(64*cx - px)      AS c1,
+      (qx-px)*(64*cy - py)     - (qy-py)*(64*cx + 64 - px) AS c2,
+      (qx-px)*(64*cy + 64 - py) - (qy-py)*(64*cx - px)      AS c3,
+      (qx-px)*(64*cy + 64 - py) - (qy-py)*(64*cx + 64 - px) AS c4
+    FROM cand
+  )
+  WHERE least(c1, c2, c3, c4) <= 0 AND greatest(c1, c2, c3, c4) >= 0
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(cx * 1000 + cy) AS BIGINT) AS cell_sum
+FROM hit GROUP BY i ORDER BY i
+""",
+)
+def q_segment_supercover_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT SUPERCOVER (every grid cell a way segment touches — the
+    way-to-tile assignment primitive rasterizing road networks): per
+    segment the bbox cells explode (bounded: segment length / cell),
+    and the EXACT closed-square intersection test keeps a cell iff the
+    segment's supporting line straddles the square (min/max of the 4
+    corner cross products spans 0) — within-bbox that is exactly
+    'segment touches cell', corners and tangencies resolved by the
+    identical <=/>= convention in both engines. Doubled-plus-one
+    coordinates put endpoints strictly inside cells, so only genuine
+    crossings exercise the boundary arithmetic. All int64."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("i")
+    ).distinct()
+    seg = d.select(
+        "i",
+        (2 * ((F.col("i") * 7) % 997) + 1).alias("px"),
+        (2 * ((F.col("i") * 13) % 997) + 1).alias("py"),
+        (2 * ((F.col("i") * 7) % 997 + ((F.col("i") * 5) % 41 - 20)) + 1).alias("qx"),
+        (2 * ((F.col("i") * 13) % 997 + ((F.col("i") * 11) % 41 - 20)) + 1).alias("qy"),
+    )
+    cand = seg.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr("least(px, qx) div 64"), F.expr("greatest(px, qx) div 64")
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr("least(py, qy) div 64"), F.expr("greatest(py, qy) div 64")
+            )
+        ).alias("cy"),
+    )
+    dx, dy = F.col("qx") - F.col("px"), F.col("qy") - F.col("py")
+
+    def cross(corner_x, corner_y):
+        return dx * (corner_y - F.col("py")) - dy * (corner_x - F.col("px"))
+
+    c1 = cross(64 * F.col("cx"), 64 * F.col("cy"))
+    c2 = cross(64 * F.col("cx") + 64, 64 * F.col("cy"))
+    c3 = cross(64 * F.col("cx"), 64 * F.col("cy") + 64)
+    c4 = cross(64 * F.col("cx") + 64, 64 * F.col("cy") + 64)
+    hit = cand.withColumn("lo", F.least(c1, c2, c3, c4)).withColumn(
+        "hi", F.greatest(c1, c2, c3, c4)
+    ).filter((F.col("lo") <= 0) & (F.col("hi") >= 0))
+    return (
+        hit.groupBy("i")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(F.col("cx") * 1000 + F.col("cy")).cast("long").alias("cell_sum"),
+        )
+        .orderBy("i")
+    )
