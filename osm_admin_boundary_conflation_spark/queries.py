@@ -21414,3 +21414,61 @@ def q_segment_supercover_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i")
     )
+
+
+@q(
+    "snapshot_rename_column",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT event_id, event_type, CAST(round(value*100) AS BIGINT) AS amount
+  FROM events
+),
+final AS (SELECT * FROM ev WHERE event_id % 3 IN (0, 1))
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(amount) AS BIGINT) AS sum_amount,
+       CAST(1 AS BIGINT) AS old_schema_has_val,
+       CAST(1 AS BIGINT) AS new_schema_has_amount
+FROM final GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_snapshot_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY COLUMN RENAME (snapshot_table.rename_columns —
+    the field-mapping indirection that lets real table formats rename
+    without rewriting a byte): batch 1 commits under column `val`, a
+    RENAME COMMIT maps val -> amount (O(1), pointer manifest only),
+    batch 2 appends under the NEW name, and the latest read resolves
+    BOTH files to the unified schema — while time travel to the
+    pre-rename version still shows `val` (renames are history like any
+    commit). The gate pins both schema facts structurally plus the
+    unified content against the oracle's closed form."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("amount"))
+        .distinct()
+    )
+    loc = tempfile.mkdtemp(prefix="rename_") + "/tbl"
+    v1 = ST.write_append_snapshot(
+        ev.filter(F.col("event_id") % 3 == 0).withColumnRenamed("amount", "val"),
+        loc, commit_ms=0,
+    )
+    ST.rename_columns(loc, {"val": "amount"}, commit_ms=1)
+    ST.write_append_snapshot(ev.filter(F.col("event_id") % 3 == 1), loc, commit_ms=2)
+    latest = ST.read_snapshot(spark, loc)
+    old = ST.read_snapshot(spark, loc, version=v1)
+    has_val = int("val" in old.columns and "amount" not in old.columns)
+    has_amount = int("amount" in latest.columns and "val" not in latest.columns)
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("amount").cast("long").alias("sum_amount"),
+        )
+        .withColumn("old_schema_has_val", F.lit(has_val).cast("long"))
+        .withColumn("new_schema_has_amount", F.lit(has_amount).cast("long"))
+        .orderBy("event_type")
+    )

@@ -365,6 +365,19 @@ def read_snapshot(
         return read_snapshot(
             spark, location, version=manifest["restores"], _depth=_depth + 1
         )
+    if manifest.get("type") == "rename":
+        # metadata-only column rename (the Iceberg field-mapping idea):
+        # no data file is touched; the parent state is read and the
+        # mapping applied, so files written under the OLD names keep
+        # resolving forever and appends after the rename just use the
+        # new names. Time travel to a pre-rename version still shows
+        # the old schema — renames are part of history like any commit.
+        base = read_snapshot(
+            spark, location, version=manifest["parent"], _depth=_depth + 1
+        )
+        for old, new in manifest["mapping"].items():
+            base = base.withColumnRenamed(old, new)
+        return base
     return spark.read.parquet(os.path.join(location, manifest["data_dir"]))
 
 
@@ -1476,3 +1489,32 @@ def txn_recover(txn_dir: str, commit_ms: int | None = None) -> dict[str, int]:
         )
         out[intent["txn_id"]] = n
     return out
+
+
+def rename_columns(
+    location: str, mapping: dict[str, str], commit_ms: int | None = None
+) -> int:
+    """METADATA-ONLY COLUMN RENAME commit: O(1) whatever the table
+    size — a pointer manifest carrying {old: new}; read_snapshot
+    applies it when resolving through the chain, so data written under
+    the old names is never rewritten (the field-id indirection real
+    table formats use, realized here as a rename node in the commit
+    chain). Appends after the rename carry the new names and union
+    cleanly; compaction folds the rename away like any other chain
+    link."""
+    vs = _versions(location)
+    if not vs:
+        raise FileNotFoundError(f"cannot rename columns of empty table {location}")
+
+    def build(version: int, parent: int | None) -> dict:
+        return {
+            "version": version,
+            "parent": parent,
+            "type": "rename",
+            "mapping": dict(mapping),
+            "committed_at_ms": int(time.time() * 1000) if commit_ms is None else commit_ms,
+            "n_rows": None,
+            "data_dir": None,
+        }
+
+    return _commit_manifest(location, build)
