@@ -21472,3 +21472,116 @@ def q_snapshot_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("new_schema_has_amount", F.lit(has_amount).cast("long"))
         .orderBy("event_type")
     )
+
+
+@q(
+    "bitemporal_asof",
+    oracle="""
+WITH obs AS (
+  SELECT event_id % 50 AS key,
+         (event_id * 13) % 1000 AS event_t,
+         (event_id * 7) % 1000 AS proc_t,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id
+  FROM events
+),
+probes AS (
+  SELECT t.t AS qt, p.p AS qp
+  FROM (SELECT unnest([250, 500, 750]) AS t) t
+  CROSS JOIN (SELECT unnest([400, 800]) AS p) p
+),
+ranked AS (
+  SELECT pr.qt, pr.qp, o.key, o.cents,
+         row_number() OVER (
+           PARTITION BY pr.qt, pr.qp, o.key
+           ORDER BY o.event_t DESC, o.proc_t DESC, o.event_id DESC
+         ) AS rn
+  FROM probes pr JOIN obs o ON o.event_t <= pr.qt AND o.proc_t <= pr.qp
+)
+SELECT CAST(qt AS BIGINT) AS qt, CAST(qp AS BIGINT) AS qp,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ranked WHERE rn = 1 GROUP BY qt, qp ORDER BY qt, qp
+""",
+)
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL AS-OF AUDIT (late-arriving corrections: what did we
+    BELIEVE at processing time P about the state at event time T?):
+    observations carry independent event-time and processing-time
+    axes; for each (T, P) probe and key the winner is the latest
+    event_t among rows already PROCESSED by P — the two-dimensional
+    as-of every reprocessing/backfill audit needs, and the reason
+    single-axis SCD2 answers the wrong question after corrections.
+    Probes are a constant 6-cell grid broadcast against the
+    observation set; per-(probe, key) winners come from a bounded
+    window (scd2_asof_enrich's shape, one axis richer). Deterministic
+    total order via the (event_t, proc_t, event_id) tiebreak."""
+    ev = datagen._read(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("event_id") % 50).alias("key"),
+        ((F.col("event_id") * 13) % 1000).alias("event_t"),
+        ((F.col("event_id") * 7) % 1000).alias("proc_t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    probes = spark.createDataFrame(
+        [(t, p) for t in (250, 500, 750) for p in (400, 800)], "qt long, qp long"
+    )
+    j = obs.join(
+        F.broadcast(probes),
+        (F.col("event_t") <= F.col("qt")) & (F.col("proc_t") <= F.col("qp")),
+    )
+    w = Window.partitionBy("qt", "qp", "key").orderBy(
+        F.col("event_t").desc(), F.col("proc_t").desc(), F.col("event_id").desc()
+    )
+    top = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top.groupBy("qt", "qp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("qt", "qp")
+    )
+
+
+@q(
+    "snapshot_pushdown_assert",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT event_id, CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(1 AS BIGINT) AS filter_pushed
+FROM ev WHERE event_id > 600
+""",
+)
+def q_snapshot_pushdown_assert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREDICATE PUSHDOWN SURVIVES THE SNAPSHOT LAYER: a filter over
+    read_snapshot must reach the parquet scan as a PushedFilters entry
+    (the table layer is plain spark.read.parquet underneath, so
+    Catalyst's pushdown applies unchanged — this gate makes that a
+    STRUCTURAL assertion, not a hope, by grepping the executed plan
+    for the pushed GreaterThan). A table layer that broke pushdown
+    would still return correct rows — only the plan check catches the
+    100 TB regression where every scan reads every row group."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .distinct()
+    )
+    loc = tempfile.mkdtemp(prefix="pushdown_") + "/tbl"
+    ST.write_snapshot(ev, loc, commit_ms=0)
+    filtered = ST.read_snapshot(spark, loc).filter(F.col("event_id") > 600)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pushed = int("PushedFilters" in plan and "GreaterThan(event_id,600)" in plan)
+    return filtered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    ).withColumn("filter_pushed", F.lit(pushed).cast("long"))

@@ -134,6 +134,7 @@ NESTED_LOOP_SCALAR_OK = {
     "rendezvous_hash_assign",  # keys x constant 12-node broadcast (bounded multiplier, consistent_hash sibling)
     "tile_simplify_pyramid",  # rings x constant 3-zoom broadcast (bounded multiplier)
     "ransac_line_fit",  # points x constant 16-hypothesis broadcast (the RANSAC shape)
+    "bitemporal_asof",  # observations x constant 6-probe broadcast grid (bounded multiplier)
 }
 
 # queries that build their synthetic world INLINE (datagen unions in the
