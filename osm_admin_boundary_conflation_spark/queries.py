@@ -21585,3 +21585,87 @@ def q_snapshot_pushdown_assert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
     ).withColumn("filter_pushed", F.lit(pushed).cast("long"))
+
+
+@q(
+    "morphological_close_census",
+    oracle="""
+WITH xs AS (SELECT unnest(range(64)) AS x),
+ys AS (SELECT unnest(range(48)) AS y),
+g AS (SELECT x.x, y.y FROM xs x CROSS JOIN ys y),
+b AS (
+  SELECT x, y,
+         CASE WHEN (x*x*3 + y*7 + (x*y) % 13) % 50 < 18 THEN 1 ELSE 0 END AS v
+  FROM g
+),
+dil AS (
+  SELECT g.x, g.y,
+         max(CASE WHEN b.v = 1 THEN 1 ELSE 0 END) AS v
+  FROM g JOIN b ON abs(b.x - g.x) <= 1 AND abs(b.y - g.y) <= 1
+  GROUP BY g.x, g.y
+),
+clo AS (
+  SELECT g.x, g.y, min(d.v) AS v
+  FROM g JOIN dil d ON abs(d.x - g.x) <= 1 AND abs(d.y - g.y) <= 1
+  WHERE g.x BETWEEN 2 AND 61 AND g.y BETWEEN 2 AND 45
+  GROUP BY g.x, g.y
+)
+SELECT CAST(sum(b.v) AS BIGINT) AS n_fg,
+       CAST(sum(c.v) AS BIGINT) AS n_closed,
+       CAST(sum(CASE WHEN c.v = 1 AND b.v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+FROM clo c JOIN b ON b.x = c.x AND b.y = c.y
+""",
+)
+def q_morphological_close_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORPHOLOGICAL CLOSING (3x3 dilate then erode — the raster
+    analogue of small-gap polygon buffering that cleans rasterized
+    boundary masks): both passes run in SCATTER form — each cell
+    scatters its value to the 9 positions it influences and one
+    group-by per pass takes max (dilation) / min (erosion) — one
+    shuffle per morphological operator regardless of kernel size,
+    composable into opening/closing chains. Census over the valid
+    interior: foreground, closed-foreground, and gap pixels the
+    closing filled. The oracle evaluates both neighborhood joins
+    relationally (no scatter)."""
+    xs = spark.range(64).select(F.col("id").alias("x"))
+    ys = spark.range(48).select(F.col("id").alias("y"))
+    v = (
+        (F.col("x") * F.col("x") * 3 + F.col("y") * 7 + (F.col("x") * F.col("y")) % 13)
+        % 50 < 18
+    ).cast("long")
+    base = xs.crossJoin(ys).select("x", "y", v.alias("v")).localCheckpoint()
+
+    def scatter_agg(df, agg_fn):
+        offs = F.array(
+            *[
+                F.struct(
+                    (F.col("x") + dx).alias("tx"), (F.col("y") + dy).alias("ty")
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+        sc = df.select("v", F.explode(offs).alias("t")).select(
+            "t.tx", "t.ty", "v"
+        )
+        return (
+            sc.groupBy("tx", "ty")
+            .agg(agg_fn(F.col("v")).alias("v"))
+            .withColumnRenamed("tx", "x")
+            .withColumnRenamed("ty", "y")
+        )
+
+    dil = scatter_agg(base, F.max)
+    clo = scatter_agg(dil, F.min).filter(
+        F.col("x").between(2, 61) & F.col("y").between(2, 45)
+    )
+    j = clo.alias("c").join(
+        base.alias("b"), (F.col("c.x") == F.col("b.x")) & (F.col("c.y") == F.col("b.y"))
+    )
+    return j.agg(
+        F.sum("b.v").cast("long").alias("n_fg"),
+        F.sum("c.v").cast("long").alias("n_closed"),
+        F.sum(((F.col("c.v") == 1) & (F.col("b.v") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_filled"),
+    )
