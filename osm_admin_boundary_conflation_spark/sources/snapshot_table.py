@@ -558,6 +558,12 @@ def chain_length(location: str, version: int | None = None) -> int:
         if m.get("type") == "rollback":
             v = m["restores"]  # pointer: chain is the restored version's
             continue
+        if m.get("type") == "rename":
+            # pointer over its parent chain: adds no read-plan link
+            # itself but must NOT terminate the walk, or a long chain
+            # above a rename would never trip maybe_compact
+            v = m["parent"]
+            continue
         if m.get("type") not in ("append", "delete") or m["parent"] is None:
             return links
         links += 1
