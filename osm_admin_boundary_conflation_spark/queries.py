@@ -21669,3 +21669,45 @@ def q_morphological_close_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_filled"),
     )
+
+
+@q(
+    "snapshot_string_skipping",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c
+FROM customer
+WHERE c_name >= 'Customer#000000500' AND c_name <= 'Customer#000000700'
+""",
+)
+def q_snapshot_string_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING ON STRING STATS: the manifest's per-file [min,
+    max] works lexicographically too (parquet footers carry UTF-8
+    min/max) — the table is range-clustered on c_name, a name-range
+    read consults the manifest, and only the files whose string ranges
+    overlap open. The thing this buys at corpus scale is URL-range
+    scans (crawl hosts are strings); the mechanics are identical to
+    the integer gate, so the skip paths share every code line except
+    the comparison type. The pruned read's result is pinned against
+    the plain filter; the engine additionally asserts files were
+    genuinely skipped (kept < total) — stats that stop skipping would
+    still be row-correct, only this assert catches it."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_name", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c")
+    )
+    loc = tempfile.mkdtemp(prefix="snapstr_")
+    ST.write_snapshot_stats(
+        cust, loc, stats_cols=["c_name"], cluster_by="c_name", n_files=12
+    )
+    lo, hi = "Customer#000000500", "Customer#000000700"
+    kept, total = ST.files_matching(loc, [("c_name", lo, hi)])
+    assert len(kept) < total, f"string stats skipped nothing ({len(kept)}/{total})"
+    pruned = ST.read_snapshot_pruned(spark, loc, [("c_name", lo, hi)])
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("bal_c").cast("long").alias("bal_c"),
+    )
