@@ -49,6 +49,10 @@ HEADLINE = [
     # new in r7 session 2: true ray-casting point-in-polygon join over
     # non-convex rings (cell-blocked candidates + exploded-edge parity)
     "point_in_polygon",
+    # new in r7 session 2: Kendall tau by 2-D grid inversion counting —
+    # strict cell pairs from populations + bucket-equi residuals, the
+    # n^2-pairs-without-n^2-work shape (operators/rankcorr.py)
+    "kendall_tau_inversions",
 ]
 
 # pages multiplier for the scaling job: 20 → 100k pages of ~60KB html,
