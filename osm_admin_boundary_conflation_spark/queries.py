@@ -21711,3 +21711,65 @@ def q_snapshot_string_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("bal_c").cast("long").alias("bal_c"),
     )
+
+
+@q(
+    "weighted_median_groups",
+    oracle="""
+WITH s AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS v,
+         event_id % 9 + 1 AS w
+  FROM events
+),
+c AS (
+  SELECT event_type, v, sum(w) AS wv FROM s GROUP BY event_type, v
+),
+cum AS (
+  SELECT event_type, v, wv,
+         sum(wv) OVER (PARTITION BY event_type ORDER BY v) AS cw,
+         sum(wv) OVER (PARTITION BY event_type) AS tw
+  FROM c
+)
+SELECT event_type,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS weighted_median,
+       CAST(max(tw) AS BIGINT) AS total_weight
+FROM cum GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_weighted_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN per group (the robust center for
+    importance-weighted corpora — sample weights, dedup multiplicity,
+    boost factors): smallest value whose cumulative weight reaches
+    half the group total, computed on per-(group, value) weight sums
+    (the groupBy collapses ties FIRST, so the window's partition is
+    bounded by distinct values, not rows — at 10^12 rows with
+    quantized values that is the difference between a window over
+    billions and over thousands). Integer weights, integer 2*cw >= tw
+    threshold — no interpolation ambiguity."""
+    ev = datagen._read(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("event_id") % 9 + 1).alias("w"),
+    )
+    c = ev.groupBy("event_type", "v").agg(F.sum("w").alias("wv"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type", "v", "wv",
+        F.sum("wv").over(wc).alias("cw"),
+        F.sum("wv").over(wt).alias("tw"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+            .cast("long")
+            .alias("weighted_median"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("event_type")
+    )
