@@ -21773,3 +21773,96 @@ def q_weighted_median_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "maxsim_retrieval",
+    oracle="""
+WITH qv AS (
+  SELECT q.q, t.t, d8.d8,
+         CAST(round(CAST(e.embedding[CAST(t.t * 8 + d8.d8 + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS qcomp
+  FROM (SELECT unnest(range(3)) AS q) q
+  JOIN embeddings e ON e.vec_id = q.q
+  CROSS JOIN (SELECT unnest(range(2)) AS t) t
+  CROSS JOIN (SELECT unnest(range(8)) AS d8) d8
+),
+dv AS (
+  SELECT e.vec_id, s.s, d8.d8,
+         CAST(round(CAST(e.embedding[CAST(s.s * 8 + d8.d8 + 1 AS INT)] AS DOUBLE) * 1000) AS BIGINT) AS dcomp
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(range(4)) AS s) s
+  CROSS JOIN (SELECT unnest(range(8)) AS d8) d8
+),
+dots AS (
+  SELECT qv.q, qv.t, dv.vec_id, dv.s, sum(qv.qcomp * dv.dcomp) AS dot
+  FROM qv JOIN dv ON dv.d8 = qv.d8
+  GROUP BY qv.q, qv.t, dv.vec_id, dv.s
+),
+ms AS (SELECT q, t, vec_id, max(dot) AS mx FROM dots GROUP BY q, t, vec_id),
+sim AS (SELECT q, vec_id, CAST(sum(mx) AS BIGINT) AS maxsim FROM ms GROUP BY q, vec_id),
+top AS (
+  SELECT q, vec_id, maxsim,
+         row_number() OVER (PARTITION BY q ORDER BY maxsim DESC, vec_id) AS rn
+  FROM sim
+)
+SELECT CAST(q AS BIGINT) AS q, CAST(vec_id AS BIGINT) AS vec_id, maxsim
+FROM top WHERE rn <= 5 ORDER BY q, maxsim DESC, vec_id
+""",
+)
+def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION (ColBERT-style) MAXSIM RETRIEVAL: every doc
+    contributes 4 token vectors (8-dim slices of its embedding,
+    milli-quantized to exact ints), each of 3 queries has 2 token
+    vectors, and relevance = sum over query tokens of the MAX dot
+    product over doc tokens — the multi-vector scoring that beats
+    single-vector cosine on long documents. The engine evaluates all
+    24 dots as generated JVM expressions over the retained array (no
+    explode of the embedding, no Python), keeps per-query top-5 via a
+    3-partition window; queries are a bounded 3-row collect broadcast
+    as literals. Each query's own source vector ranks first — the
+    built-in sanity the oracle confirms."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+
+    def quant(x: float) -> int:
+        import decimal
+
+        # mirror round-half-even of SQL round on doubles
+        return int(
+            decimal.Decimal(float(x) * 1000).quantize(0, rounding=decimal.ROUND_HALF_EVEN)
+        )
+
+    def dslice(s, d8):
+        return F.round(
+            F.element_at("embedding", s * 8 + d8 + 1).cast("double") * 1000
+        ).cast("long")
+
+    per_q = []
+    for qi in range(3):
+        tok_sims = []
+        for t in range(2):
+            qcomps = [quant(qrows[qi][t * 8 + d8]) for d8 in range(8)]
+            dots = []
+            for s in range(4):
+                acc = None
+                for d8 in range(8):
+                    term = F.lit(qcomps[d8]) * dslice(s, d8)
+                    acc = term if acc is None else acc + term
+                dots.append(acc)
+            tok_sims.append(F.greatest(*dots))
+        per_q.append(
+            F.struct(F.lit(qi).cast("long").alias("q"), (tok_sims[0] + tok_sims[1]).cast("long").alias("maxsim"))
+        )
+    sim = emb.select(
+        "vec_id", F.explode(F.array(*per_q)).alias("s")
+    ).select(F.col("s.q").alias("q"), "vec_id", F.col("s.maxsim").alias("maxsim"))
+    w = Window.partitionBy("q").orderBy(F.col("maxsim").desc(), "vec_id")
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q", "vec_id", "maxsim")
+        .orderBy("q", F.col("maxsim").desc(), "vec_id")
+    )
