@@ -21866,3 +21866,98 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q", "vec_id", "maxsim")
         .orderBy("q", F.col("maxsim").desc(), "vec_id")
     )
+
+
+@q(
+    "crypto_shred_gdpr",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT event_id, user_id, event_type, CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+),
+readable AS (SELECT * FROM ev WHERE user_id % 7 <> 3),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_shredded FROM ev WHERE user_id % 7 = 3)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_readable,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       (SELECT n_shredded FROM tot) AS n_shredded
+FROM readable GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_crypto_shred_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRYPTO-SHREDDING (the GDPR deletion pattern for immutable
+    storage: encrypt per user, FORGET THE KEY instead of rewriting
+    data): payload values are XOR-encrypted with a per-(user, row)
+    md5-derived keystream and committed to an immutable snapshot; the
+    per-user KEY TABLE is a second snapshot; erasure of users
+    user_id%7==3 is ONE MoR delete commit on the key table — the
+    payload snapshot is never touched. The read path joins ciphertext
+    to surviving keys and decrypts (XOR with the regenerated
+    keystream); keyless rows are unrecoverable by construction. The
+    oracle computes the surviving aggregate from plaintext — so any
+    keystream/XOR bug, or a shredded row leaking through, breaks the
+    sums. All JVM: md5->conv keystream, bitwiseXOR."""
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .distinct()
+    )
+    key_of = F.conv(
+        F.substring(F.md5(F.concat(F.lit("key"), F.col("user_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    keys = ev.select("user_id").distinct().select("user_id", key_of.alias("ukey"))
+
+    def keystream(ukey_col):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        ukey_col.cast("string"), F.lit(":"), F.col("event_id").cast("string")
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+
+    enc = ev.join(keys, "user_id").select(
+        "event_id", "user_id", "event_type",
+        F.col("cents").bitwiseXOR(keystream(F.col("ukey"))).alias("cipher"),
+    )
+    tmp = tempfile.mkdtemp(prefix="shred_")
+    data_loc, key_loc = tmp + "/data", tmp + "/keys"
+    ST.write_snapshot(enc, data_loc, commit_ms=0)
+    ST.write_snapshot(keys, key_loc, commit_ms=0)
+    total = ST.read_snapshot(spark, data_loc).count()
+    # GDPR erasure: destroy the keys, never touch the payload table
+    ST.write_delete_snapshot(
+        keys.filter(F.col("user_id") % 7 == 3).select("user_id"),
+        key_loc, key_col="user_id", commit_ms=1,
+    )
+    cipher = ST.read_snapshot(spark, data_loc)
+    live_keys = ST.read_snapshot(spark, key_loc)
+    dec = cipher.join(live_keys, "user_id").select(
+        "event_type",
+        F.col("cipher").bitwiseXOR(keystream(F.col("ukey"))).alias("cents"),
+    )
+    dec = dec.localCheckpoint()
+    n_readable_total = dec.count()
+    return (
+        dec.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readable"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .withColumn(
+            "n_shredded", F.lit(total - n_readable_total).cast("long")
+        )
+        .orderBy("event_type")
+    )
