@@ -21961,3 +21961,115 @@ def q_crypto_shred_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "dataset_dag_rebuild",
+    oracle="""
+WITH ev AS (SELECT DISTINCT event_id, event_type FROM events),
+b1 AS (SELECT * FROM ev),
+b2 AS (SELECT * FROM ev WHERE event_id % 3 = 0),
+t2 AS (
+  SELECT e.event_type,
+         CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+         CAST(sum(CASE WHEN src = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2
+  FROM (SELECT event_type, 1 AS src FROM b1 UNION ALL SELECT event_type, 2 FROM b2) e
+  GROUP BY e.event_type
+)
+SELECT event_type, n_b1, n_b2,
+       CAST(3 AS BIGINT) AS round1_computes,
+       CAST(2 AS BIGINT) AS round2_computes
+FROM t2 ORDER BY event_type
+""",
+)
+def q_dataset_dag_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL DATASET-DAG REBUILD (the dbt/materialized-pipeline
+    ordering problem on top of snapshot versioning): three derived
+    nodes — t1(base1), t2(base1, base2), t3(base2) — cache their
+    results pinned to the exact INPUT VERSION TUPLE; committing an
+    append to base1 dirties exactly {t1, t2}, and the second build
+    pass recomputes those two while t3 is a provable cache hit
+    (version equality, not mtime heuristics — the result_cache
+    discipline generalized to multi-input nodes). The gate pins the
+    rebuild counts structurally (3 first pass, 2 second pass) plus
+    t2's final contents."""
+    import json
+    import os
+    import tempfile
+
+    from .sources import snapshot_table as ST
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type")
+        .distinct()
+    )
+    tmp = tempfile.mkdtemp(prefix="dag_")
+    b1_loc, b2_loc = tmp + "/b1", tmp + "/b2"
+    ST.write_append_snapshot(ev.filter(F.col("event_id") % 2 == 0), b1_loc, commit_ms=0)
+    ST.write_snapshot(ev.filter(F.col("event_id") % 3 == 0), b2_loc, commit_ms=0)
+    computes = {"n": 0}
+
+    def build(key, deps, compute):
+        """deps: {location: current_version}; rebuild iff the pinned
+        version tuple differs."""
+        d = os.path.join(tmp, "cache", key)
+        meta = os.path.join(d, "meta.json")
+        pinned = None
+        if os.path.exists(meta):
+            with open(meta) as f:
+                pinned = json.load(f)["deps"]
+        cur = {loc: ST._versions(loc)[-1] for loc in deps}
+        if pinned == {k: v for k, v in cur.items()}:
+            return spark.read.parquet(os.path.join(d, "data"))
+        computes["n"] += 1
+        df = compute()
+        df.write.mode("overwrite").parquet(os.path.join(d, "data"))
+        with open(meta + ".tmp", "w") as f:
+            json.dump({"deps": cur}, f)
+        os.replace(meta + ".tmp", meta)
+        return spark.read.parquet(os.path.join(d, "data"))
+
+    def t1():
+        return build(
+            "t1", [b1_loc],
+            lambda: ST.read_snapshot(spark, b1_loc)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_b1")),
+        )
+
+    def t2():
+        return build(
+            "t2", [b1_loc, b2_loc],
+            lambda: t1().join(
+                ST.read_snapshot(spark, b2_loc)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n_b2")),
+                "event_type", "full_outer",
+            ).select(
+                "event_type",
+                F.coalesce("n_b1", F.lit(0)).cast("long").alias("n_b1"),
+                F.coalesce("n_b2", F.lit(0)).cast("long").alias("n_b2"),
+            ),
+        )
+
+    def t3():
+        return build(
+            "t3", [b2_loc],
+            lambda: ST.read_snapshot(spark, b2_loc)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_b2_only")),
+        )
+
+    t1(); t2(); t3()
+    round1 = computes["n"]
+    # base1 gains the other half -> t1, t2 dirty; t3 untouched
+    ST.write_append_snapshot(ev.filter(F.col("event_id") % 2 == 1), b1_loc, commit_ms=1)
+    computes["n"] = 0
+    t1(); final_t2 = t2(); t3()
+    round2 = computes["n"]
+    return final_t2.select(
+        "event_type", "n_b1", "n_b2",
+        F.lit(round1).cast("long").alias("round1_computes"),
+        F.lit(round2).cast("long").alias("round2_computes"),
+    ).orderBy("event_type")
