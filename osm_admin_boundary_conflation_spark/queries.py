@@ -22073,3 +22073,96 @@ def q_dataset_dag_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(round1).cast("long").alias("round1_computes"),
         F.lit(round2).cast("long").alias("round2_computes"),
     ).orderBy("event_type")
+
+
+@q(
+    "aqe_coalesce_assert",
+    oracle="""
+WITH ev AS (SELECT DISTINCT event_id, event_type FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM ev GROUP BY event_type
+HAVING count(*) > 0
+ORDER BY event_type
+""",
+)
+def q_aqe_coalesce_assert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE QUERY EXECUTION EVIDENCE: a group-by over a tiny input
+    still shuffles into spark.sql.shuffle.partitions map-side buckets,
+    and AQE's post-shuffle coalescing is what keeps the reduce side
+    from scheduling hundreds of near-empty tasks — at 100 TB the same
+    mechanism right-sizes every stage after the first. The gate
+    EXECUTES the aggregate, then asserts the final adaptive plan
+    contains an AQEShuffleRead with coalesced partitions (structural,
+    like snapshot_pushdown_assert: the result would be row-identical
+    with AQE off — only the plan check catches a config regression
+    that silently disables the optimizer)."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type")
+        .distinct()
+    )
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = agg.filter(F.col("n") > 0)
+    rows = out.collect()  # execute so the ADAPTIVE plan is final
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, (
+        "AQE post-shuffle coalescing did not engage:\n" + plan[:2000]
+    )
+    return spark.createDataFrame(rows, out.schema).orderBy("event_type")
+
+
+@q(
+    "l_diversity_check",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT event_id, user_id % 20 AS age_bucket,
+         (event_id * 7) % 5 AS region, event_type AS sensitive
+  FROM events
+),
+g AS (
+  SELECT age_bucket, region,
+         CAST(count(*) AS BIGINT) AS group_n,
+         CAST(count(DISTINCT sensitive) AS BIGINT) AS l_distinct
+  FROM ev GROUP BY age_bucket, region
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse,
+       CAST(sum(CASE WHEN l_distinct < 3 THEN group_n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(min(l_distinct) AS BIGINT) AS min_l
+FROM g
+""",
+)
+def q_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY AUDIT (the disclosure check k-anonymity misses: a
+    quasi-identifier group can be k-large yet reveal everyone's
+    sensitive value if the group is homogeneous): per (age_bucket,
+    region) group, the count of DISTINCT sensitive values must reach
+    l=3, and the census reports groups, diverse groups, rows at risk,
+    and the worst group's diversity. countDistinct rewrites to a
+    well-distributed two-phase aggregate on (group, value) — the same
+    skew-safe shape the inverted index uses."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type")
+        .distinct()
+    )
+    g = (
+        ev.select(
+            (F.col("user_id") % 20).alias("age_bucket"),
+            ((F.col("event_id") * 7) % 5).alias("region"),
+            F.col("event_type").alias("sensitive"),
+        )
+        .groupBy("age_bucket", "region")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_n"),
+            F.countDistinct("sensitive").cast("long").alias("l_distinct"),
+        )
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("l_distinct") >= 3).cast("long")).cast("long").alias("n_diverse"),
+        F.sum(F.when(F.col("l_distinct") < 3, F.col("group_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+    )
