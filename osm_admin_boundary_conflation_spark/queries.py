@@ -22166,3 +22166,48 @@ def q_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_at_risk"),
         F.min("l_distinct").cast("long").alias("min_l"),
     )
+
+
+@q(
+    "mode_per_group",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT event_id, event_type, CAST(round(value*100) AS BIGINT) % 40 AS vb
+  FROM events
+),
+c AS (SELECT event_type, vb, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY event_type, vb),
+r AS (
+  SELECT event_type, vb, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY n DESC, vb) AS rn
+  FROM c
+)
+SELECT event_type, CAST(vb AS BIGINT) AS mode_value, n AS mode_count
+FROM r WHERE rn = 1 ORDER BY event_type
+""",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC MODE per group (most frequent value, ties to the
+    smallest — the categorical summary profilers and imputers need,
+    absent from SQL's aggregate canon): counts collapse per (group,
+    value) FIRST, then max_by over the (count DESC, value ASC) struct
+    picks the winner without a window — two shuffles, both on
+    well-distributed keys, never a per-row sort. The explicit
+    tiebreak is what makes mode gateable at all (an undefined-tie mode
+    is nondeterministic across partitionings)."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("c"))
+        .distinct()
+    )
+    c = ev.select("event_type", (F.col("c") % 40).alias("vb")).groupBy(
+        "event_type", "vb"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # max(struct(n, -vb)) == (count DESC, value ASC) without a window
+    top = c.groupBy("event_type").agg(
+        F.max(F.struct(F.col("n"), (-F.col("vb")).alias("nv"))).alias("t")
+    )
+    return top.select(
+        "event_type",
+        (-F.col("t.nv")).cast("long").alias("mode_value"),
+        F.col("t.n").alias("mode_count"),
+    ).orderBy("event_type")
