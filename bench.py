@@ -258,6 +258,20 @@ def bench_skew_ab(spark) -> dict:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     out["speedup"] = round(out["unsalted"] / max(out["salted"], 1e-9), 2)
     os.makedirs("BENCH", exist_ok=True)
+    # The generated block uses only a "# " title; any "## " section in
+    # the existing file (e.g. the scale-leg evidence table maintained by
+    # tools/scaleup_bench.py) is hand-curated — carry it over verbatim
+    # instead of dropping it on every bench rerun.
+    preserved = ""
+    try:
+        with open("BENCH/notes.md") as f:
+            old = f.readlines()
+        for i, line in enumerate(old):
+            if line.startswith("## "):
+                preserved = "".join(old[i:])
+                break
+    except FileNotFoundError:
+        pass
     with open("BENCH/notes.md", "w") as f:
         f.write(
             "# Skewed-join A/B (generated by bench.py)\n\n"
@@ -283,6 +297,8 @@ def bench_skew_ab(spark) -> dict:
             "leg through the full gated query) from round 5 on; round-4 and\n"
             "earlier headline totals predate it.\n"
         )
+        if preserved:
+            f.write("\n" + preserved)
     return out
 
 
