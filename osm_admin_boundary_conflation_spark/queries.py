@@ -22211,3 +22211,212 @@ def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("t.nv")).cast("long").alias("mode_value"),
         F.col("t.n").alias("mode_count"),
     ).orderBy("event_type")
+
+
+@q(
+    "getis_ord_hotspots",
+    oracle="""
+WITH g AS (
+  SELECT ((doc_id * 37) % 1800) // 300 AS gx, ((doc_id * 59) % 1800) // 300 AS gy
+  FROM documents
+),
+counts AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS v FROM g GROUP BY gx, gy),
+spine AS (
+  SELECT a.gx, b.gy
+  FROM (SELECT unnest(range(6)) AS gx) a CROSS JOIN (SELECT unnest(range(6)) AS gy) b
+),
+cells AS (
+  SELECT s.gx, s.gy, COALESCE(c.v, 0) AS v
+  FROM spine s LEFT JOIN counts c ON s.gx = c.gx AND s.gy = c.gy
+),
+tot AS (SELECT CAST(sum(v) AS BIGINT) AS sv FROM cells),
+nbr AS (
+  SELECT a.gx, a.gy,
+         CAST(count(*) AS BIGINT) AS nbr_n,
+         CAST(sum(b.v) AS BIGINT) AS nbr_sum
+  FROM cells a JOIN cells b
+    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+  GROUP BY a.gx, a.gy
+)
+SELECT CAST(n.gx AS BIGINT) AS gx, CAST(n.gy AS BIGINT) AS gy, c.v,
+       n.nbr_n, n.nbr_sum,
+       CAST(36 * n.nbr_sum - n.nbr_n * (SELECT sv FROM tot) AS BIGINT) AS gi_num,
+       CAST(CASE WHEN 36 * n.nbr_sum > n.nbr_n * (SELECT sv FROM tot)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_hot
+FROM nbr n JOIN cells c ON n.gx = c.gx AND n.gy = c.gy
+ORDER BY gx, gy
+""",
+)
+def q_getis_ord_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL hotspot detection — the Getis-Ord Gi* statistic per grid
+    cell (the per-cell complement to morans_i_grid's single global
+    number; GIS suites pair them): each cell's queen-neighbourhood
+    (3x3 incl. self, clipped at the grid edge) point-count sum is
+    compared against the global mean scaled by the neighbourhood size.
+    The exact-integer core is gi_num = n*nbr_sum - nbr_n*sum(v) (the
+    Gi* numerator scaled by n; its sign is hot-vs-cold), so the gate
+    hashes BIGINTs only — the sqrt-bearing denominator is a per-cell
+    monotone transform that cannot change the hot/cold partition.
+    Scale shape: neighbourhoods are materialized as an EQUI join (each
+    cell scatters its value to its 9 neighbour coordinates, meeting
+    the target cell on (gx, gy)) — never an |dx|<=1 inequality join,
+    so the same plan works when the grid is millions of cells, and the
+    scatter factor is a constant 9."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = docs.select(
+        F.expr("((doc_id * 37) % 1800) div 300").alias("gx"),
+        F.expr("((doc_id * 59) % 1800) div 300").alias("gy"),
+    )
+    counts = g.groupBy("gx", "gy").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    spine = (
+        spark.range(6)
+        .select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(6).select(F.col("id").alias("gy")))
+    )
+    cells = spine.join(counts, ["gx", "gy"], "left").select(
+        "gx", "gy", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    tot = cells.agg(F.sum("v").cast("long").alias("sv"))
+    # scatter: every cell sends (v) to its 9 neighbour coordinates; the
+    # join back onto the cell spine clips out-of-grid probes
+    probes = cells.select(
+        F.col("v").alias("vb"),
+        F.explode(
+            F.expr(
+                "array(struct(gx-1 AS tx, gy-1 AS ty), struct(gx-1 AS tx, gy AS ty), "
+                "struct(gx-1 AS tx, gy+1 AS ty), struct(gx AS tx, gy-1 AS ty), "
+                "struct(gx AS tx, gy AS ty), struct(gx AS tx, gy+1 AS ty), "
+                "struct(gx+1 AS tx, gy-1 AS ty), struct(gx+1 AS tx, gy AS ty), "
+                "struct(gx+1 AS tx, gy+1 AS ty))"
+            )
+        ).alias("nb"),
+    ).select("vb", F.col("nb.tx").alias("gx"), F.col("nb.ty").alias("gy"))
+    nbr = (
+        probes.join(F.broadcast(cells.select("gx", "gy")), ["gx", "gy"])
+        .groupBy("gx", "gy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nbr_n"),
+            F.sum("vb").cast("long").alias("nbr_sum"),
+        )
+    )
+    return (
+        nbr.join(F.broadcast(cells), ["gx", "gy"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("gx").cast("long").alias("gx"),
+            F.col("gy").cast("long").alias("gy"),
+            "v",
+            "nbr_n",
+            "nbr_sum",
+            (F.lit(36) * F.col("nbr_sum") - F.col("nbr_n") * F.col("sv"))
+            .cast("long")
+            .alias("gi_num"),
+            (F.lit(36) * F.col("nbr_sum") > F.col("nbr_n") * F.col("sv"))
+            .cast("long")
+            .alias("is_hot"),
+        )
+        .orderBy("gx", "gy")
+    )
+
+
+@q(
+    "quadtree_decompose",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, (doc_id * 127) % 1600 AS px, (doc_id * 191) % 1600 AS py
+  FROM documents
+),
+depths(d, s) AS (VALUES (0, 1600), (1, 800), (2, 400), (3, 200), (4, 100)),
+e AS (
+  SELECT p.doc_id, p.px, p.py, depths.d, depths.s,
+         p.px // depths.s AS cx, p.py // depths.s AS cy
+  FROM p CROSS JOIN depths
+),
+c AS (SELECT d, cx, cy, count(*) AS n FROM e GROUP BY d, cx, cy),
+leaf AS (
+  SELECT e.doc_id, e.px, e.py,
+         COALESCE(min(CASE WHEN c.n <= 40 THEN e.d END), 4) AS ld
+  FROM e JOIN c ON e.d = c.d AND e.cx = c.cx AND e.cy = c.cy
+  GROUP BY e.doc_id, e.px, e.py
+),
+lc AS (
+  SELECT leaf.ld, leaf.px // depths.s AS cx, leaf.py // depths.s AS cy
+  FROM leaf JOIN depths ON leaf.ld = depths.d
+)
+SELECT CAST(ld AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT cx * 1000 + cy) AS BIGINT) AS n_cells
+FROM lc GROUP BY ld ORDER BY depth
+""",
+)
+def q_quadtree_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE QUADTREE tile decomposition — the tiling move the north
+    rule's raster-to-vector assignment needs when point density is
+    uneven: a cell splits into 4 children while it holds more than
+    cap=40 points, down to depth 4 (cell sizes 1600..100 on a 1600^2
+    domain). Because ancestor counts are monotone non-increasing with
+    depth, the recursive top-down split has a CLOSED FORM: a point's
+    leaf depth is the smallest d whose depth-d cell count <= cap
+    (capped at maxdepth) — so the whole tree builds in ONE pass with
+    no driver-side recursion: explode each point to its 5 ancestor
+    cells, count per (depth, cell) in one shuffle, join back, take the
+    min qualifying depth per point. All shuffle keys ((depth,cx,cy),
+    then doc_id) are well-distributed at any scale; the scatter factor
+    is the constant tree height. Output is the depth histogram (points
+    and distinct leaf tiles per depth) — the tile manifest a 100 TB
+    run would write per region."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = docs.select(
+        "doc_id",
+        F.expr("(doc_id * 127) % 1600").alias("px"),
+        F.expr("(doc_id * 191) % 1600").alias("py"),
+    )
+    e = p.select(
+        "doc_id",
+        "px",
+        "py",
+        F.explode(
+            F.expr(
+                "array(struct(0 AS d, 1600 AS s), struct(1 AS d, 800 AS s), "
+                "struct(2 AS d, 400 AS s), struct(3 AS d, 200 AS s), "
+                "struct(4 AS d, 100 AS s))"
+            )
+        ).alias("ds"),
+    ).select(
+        "doc_id",
+        "px",
+        "py",
+        F.col("ds.d").alias("d"),
+        F.expr("px div ds.s").alias("cx"),
+        F.expr("py div ds.s").alias("cy"),
+    )
+    c = e.groupBy("d", "cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    leaf = (
+        e.join(c, ["d", "cx", "cy"])
+        .groupBy("doc_id", "px", "py")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("n") <= 40, F.col("d"))), F.lit(4)
+            ).alias("ld")
+        )
+    )
+    sizes = F.array(F.lit(1600), F.lit(800), F.lit(400), F.lit(200), F.lit(100))
+    lc = leaf.select(
+        "ld",
+        F.expr("px").alias("px"),
+        F.expr("py").alias("py"),
+        F.element_at(sizes, F.col("ld").cast("int") + 1).alias("s"),
+    ).select(
+        "ld",
+        F.expr("px div s").alias("cx"),
+        F.expr("py div s").alias("cy"),
+    )
+    return (
+        lc.groupBy("ld")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.countDistinct(F.col("cx") * 1000 + F.col("cy")).cast("long").alias("n_cells"),
+        )
+        .select(F.col("ld").cast("long").alias("depth"), "n_points", "n_cells")
+        .orderBy("depth")
+    )
