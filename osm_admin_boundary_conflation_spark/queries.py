@@ -22420,3 +22420,234 @@ def q_quadtree_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ld").cast("long").alias("depth"), "n_points", "n_cells")
         .orderBy("depth")
     )
+
+
+@q(
+    "geofence_dwell",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ep,
+         CASE WHEN (event_id * 37) % 100 < 40 AND (event_id * 53) % 100 < 40
+              THEN 1 ELSE 0 END AS in_fence
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, ep, in_fence,
+         row_number() OVER (PARTITION BY user_id ORDER BY ep, event_id)
+         - row_number() OVER (PARTITION BY user_id, in_fence ORDER BY ep, event_id)
+           AS island
+  FROM e
+),
+ep_g AS (
+  SELECT user_id, island,
+         CAST(count(*) AS BIGINT) AS n_pings,
+         CAST(max(ep) - min(ep) AS BIGINT) AS dwell_us
+  FROM f WHERE in_fence = 1
+  GROUP BY user_id, island
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_episodes,
+       CAST(sum(n_pings) AS BIGINT) AS fence_pings,
+       CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+       CAST(max(dwell_us) AS BIGINT) AS max_dwell_us
+FROM ep_g GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_geofence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOFENCE DWELL episodes — the enter/exit accounting every
+    location-analytics stack runs (how many visits, how long inside):
+    per user, time-ordered pings carry an in-fence flag (position is a
+    deterministic function of event_id; the fence is the [0,40)^2
+    corner of the 100^2 domain), and consecutive in-fence runs become
+    episodes via gaps-and-islands (difference of two row_numbers — the
+    island id is constant exactly within a run). Dwell is exact
+    integer microseconds (max-min epoch per island; memory rule:
+    epoch_us both sides, never float seconds). Both windows partition
+    by user_id — the natural trajectory partitioning that holds at
+    100 TB because no window ever spans users — and every ORDER BY
+    carries the (ep, event_id) unique tiebreak."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ep"),
+        (
+            ((F.col("event_id") * 37) % 100 < 40)
+            & ((F.col("event_id") * 53) % 100 < 40)
+        )
+        .cast("int")
+        .alias("in_fence"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    w_flag = Window.partitionBy("user_id", "in_fence").orderBy("ep", "event_id")
+    f = e.withColumn(
+        "island", F.row_number().over(w_all) - F.row_number().over(w_flag)
+    )
+    ep_g = (
+        f.filter(F.col("in_fence") == 1)
+        .groupBy("user_id", "island")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pings"),
+            (F.max("ep") - F.min("ep")).cast("long").alias("dwell_us"),
+        )
+    )
+    return (
+        ep_g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_episodes"),
+            F.sum("n_pings").cast("long").alias("fence_pings"),
+            F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+            F.max("dwell_us").cast("long").alias("max_dwell_us"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_episodes",
+            "fence_pings",
+            "total_dwell_us",
+            "max_dwell_us",
+        )
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "od_matrix",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ep,
+         (((event_id * 37) % 100) // 25) * 4 + ((event_id * 53) % 100) // 25 AS zone
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                   OR ep - lag(ep) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+),
+t AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+trips AS (
+  SELECT user_id, sid,
+         arg_min(zone, [ep, event_id]) AS o_zone,
+         arg_max(zone, [ep, event_id]) AS d_zone
+  FROM t GROUP BY user_id, sid
+)
+SELECT CAST(o_zone AS BIGINT) AS o_zone, CAST(d_zone AS BIGINT) AS d_zone,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM trips GROUP BY o_zone, d_zone ORDER BY o_zone, d_zone
+""",
+)
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORIGIN-DESTINATION matrix — trip flows between zones, the
+    summary every mobility/urban-planning pipeline publishes: pings
+    sessionize into trips (same >30 min-gap rule as events_sessionize,
+    exact integer microseconds), each trip contributes one (origin
+    zone, destination zone) pair taken from its first and last ping
+    (min/max over the lexicographic (ep, event_id, zone) struct — a
+    plain aggregate, NO second window pass and no row_number filter),
+    and the matrix is the pair count. The sessionize windows partition
+    by user; the OD aggregation keys are (user, sid) then (o, d) —
+    all well-distributed. The 16-zone grid here stands in for the
+    tile-level zone system a country-scale run would use."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ep"),
+        (
+            (((F.col("event_id") * 37) % 100) / 25).cast("long") * 4
+            + (((F.col("event_id") * 53) % 100) / 25).cast("long")
+        ).alias("zone"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    s = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("ep").over(w).isNull()
+            | (F.col("ep") - F.lag("ep").over(w) > 1800000000),
+            1,
+        ).otherwise(0),
+    )
+    t = s.withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    trips = t.groupBy("user_id", "sid").agg(
+        F.min(F.struct("ep", "event_id", "zone")).getField("zone").alias("o_zone"),
+        F.max(F.struct("ep", "event_id", "zone")).getField("zone").alias("d_zone"),
+    )
+    return (
+        trips.groupBy("o_zone", "d_zone")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trips"))
+        .select(
+            F.col("o_zone").cast("long").alias("o_zone"),
+            F.col("d_zone").cast("long").alias("d_zone"),
+            "n_trips",
+        )
+        .orderBy("o_zone", "d_zone")
+    )
+
+
+@q(
+    "trajectory_cooccurrence",
+    oracle="""
+WITH pres AS (
+  SELECT DISTINCT user_id,
+         ((event_id * 37) % 100) // 10 AS cx,
+         ((event_id * 53) % 100) // 10 AS cy,
+         epoch_us(ts) // 86400000000 AS tb
+  FROM events
+),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         CAST(count(*) AS BIGINT) AS n_cooc
+  FROM pres a JOIN pres b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.tb = b.tb AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+)
+SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b, n_cooc
+FROM pairs WHERE n_cooc >= 3 ORDER BY user_a, user_b
+""",
+)
+def q_trajectory_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAJECTORY CO-OCCURRENCE — which user pairs were repeatedly in
+    the same place at the same time (the contact-tracing / co-travel
+    shape): presence collapses to DISTINCT (user, cell, day-bucket)
+    FIRST (so a user pinging 50 times in one cell-hour counts once),
+    pairs come from a space-time-blocked equi self-join on (cell,
+    day) with user_a < user_b — never an all-pairs product; the join
+    fan-out is bounded by per-block occupancy, the quantity a 100 TB
+    run controls by tightening the block (finer cells / shorter
+    buckets) exactly like the MinHash band join controls bucket
+    width. Repeated co-presence (>= 3 distinct block hits) filters the
+    incidental collisions."""
+    pres = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            (((F.col("event_id") * 37) % 100) / 10).cast("long").alias("cx"),
+            (((F.col("event_id") * 53) % 100) / 10).cast("long").alias("cy"),
+            (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / 86400000000).cast("long").alias("tb"),
+        )
+        .distinct()
+    )
+    b = pres.select(
+        F.col("user_id").alias("user_b"),
+        "cx",
+        "cy",
+        "tb",
+    )
+    pairs = (
+        pres.join(b, ["cx", "cy", "tb"])
+        .filter(F.col("user_id") < F.col("user_b"))
+        .groupBy(F.col("user_id").alias("user_a"), "user_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
+    )
+    return (
+        pairs.filter(F.col("n_cooc") >= 3)
+        .select(
+            F.col("user_a").cast("long").alias("user_a"),
+            F.col("user_b").cast("long").alias("user_b"),
+            "n_cooc",
+        )
+        .orderBy("user_a", "user_b")
+    )
