@@ -22651,3 +22651,159 @@ def q_trajectory_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a", "user_b")
     )
+
+
+# Web-graph for HITS: a 300-node ring-ish base plus every 10th node
+# acting as a directory page (high out-degree hub) — the structure
+# where hub and authority scores genuinely diverge (PageRank's
+# single score cannot separate the two roles).
+_HITS_EDGES_SQL = """
+ed AS (
+  SELECT u, v FROM (
+    SELECT u, (u * 3 + 1) % 300 AS v FROM (SELECT unnest(range(300)) AS u)
+    UNION ALL
+    SELECT u, (u * 11 + 5) % 300 FROM (SELECT unnest(range(300)) AS u)
+    UNION ALL
+    SELECT u, (u * 17 + 3) % 300 FROM (SELECT unnest(range(300)) AS u) WHERE u % 10 = 0
+    UNION ALL
+    SELECT u, (u * 23 + 7) % 300 FROM (SELECT unnest(range(300)) AS u) WHERE u % 10 = 0
+  ) WHERE u != v
+  GROUP BY u, v
+)
+"""
+
+
+@q(
+    "hits_hubs_authorities",
+    oracle=f"""
+WITH {_HITS_EDGES_SQL},
+nodes AS (SELECT DISTINCT u AS id FROM ed UNION SELECT DISTINCT v FROM ed),
+a1 AS (SELECT v AS id, CAST(count(*) AS BIGINT) AS a FROM ed GROUP BY v),
+h1 AS (
+  SELECT ed.u AS id, CAST(sum(a1.a) AS BIGINT) AS h
+  FROM ed JOIN a1 ON ed.v = a1.id GROUP BY ed.u
+),
+a2 AS (
+  SELECT ed.v AS id, CAST(sum(h1.h) AS BIGINT) AS a
+  FROM ed JOIN h1 ON ed.u = h1.id GROUP BY ed.v
+),
+h2 AS (
+  SELECT ed.u AS id, CAST(sum(a2.a) AS BIGINT) AS h
+  FROM ed JOIN a2 ON ed.v = a2.id GROUP BY ed.u
+)
+SELECT CAST(n.id AS BIGINT) AS id,
+       CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub_score,
+       CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth_score
+FROM nodes n LEFT JOIN h2 ON n.id = h2.id LEFT JOIN a2 ON n.id = a2.id
+ORDER BY id
+""",
+)
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) in EXACT integer arithmetic,
+    2 mutual-reinforcement iterations with the normalization deferred
+    (scores stay unnormalized integer sums — normalizing is a global
+    scalar divide that cannot change the ranking, and skipping it is
+    what makes HITS oracle-gateable; float L2 normalization would
+    introduce engine-dependent summation order): a1 = indegree,
+    h1 = sum of pointed-to authorities, a2 = sum of pointing hubs,
+    h2 = sum of pointed-to a2. Each half-step is one equi join on the
+    edge endpoint + one groupBy on the other endpoint — the same
+    scale shape as pagerank_integer, alternating direction. On the
+    directory-page graph the top hub (out-degree-4 node) and top
+    authority separate, which a single PageRank score cannot express."""
+    u = F.col("id")
+    parts = [
+        spark.range(300).select(u.alias("u"), ((u * 3 + 1) % 300).alias("v")),
+        spark.range(300).select(u.alias("u"), ((u * 11 + 5) % 300).alias("v")),
+        spark.range(300).filter(u % 10 == 0).select(u.alias("u"), ((u * 17 + 3) % 300).alias("v")),
+        spark.range(300).filter(u % 10 == 0).select(u.alias("u"), ((u * 23 + 7) % 300).alias("v")),
+    ]
+    ed = (
+        parts[0].unionByName(parts[1]).unionByName(parts[2]).unionByName(parts[3])
+        .filter("u != v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ed.select(F.col("u").alias("id"))
+        .unionByName(ed.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    a = ed.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    h = (
+        ed.join(a, "v")
+        .groupBy("u")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        ed.join(h, "u")
+        .groupBy("v")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    h2 = (
+        ed.join(a2, "v")
+        .groupBy("u")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    return (
+        nodes.join(h2.withColumnRenamed("u", "id"), "id", "left")
+        .join(a2.withColumnRenamed("v", "id"), "id", "left")
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub_score"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth_score"),
+        )
+        .orderBy("id")
+    )
+
+
+@q(
+    "benford_digit_test",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+),
+dig AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents
+  WHERE c > 0
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM dig),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_d FROM dig GROUP BY digit)
+SELECT o.digit, o.n_d,
+       CAST((1000000 * o.n_d) // (SELECT total FROM n) AS BIGINT) AS obs_ppm,
+       round(log10(1.0 + 1.0 / o.digit), 6) AS benford_share
+FROM obs o ORDER BY o.digit
+""",
+)
+def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-digit audit — the fraud/data-quality screen that
+    flags fabricated numeric columns (natural multiplicative data has
+    first digit d with probability log10(1+1/d); uniform synthetics
+    don't): the leading digit comes from the EXACT cents integer
+    (round(price*100) then first character — never from float
+    formatting, which differs across engines), the observed share is
+    an integer ppm floor-division, and the only doubles are the nine
+    closed-form Benford constants (log10 of small rationals, all far
+    from round-to-6-places ties). One groupBy on a 9-value key with a
+    broadcast scalar total — the shape is a map-side-combinable
+    full-scan aggregate that trivially survives 100 TB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dig = (
+        li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+        .filter(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit"))
+    )
+    n = dig.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    obs = dig.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    return (
+        obs.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_d",
+            F.floor(F.lit(1000000) * F.col("n_d") / F.col("total"))
+            .cast("long")
+            .alias("obs_ppm"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+        )
+        .orderBy("digit")
+    )
