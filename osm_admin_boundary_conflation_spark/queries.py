@@ -22527,11 +22527,17 @@ t AS (
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM s
 ),
+r AS (
+  SELECT user_id, sid, zone,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ep, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ep DESC, event_id DESC) AS rd
+  FROM t
+),
 trips AS (
-  SELECT user_id, sid,
-         arg_min(zone, [ep, event_id]) AS o_zone,
-         arg_max(zone, [ep, event_id]) AS d_zone
-  FROM t GROUP BY user_id, sid
+  SELECT o.user_id, o.sid, o.zone AS o_zone, d.zone AS d_zone
+  FROM (SELECT user_id, sid, zone FROM r WHERE ra = 1) o
+  JOIN (SELECT user_id, sid, zone FROM r WHERE rd = 1) d
+    USING (user_id, sid)
 )
 SELECT CAST(o_zone AS BIGINT) AS o_zone, CAST(d_zone AS BIGINT) AS d_zone,
        CAST(count(*) AS BIGINT) AS n_trips
@@ -22807,3 +22813,328 @@ def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@q(
+    "robots_txt_filter",
+    oracle="""
+WITH rules(rule_id, prefix, allow) AS (VALUES
+  (1, '/private', 0), (2, '/tmp', 0), (3, '/api', 0),
+  (4, '/api/public', 1), (5, '/static/gen', 0), (6, '/private/policy', 1)
+),
+urls AS (
+  SELECT doc_id,
+         '/' || ['home', 'private', 'api', 'static', 'tmp'][(doc_id % 5) + 1]
+         || '/' || ['page', 'public', 'gen', 'policy'][(doc_id % 4) + 1]
+         || '/' || CAST(doc_id % 97 AS VARCHAR) AS path
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, path, string_split(path, '/') AS seg FROM urls
+),
+pref AS (
+  SELECT doc_id, path, unnest(['/' || seg[2], '/' || seg[2] || '/' || seg[3]]) AS p
+  FROM parts
+),
+hits AS (
+  SELECT pref.doc_id, rules.rule_id, rules.allow, length(rules.prefix) AS plen
+  FROM pref JOIN rules ON pref.p = rules.prefix
+),
+ranked AS (
+  SELECT doc_id, rule_id, allow,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY plen DESC, allow DESC, rule_id) AS rn
+  FROM hits
+),
+best AS (SELECT doc_id, rule_id, allow FROM ranked WHERE rn = 1),
+verdict AS (
+  SELECT u.doc_id, COALESCE(b.rule_id, 0) AS rule_id, COALESCE(b.allow, 1) AS allow
+  FROM urls u LEFT JOIN best b ON u.doc_id = b.doc_id
+)
+SELECT CAST(rule_id AS BIGINT) AS rule_id, CAST(allow AS BIGINT) AS allow,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM verdict GROUP BY rule_id, allow ORDER BY rule_id, allow
+""",
+)
+def q_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBOTS.TXT policy filter — the crawl-compliance gate every
+    Common-Crawl-style pipeline runs before fetching or keeping a
+    page: rules are (path prefix, allow/disallow) and the verdict is
+    LONGEST-PREFIX-MATCH (Google's documented robots semantics; an
+    Allow can carve an exception out of a broader Disallow, as
+    /api/public does inside /api here, ties break toward allow).
+    Scale shape: each url explodes to its own /-boundary prefixes and
+    meets the rule table on an EXACT string key — never `path LIKE
+    prefix || '%'`, which is a non-equi join Catalyst can only
+    nested-loop; the per-url fan-out is its segment depth, and the
+    winner is max_by over (prefix_len, allow) with no window. Rules
+    per host are naturally tiny and broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg1 = F.element_at(
+        F.array(F.lit("home"), F.lit("private"), F.lit("api"), F.lit("static"), F.lit("tmp")),
+        (F.col("doc_id") % 5).cast("int") + 1,
+    )
+    seg2 = F.element_at(
+        F.array(F.lit("page"), F.lit("public"), F.lit("gen"), F.lit("policy")),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("/"), seg1).alias("p1"),
+        F.concat(F.lit("/"), seg1, F.lit("/"), seg2).alias("p2"),
+    )
+    rules = spark.createDataFrame(
+        [
+            (1, "/private", 0),
+            (2, "/tmp", 0),
+            (3, "/api", 0),
+            (4, "/api/public", 1),
+            (5, "/static/gen", 0),
+            (6, "/private/policy", 1),
+        ],
+        "rule_id int, prefix string, allow int",
+    )
+    pref = urls.select(
+        "doc_id", F.explode(F.array("p1", "p2")).alias("p")
+    )
+    hits = pref.join(
+        F.broadcast(rules.withColumn("plen", F.length("prefix"))),
+        pref.p == rules.prefix,
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.max(F.struct("plen", "allow", (-F.col("rule_id")).alias("nr"), "rule_id")).alias("t")
+    )
+    verdict = urls.join(best, "doc_id", "left").select(
+        F.coalesce(F.col("t.rule_id"), F.lit(0)).alias("rule_id"),
+        F.coalesce(F.col("t.allow"), F.lit(1)).alias("allow"),
+    )
+    return (
+        verdict.groupBy("rule_id", "allow")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .select(
+            F.col("rule_id").cast("long").alias("rule_id"),
+            F.col("allow").cast("long").alias("allow"),
+            "n_urls",
+        )
+        .orderBy("rule_id", "allow")
+    )
+
+
+@q(
+    "cell_cover_compact",
+    oracle="""
+WITH h AS (
+  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 256 AS hh
+  FROM documents
+),
+l4 AS (SELECT DISTINCT hh // 16 AS cx, hh % 16 AS cy FROM h),
+p4 AS (SELECT cx // 2 AS px, cy // 2 AS py, count(*) AS k FROM l4 GROUP BY cx // 2, cy // 2),
+keep4 AS (
+  SELECT l4.cx, l4.cy FROM l4 JOIN p4 ON l4.cx // 2 = p4.px AND l4.cy // 2 = p4.py
+  WHERE p4.k < 4
+),
+l3 AS (SELECT px AS cx, py AS cy FROM p4 WHERE k = 4),
+p3 AS (SELECT cx // 2 AS px, cy // 2 AS py, count(*) AS k FROM l3 GROUP BY cx // 2, cy // 2),
+keep3 AS (
+  SELECT l3.cx, l3.cy FROM l3 JOIN p3 ON l3.cx // 2 = p3.px AND l3.cy // 2 = p3.py
+  WHERE p3.k < 4
+),
+l2 AS (SELECT px AS cx, py AS cy FROM p3 WHERE k = 4),
+p2 AS (SELECT cx // 2 AS px, cy // 2 AS py, count(*) AS k FROM l2 GROUP BY cx // 2, cy // 2),
+keep2 AS (
+  SELECT l2.cx, l2.cy FROM l2 JOIN p2 ON l2.cx // 2 = p2.px AND l2.cy // 2 = p2.py
+  WHERE p2.k < 4
+),
+l1 AS (SELECT px AS cx, py AS cy FROM p2 WHERE k = 4),
+compact AS (
+  SELECT 4 AS d, cx, cy FROM keep4
+  UNION ALL SELECT 3, cx, cy FROM keep3
+  UNION ALL SELECT 2, cx, cy FROM keep2
+  UNION ALL SELECT 1, cx, cy FROM l1
+)
+SELECT CAST(d AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE d WHEN 4 THEN 1 WHEN 3 THEN 4 WHEN 2 THEN 16 ELSE 64 END) AS BIGINT)
+         AS area_units
+FROM compact GROUP BY d ORDER BY depth
+""",
+)
+def q_cell_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CELL-COVER COMPACTION (H3/S2 `compact`) — the inverse move to
+    quadtree_decompose and the reason hierarchical cell indexes stay
+    small: whenever all 4 sibling cells of a parent are present in a
+    cover, the parent replaces them, applied bottom-up (depth 4 -> 1
+    on a 16x16 leaf grid). Each round is ONE groupBy on the parent
+    key (count==4 promotes) + one equi join back to split keepers
+    from promoted children — tree-height-bounded rounds of
+    well-distributed shuffles, no recursion and no driver state.
+    area_units proves the compaction invariant the gate hashes: the
+    compacted cover spans exactly the same area as the input leaves
+    (a lost or duplicated child would break the sum)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cur = docs.select(
+        (F.expr("conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10)")
+         .cast("long") % 256).alias("hh")
+    ).select(
+        F.expr("hh div 16").alias("cx"), F.expr("hh % 16").alias("cy")
+    ).distinct()
+    out_parts = []
+    for d in (4, 3, 2):
+        par = cur.groupBy(
+            F.expr("cx div 2").alias("px"), F.expr("cy div 2").alias("py")
+        ).agg(F.count(F.lit(1)).alias("k"))
+        keep = (
+            cur.join(
+                par,
+                (F.expr("cx div 2") == par.px) & (F.expr("cy div 2") == par.py),
+            )
+            .filter(F.col("k") < 4)
+            .select("cx", "cy")
+            .withColumn("d", F.lit(d))
+        )
+        out_parts.append(keep)
+        cur = par.filter(F.col("k") == 4).select(
+            F.col("px").alias("cx"), F.col("py").alias("cy")
+        )
+    out_parts.append(cur.withColumn("d", F.lit(1)))
+    compact = out_parts[0].unionByName(out_parts[1]).unionByName(
+        out_parts[2]
+    ).unionByName(out_parts[3])
+    area = (
+        F.when(F.col("d") == 4, 1)
+        .when(F.col("d") == 3, 4)
+        .when(F.col("d") == 2, 16)
+        .otherwise(64)
+    )
+    return (
+        compact.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(area).cast("long").alias("area_units"),
+        )
+        .select(F.col("d").cast("long").alias("depth"), "n_cells", "area_units")
+        .orderBy("depth")
+    )
+
+
+@q(
+    "t_closeness_check",
+    oracle="""
+WITH ev AS (
+  SELECT DISTINCT event_id, user_id % 20 AS age_bucket,
+         (event_id * 7) % 5 AS region,
+         CAST(round(value * 100) AS BIGINT) % 20 AS sv
+  FROM events
+),
+spine AS (SELECT unnest(range(20)) AS sv),
+gv AS (
+  SELECT age_bucket, region, sv, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY age_bucket, region, sv
+),
+groups AS (SELECT DISTINCT age_bucket, region FROM ev),
+full_gv AS (
+  SELECT g.age_bucket, g.region, s.sv, COALESCE(gv.n, 0) AS n
+  FROM groups g CROSS JOIN spine s
+  LEFT JOIN gv ON gv.age_bucket = g.age_bucket AND gv.region = g.region AND gv.sv = s.sv
+),
+cums AS (
+  SELECT age_bucket, region, sv,
+         sum(n) OVER (PARTITION BY age_bucket, region ORDER BY sv
+                      ROWS UNBOUNDED PRECEDING) AS cum_g,
+         sum(n) OVER (PARTITION BY age_bucket, region) AS n_g
+  FROM full_gv
+),
+gl AS (
+  SELECT sv, sum(n) AS gn FROM full_gv GROUP BY sv
+),
+glc AS (
+  SELECT sv, sum(gn) OVER (ORDER BY sv ROWS UNBOUNDED PRECEDING) AS cum_all,
+         sum(gn) OVER () AS n_all
+  FROM gl
+),
+emd AS (
+  SELECT c.age_bucket, c.region, max(c.n_g) AS group_n,
+         CAST(sum(abs(g.n_all * c.cum_g - c.n_g * g.cum_all)) AS BIGINT) AS emd_scaled,
+         CAST(max(19 * c.n_g * g.n_all) AS BIGINT) AS t_den
+  FROM cums c JOIN glc g ON c.sv = g.sv
+  GROUP BY c.age_bucket, c.region
+)
+SELECT CAST(age_bucket AS BIGINT) AS age_bucket, CAST(region AS BIGINT) AS region,
+       CAST(group_n AS BIGINT) AS group_n, emd_scaled,
+       CAST(CASE WHEN 10 * emd_scaled > t_den THEN 1 ELSE 0 END AS BIGINT) AS violates_t
+FROM emd ORDER BY age_bucket, region
+""",
+)
+def q_t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS AUDIT — the third rung of the anonymity ladder
+    (k_anonymity_suppress counts group sizes, l_diversity_check counts
+    distinct sensitive values; t-closeness bounds how far a group's
+    sensitive DISTRIBUTION drifts from the global one, catching the
+    skewed-but-diverse leak the other two miss). Distance is the 1D
+    Wasserstein/EMD over the ordered sensitive domain, kept EXACT by
+    cross-multiplying the two CDFs to a common integer denominator:
+    emd_scaled = sum_v |n_all*cumG_v - n_g*cumAll_v|, and the t>0.1
+    verdict is the integer comparison 10*emd > (m-1)*n_g*n_all — no
+    float division anywhere. Windows partition by group over the
+    20-value domain spine; the global CDF is a broadcast-sized side."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .distinct()
+        .select(
+            (F.col("user_id") % 20).alias("age_bucket"),
+            ((F.col("event_id") * 7) % 5).alias("region"),
+            (F.round(F.col("value") * 100).cast("long") % 20).alias("sv"),
+        )
+    )
+    spine = spark.range(20).select(F.col("id").alias("sv"))
+    gv = ev.groupBy("age_bucket", "region", "sv").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    groups = ev.select("age_bucket", "region").distinct()
+    full_gv = (
+        groups.crossJoin(F.broadcast(spine))
+        .join(gv, ["age_bucket", "region", "sv"], "left")
+        .select("age_bucket", "region", "sv", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    wg = Window.partitionBy("age_bucket", "region").orderBy("sv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("age_bucket", "region")
+    cums = full_gv.select(
+        "age_bucket",
+        "region",
+        "sv",
+        F.sum("n").over(wg).alias("cum_g"),
+        F.sum("n").over(wtot).alias("n_g"),
+    )
+    gl = full_gv.groupBy("sv").agg(F.sum("n").alias("gn"))
+    wa = Window.orderBy("sv").rowsBetween(Window.unboundedPreceding, 0)
+    # 20-row global CDF: the single-partition window is over the
+    # broadcast-sized value spine, not the data
+    glc = gl.select(
+        "sv",
+        F.sum("gn").over(wa).alias("cum_all"),
+    ).crossJoin(F.broadcast(gl.agg(F.sum("gn").alias("n_all"))))
+    emd = (
+        cums.join(F.broadcast(glc), "sv")
+        .groupBy("age_bucket", "region")
+        .agg(
+            F.max("n_g").cast("long").alias("group_n"),
+            F.sum(
+                F.abs(
+                    F.col("n_all") * F.col("cum_g") - F.col("n_g") * F.col("cum_all")
+                )
+            )
+            .cast("long")
+            .alias("emd_scaled"),
+            F.max(F.lit(19) * F.col("n_g") * F.col("n_all")).cast("long").alias("t_den"),
+        )
+    )
+    return emd.select(
+        F.col("age_bucket").cast("long").alias("age_bucket"),
+        F.col("region").cast("long").alias("region"),
+        "group_n",
+        "emd_scaled",
+        (F.lit(10) * F.col("emd_scaled") > F.col("t_den")).cast("long").alias("violates_t"),
+    ).orderBy("age_bucket", "region")

@@ -106,11 +106,23 @@ def main():
     import __spark_entry__ as E
     from osm_admin_boundary_conflation_spark.session import build_session
 
-    only = set(sys.argv[1:])
+    # Accept space- AND comma-separated names; ignore --flags. A name
+    # that is not in the registry is a HARD ERROR: a typo'd or
+    # comma-joined filter used to match nothing and print "all queries
+    # match their oracles" — a vacuous pass that looked like a real one.
+    only = {
+        n
+        for a in sys.argv[1:]
+        if not a.startswith("--")
+        for n in a.split(",")
+        if n
+    }
+    qs, oracles = E.queries(), E.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        raise SystemExit(f"unknown query names (not in registry): {unknown}")
     spark = build_session(app_name="driver-sim")
     materialize_worlds(spark, SF_DIR)
-
-    qs, oracles = E.queries(), E.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
