@@ -23138,3 +23138,63 @@ def q_t_closeness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emd_scaled",
         (F.lit(10) * F.col("emd_scaled") > F.col("t_den")).cast("long").alias("violates_t"),
     ).orderBy("age_bucket", "region")
+
+
+@q(
+    "douglas_peucker_simplify",
+    oracle="""
+WITH ways AS (SELECT DISTINCT doc_id AS way FROM documents WHERE doc_id % 12 = 5),
+corners AS (SELECT unnest(range(5)) AS c)
+SELECT CAST(way AS BIGINT) AS way_id,
+       CAST(c * 30 AS BIGINT) AS idx,
+       CAST(300 * ((c + 1) // 2) + way * 7 AS BIGINT) AS px,
+       CAST(300 * (c // 2) + way * 7 AS BIGINT) AS py
+FROM ways CROSS JOIN corners
+ORDER BY way_id, idx
+""",
+)
+def q_douglas_peucker_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUGLAS-PEUCKER simplification (the third member of the
+    simplification family next to simplify_collinear and the
+    Visvalingam rounds — DP is the one every GIS stack defaults to):
+    each way is a 121-point staircase of four 300-unit legs whose
+    interior points carry deterministic perpendicular jitter in
+    {-1,0,1} — far below the eps=10 tolerance — while the four corner
+    turns deviate by hundreds of units, so the ANALYTIC result of the
+    recursion is exactly the 5 corner points per way (the brute-force
+    parity property test covers arbitrary shapes; this gate pins the
+    closed-form case end to end). Plan: one groupBy(way_id) shuffle,
+    then the whole data-dependent recursion runs vectorized inside a
+    single Arrow group per way (operators/simplify_dp.py) — the
+    per-geometry grain that spreads a billion ways evenly."""
+    from .operators.simplify_dp import simplify_ways_dp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ways = docs.filter(F.col("doc_id") % 12 == 5).select(
+        F.col("doc_id").alias("way_id")
+    ).distinct()
+    pts = ways.crossJoin(
+        spark.range(121).select(F.col("id").alias("idx"))
+    ).select(
+        "way_id",
+        "idx",
+        F.expr(
+            """CASE WHEN (idx div 30) % 2 = 0
+                 THEN 300 * ((idx div 30 + 1) div 2) + 10 * (idx % 30)
+                 ELSE 300 * ((idx div 30 + 1) div 2)
+                      + (CASE WHEN idx % 30 = 0 THEN 0
+                              ELSE (idx * 7 + way_id) % 3 - 1 END)
+               END + way_id * 7"""
+        ).alias("px"),
+        F.expr(
+            """CASE WHEN (idx div 30) % 2 = 0
+                 THEN 300 * (idx div 30 div 2)
+                      + (CASE WHEN idx % 30 = 0 THEN 0
+                              ELSE (idx * 7 + way_id) % 3 - 1 END)
+                 ELSE 300 * (idx div 30 div 2) + 10 * (idx % 30)
+               END + way_id * 7"""
+        ).alias("py"),
+    )
+    from .operators.simplify_dp import simplify_ways_dp as _dp
+
+    return _dp(pts, eps=10.0).orderBy("way_id", "idx")
