@@ -23198,3 +23198,81 @@ def q_douglas_peucker_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.simplify_dp import simplify_ways_dp as _dp
 
     return _dp(pts, eps=10.0).orderBy("way_id", "idx")
+
+
+@q(
+    "stream_late_drop",
+    oracle=r"""
+WITH late AS (
+  SELECT CAST(count(DISTINCT epoch_us(ts) // 3600000000) AS BIGINT) AS n_late_w
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+),
+ontime AS (
+  SELECT epoch_us(ts) AS us FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+),
+wm AS (SELECT max(us) - 600000000 AS w FROM ontime),
+keepw AS (
+  SELECT us // 3600000000 AS h, count(*) AS n FROM ontime
+  GROUP BY us // 3600000000
+  HAVING (us // 3600000000) * 3600000000 + 3600000000 <= (SELECT w FROM wm)
+)
+SELECT CAST((SELECT count(*) FROM keepw) AS BIGINT) AS n_windows,
+       CAST((SELECT sum(n) FROM keepw) AS BIGINT) AS n_events_on_time,
+       (SELECT n_late_w FROM late) AS n_late_windows_dropped
+""",
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA DROPS, exercised for real (the one append-
+    mode behavior stream_window_counts cannot show, because its replay
+    is time-ordered): batch 1 delivers every day>=2 event, batch 2 is
+    an EMPTY spacer, and batch 3 delivers the held-back day-1
+    stragglers. The spacer matters — Spark filters late events with
+    the watermark of the PREVIOUS batch (the late-events watermark
+    lags the eviction watermark by one micro-batch, verified
+    empirically: a 2-batch replay admits the stragglers into state and
+    emits them with zero drops), so only at batch 3 has the day>=2
+    watermark taken effect for late filtering. The dropped counter is
+    the engine's own numRowsDroppedByWatermark, which counts
+    post-shuffle STATE rows (one per distinct late window per batch),
+    not input events — so the oracle pins it to the closed-form count
+    of distinct day-1 hour buckets, alongside the emitted window count
+    and on-time event total. A wrong watermark, a leaked late row, or
+    silent acceptance of stale data all fail the hash. Deterministic:
+    file replay order is pinned via mtimes and all stragglers arrive
+    in one batch. Reference: conflate.py processes a static snapshot
+    and has no late-data story; this is the streaming analogue of its
+    'skip stale input' resume semantics (conflate.py:101-116)."""
+    import os
+    import tempfile
+
+    from .streaming.stream_windows import stream_window_counts_with_drops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="stream_late_")
+    in_dir = os.path.join(tmp, "in")
+    ontime = ev.filter(F.col("ts") >= split)
+    ontime.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    b1 = {f for f in os.listdir(in_dir) if f.endswith(".parquet")}
+    ontime.limit(0).coalesce(1).write.mode("append").parquet(in_dir)
+    b2 = {f for f in os.listdir(in_dir) if f.endswith(".parquet")} - b1
+    ev.filter(F.col("ts") < split).coalesce(1).write.mode("append").parquet(in_dir)
+    # The file source replays oldest-modTime-first; sub-ms write spacing can
+    # tie (or even invert) the part files' mtimes, which would deliver the
+    # day-1 stragglers before the watermark exists. Pin the order explicitly.
+    base = 1_600_000_000
+    for f in os.listdir(in_dir):
+        if f.endswith(".parquet"):
+            t = base if f in b1 else (base + 100 if f in b2 else base + 200)
+            os.utime(os.path.join(in_dir, f), (t, t))
+
+    out_dir = os.path.join(tmp, "out")
+    dropped = stream_window_counts_with_drops(
+        spark, in_dir, out_dir, os.path.join(tmp, "ck")
+    )
+    emitted = spark.read.parquet(out_dir)
+    return emitted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("n_events").cast("long").alias("n_events_on_time"),
+    ).withColumn("n_late_windows_dropped", F.lit(int(dropped)).cast("long"))

@@ -53,3 +53,45 @@ def stream_window_counts(
         .start()
         .awaitTermination()
     )
+
+
+def stream_window_counts_with_drops(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    delay: str = "10 minutes",
+) -> int:
+    """Like stream_window_counts but grouped by window only, and
+    returns the total ``numRowsDroppedByWatermark`` across the run —
+    the engine-reported count of input rows that arrived AFTER the
+    watermark had passed their window and were therefore excluded
+    from state (the late-data drop semantics the append contract
+    implies but stream_window_counts never exercises, because its
+    replay is time-ordered)."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+    query = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    dropped = 0
+    for prog in query.recentProgress:
+        for op in prog.get("stateOperators") or []:
+            dropped += int(op.get("numRowsDroppedByWatermark") or 0)
+    return dropped
