@@ -23276,3 +23276,165 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_windows"),
         F.sum("n_events").cast("long").alias("n_events_on_time"),
     ).withColumn("n_late_windows_dropped", F.lit(int(dropped)).cast("long"))
+
+
+@q(
+    "stream_restart_exactly_once",
+    oracle=r"""
+WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+wm AS (SELECT max(us) - 600000000 AS w FROM e),
+k AS (
+  SELECT us // 3600000000 AS h, event_type, count(*) AS n FROM e
+  GROUP BY us // 3600000000, event_type
+  HAVING (us // 3600000000) * 3600000000 + 3600000000 <= (SELECT w FROM wm)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) AS BIGINT) AS n_windows_distinct,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM k
+""",
+)
+def q_stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE ACROSS A RESTART: the windowed-count stream is
+    drained in TWO separate AvailableNow runs against the SAME
+    checkpoint — run 1 sees the first half of the time-split files,
+    terminates (its flush batch emits every window its partial
+    watermark has passed), then the second half of the files lands and
+    run 2 resumes from the checkpoint. Correct recovery must (a) skip
+    the already-processed files (file-source log), (b) restore the
+    watermark and window state from the commit log, and (c) append
+    only never-emitted windows to the sink (sink metadata log). The
+    gate compares the UNION of both runs' output to the single-run
+    closed form (every hour window ending at or before global max
+    event time minus the 10-minute allowance) and pins
+    count == distinct-count so any duplicate or re-emitted window
+    fails. Mirrors the batch resume contract (plans/checkpoint.py,
+    reference conflate.py:101-116) in Structured Streaming form."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.stream_windows import stream_window_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="stream_restart_")
+    in_dir = os.path.join(tmp, "in")
+    os.makedirs(in_dir)
+    cuts = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+    # stage each time-slice, then place its single part file under a pinned
+    # name + mtime so the file source replays oldest-first deterministically
+    base = 1_600_000_000
+    staged = []
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi is not None:
+            part = part.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
+        stage = os.path.join(tmp, f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(in_dir, f"slice{i}.parquet")
+        staged.append((os.path.join(stage, src), dst, base + 100 * i))
+    out_dir = os.path.join(tmp, "out")
+    ck = os.path.join(tmp, "ck")
+    for src, dst, mt in staged[:2]:
+        shutil.copyfile(src, dst)
+        os.utime(dst, (mt, mt))
+    stream_window_counts(spark, in_dir, out_dir, ck)  # run 1: first half only
+    for src, dst, mt in staged[2:]:
+        shutil.copyfile(src, dst)
+        os.utime(dst, (mt, mt))
+    stream_window_counts(spark, in_dir, out_dir, ck)  # run 2: resume, new files
+    sink = spark.read.parquet(out_dir)
+    return sink.agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.countDistinct("window_start", "event_type")
+        .cast("long")
+        .alias("n_windows_distinct"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+@q(
+    "stream_left_outer_join",
+    oracle=r"""
+WITH a AS (
+  SELECT user_id, epoch_us(ts) AS a_us, event_id AS a_id
+  FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT user_id, epoch_us(ts) AS b_us, event_id AS b_id
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT least((SELECT (max(a_us) // 1000) * 1000 FROM a),
+               (SELECT (max(b_us) // 1000) * 1000 FROM b)) - 600000000 AS w
+),
+pairs AS (
+  SELECT a.user_id, a.a_id, b.b_id, b.b_us - a.a_us AS lag_us
+  FROM a JOIN b ON a.user_id = b.user_id
+   AND b.b_us >= a.a_us AND b.b_us <= a.a_us + 86400000000
+),
+nulls AS (
+  SELECT a_id FROM a
+  WHERE a_id NOT IN (SELECT a_id FROM pairs)
+    AND a_us + 86400000000 <= (SELECT w FROM wm)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM nulls) AS n_null_clicks,
+       (SELECT CAST(sum(lag_us) AS BIGINT) FROM pairs) AS sum_lag_us,
+       (SELECT CAST(count(DISTINCT a_id) AS BIGINT) FROM pairs) AS n_clicks_matched
+""",
+)
+def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantics the
+    inner gate cannot show: a click with no purchase inside its 24h
+    horizon must be emitted exactly once WITH A NULL purchase side,
+    and only once the watermark has fully passed its horizon (state
+    eviction time), while clicks whose horizon the final watermark
+    never passes are withheld entirely. The null-emission boundary was
+    pinned empirically: eviction uses the CURRENT batch's global
+    watermark (min of the two per-stream watermarks, each max event
+    time ms-truncated minus the allowance) — the oracle reproduces it
+    exactly in integer microseconds (ms-floor included, so a sub-ms
+    max-timestamp component cannot shift the boundary). Matched pairs
+    equal the batch inner join because the replay is time-ordered (see
+    streaming/stream_join.py for the state-eviction argument)."""
+    import os
+    import tempfile
+
+    from .streaming.stream_join import stream_click_purchase_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="stream_lo_")
+    in_dir = os.path.join(tmp, "in")
+    ev.filter(F.col("ts") < split).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    b1 = {f for f in os.listdir(in_dir) if f.endswith(".parquet")}
+    ev.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(in_dir)
+    base = 1_600_000_000
+    for f in os.listdir(in_dir):
+        if f.endswith(".parquet"):
+            t = base if f in b1 else base + 100
+            os.utime(os.path.join(in_dir, f), (t, t))
+
+    out_dir = os.path.join(tmp, "out")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_click_purchase_join(
+            spark, in_dir, out_dir, os.path.join(tmp, "ck"), how="leftOuter"
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    sink = spark.read.parquet(out_dir)
+    return sink.agg(
+        F.sum(F.col("b_id").isNotNull().cast("long")).alias("n_pairs"),
+        F.sum(F.col("b_id").isNull().cast("long")).alias("n_null_clicks"),
+        F.sum("lag_us").alias("sum_lag_us"),
+        F.countDistinct(F.when(F.col("b_id").isNotNull(), F.col("a_id")))
+        .cast("long")
+        .alias("n_clicks_matched"),
+    )

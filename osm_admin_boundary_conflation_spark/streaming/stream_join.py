@@ -37,9 +37,18 @@ def stream_click_purchase_join(
     checkpoint_dir: str,
     horizon: str = "24 hours",
     delay: str = "10 minutes",
+    how: str = "inner",
 ) -> None:
     """Join the click stream to the purchase stream per user within
-    `horizon`, append the pairs to a parquet sink, drain AvailableNow."""
+    `horizon`, append the pairs to a parquet sink, drain AvailableNow.
+
+    how="leftOuter" adds the null-extension contract: a click whose
+    24h match horizon the watermark has fully passed with no purchase
+    seen is emitted exactly once with a NULL purchase side, at state
+    eviction time (the watermark is the min across the two streams'
+    per-side watermarks under the default multipleWatermarkPolicy).
+    Clicks whose horizon the final watermark never passes are
+    withheld — the price of exactly-once append emission."""
 
     def side(event_type: str, prefix: str):
         return (
@@ -62,7 +71,7 @@ def stream_click_purchase_join(
         (F.col("a_user") == F.col("b_user"))
         & (F.col("b_ts") >= F.col("a_ts"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        how,
     ).select(
         F.col("a_user").alias("user_id"),
         "a_id",
