@@ -23438,3 +23438,157 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_clicks_matched"),
     )
+
+
+@q(
+    "suffix_array_doubling",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, substr(text,1,64) AS t FROM documents
+  WHERE length(substr(text,1,64)) > 0
+),
+s AS (
+  SELECT doc_id, l.i AS pos, substr(t, l.i) AS suf
+  FROM d, LATERAL (SELECT unnest(range(1, length(t)+1)) AS i) AS l
+),
+r AS (
+  SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id ORDER BY suf) AS rk
+  FROM s
+)
+SELECT doc_id % 16 AS bucket,
+       CAST(sum(pos * rk) AS BIGINT) AS sa_checksum,
+       CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM r GROUP BY doc_id % 16
+ORDER BY bucket
+""",
+)
+def q_suffix_array_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SUFFIX ARRAY by prefix doubling (Manber-Myers,
+    operators/suffix_array.py): six lead+dense_rank window rounds over
+    integer ranks build the per-document suffix order in O(L log L)
+    integer rows — the oracle instead materializes every suffix STRING
+    and sorts them (O(L^2) bytes, affordable only at gate scale), so
+    the two sides compute the same permutation by structurally
+    different algorithms. The checksum sum(pos * rank) over each
+    doc-bucket pins the entire permutation (any transposition changes
+    it). Exact integers throughout."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .operators.suffix_array import suffix_array
+
+    sa = suffix_array(docs.select("doc_id", "text"), max_len=64)
+    return (
+        sa.groupBy((F.col("doc_id") % 16).alias("bucket"))
+        .agg(
+            F.sum(F.col("pos") * F.col("sa_rank")).alias("sa_checksum"),
+            F.count(F.lit(1)).alias("n_pos"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "haar_wavelet_roundtrip",
+    oracle=r"""
+WITH c0 AS (
+  SELECT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS i,
+         count(*) AS v
+  FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+    AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 32
+  GROUP BY 1, 2
+),
+users AS (SELECT DISTINCT user_id FROM c0),
+grid AS (
+  SELECT u.user_id, g.i, COALESCE(c0.v, 0) AS v
+  FROM users u
+  CROSS JOIN (SELECT unnest(range(32)) AS i) g
+  LEFT JOIN c0 ON c0.user_id = u.user_id AND c0.i = g.i
+),
+l1 AS (
+  SELECT user_id, i // 2 AS ip,
+         (sum(CASE WHEN i % 2 = 0 THEN v END) + sum(CASE WHEN i % 2 = 1 THEN v END)) // 2 AS s,
+         sum(CASE WHEN i % 2 = 0 THEN v END) - sum(CASE WHEN i % 2 = 1 THEN v END) AS d
+  FROM grid GROUP BY user_id, i // 2
+),
+l2 AS (
+  SELECT user_id, ip // 2 AS ip2,
+         (sum(CASE WHEN ip % 2 = 0 THEN s END) + sum(CASE WHEN ip % 2 = 1 THEN s END)) // 2 AS s,
+         sum(CASE WHEN ip % 2 = 0 THEN s END) - sum(CASE WHEN ip % 2 = 1 THEN s END) AS d
+  FROM l1 GROUP BY user_id, ip // 2
+),
+l3 AS (
+  SELECT user_id, ip2 // 2 AS ip3,
+         (sum(CASE WHEN ip2 % 2 = 0 THEN s END) + sum(CASE WHEN ip2 % 2 = 1 THEN s END)) // 2 AS s,
+         sum(CASE WHEN ip2 % 2 = 0 THEN s END) - sum(CASE WHEN ip2 % 2 = 1 THEN s END) AS d
+  FROM l2 GROUP BY user_id, ip2 // 2
+)
+SELECT CAST((SELECT count(*) FROM users) AS BIGINT) AS n_users,
+       CAST((SELECT count(*) FROM users) AS BIGINT) AS n_exact_roundtrip,
+       CAST((SELECT sum(abs(d)) FROM l1) AS BIGINT) AS energy_d1,
+       CAST((SELECT sum(abs(d)) FROM l2) AS BIGINT) AS energy_d2,
+       CAST((SELECT sum(abs(d)) FROM l3) AS BIGINT) AS energy_d3,
+       CAST((SELECT sum(s) FROM l3) AS BIGINT) AS sum_s3
+""",
+)
+def q_haar_wavelet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Haar wavelet (S-transform, operators/wavelet.py): each
+    user's January daily-count series (padded to 32 slots) is
+    decomposed through THREE lifting levels as JVM transform()
+    expressions over one array column per user — no explode, no
+    per-level shuffle — then reconstructed through the exact integer
+    inverse; n_exact_roundtrip == n_users pins losslessness (the
+    engine compares reconstructed == original arrays; the oracle
+    supplies the closed-form expectation), and the per-level absolute
+    detail energies + coarsest smooth sum pin the coefficients
+    themselves against the oracle's three unrolled halving stages.
+    All divisions have non-negative dividends (the inverse shifts the
+    signed detail by 2^40), so floor-vs-truncate div semantics cannot
+    diverge cross-engine."""
+    from .operators.wavelet import haar_forward, haar_inverse
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day0 = F.lit("2024-01-01").cast("date")
+    c0 = (
+        ev.select(
+            "user_id", F.datediff(F.col("ts").cast("date"), day0).alias("i")
+        )
+        .filter((F.col("i") >= 0) & (F.col("i") < 32))
+        .groupBy("user_id", "i")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    # dense 32-slot series per user as ONE array column: scatter counts
+    # into a map, read the map over a fixed index sequence
+    series = c0.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("i", "v"))).alias("m")
+    ).select(
+        "user_id",
+        F.expr(
+            "transform(sequence(0, 31), i -> coalesce(element_at(m, i), 0L))"
+        ).alias("a"),
+    )
+    s1, d1 = haar_forward("a", 16)
+    lvl1 = series.select("user_id", "a", s1.alias("s1"), d1.alias("d1"))
+    s2, d2 = haar_forward("s1", 8)
+    lvl2 = lvl1.select("*", s2.alias("s2"), d2.alias("d2"))
+    s3, d3 = haar_forward("s2", 4)
+    lvl3 = lvl2.select("*", s3.alias("s3"), d3.alias("d3"))
+    r2 = haar_inverse("s3", "d3", 4)
+    rec2 = lvl3.select("*", r2.alias("rs2"))
+    r1 = haar_inverse("rs2", "d2", 8)
+    rec1 = rec2.select("*", r1.alias("rs1"))
+    r0 = haar_inverse("rs1", "d1", 16)
+    full = rec1.select("*", r0.alias("ra"))
+
+    def abssum(col: str) -> F.Column:
+        return F.expr(f"aggregate({col}, 0L, (acc, x) -> acc + abs(x))")
+
+    return full.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum((F.col("ra") == F.col("a")).cast("long")).alias("n_exact_roundtrip"),
+        F.sum(abssum("d1")).alias("energy_d1"),
+        F.sum(abssum("d2")).alias("energy_d2"),
+        F.sum(abssum("d3")).alias("energy_d3"),
+        F.sum(F.expr("aggregate(s3, 0L, (acc, x) -> acc + x)")).alias("sum_s3"),
+    )
