@@ -23592,3 +23592,196 @@ def q_haar_wavelet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(abssum("d3")).alias("energy_d3"),
         F.sum(F.expr("aggregate(s3, 0L, (acc, x) -> acc + x)")).alias("sum_s3"),
     )
+
+
+@q(
+    "decision_tree_table_inference",
+    oracle=r"""
+WITH f AS (
+  SELECT CAST(round(CAST(o_totalprice AS DOUBLE)*100) AS BIGINT) AS f0,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS f1,
+         o_custkey % 97 AS f2
+  FROM orders
+),
+lab AS (
+  SELECT f0, CASE WHEN f0 < 15000000 THEN
+               CASE WHEN f1 < 1200 THEN
+                 CASE WHEN f0 < 5000000 THEN 8 ELSE 9 END
+               ELSE CASE WHEN f2 < 20 THEN 10 ELSE 11 END END
+             ELSE CASE WHEN f2 < 48 THEN
+                 CASE WHEN f1 < 2000 THEN 12 ELSE 13 END
+               ELSE CASE WHEN f0 < 30000000 THEN 14 ELSE 15 END END END AS leaf
+  FROM f
+)
+SELECT CAST(leaf AS BIGINT) AS leaf,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(f0) AS BIGINT) AS sum_f0
+FROM lab GROUP BY leaf ORDER BY leaf
+""",
+)
+def q_decision_tree_table_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree inference where the MODEL IS DATA: the tree lives
+    in a node TABLE (node_id, feature, threshold, left, right) — the
+    shape a model registry or PMML import produces — and scoring is an
+    iterative pointer walk: depth rounds of broadcast-joining the
+    current node id against the node table and branching on the
+    row's feature value. The oracle compiles the same tree to a static
+    nested CASE, so the two sides share nothing structurally: a wrong
+    child pointer, feature index, or threshold comparison in the walk
+    diverges from the compiled form. Broadcast of a ~15-row dim per
+    round is the 100 TB shape (model size is independent of data
+    size); depth rounds = 3 joins, no shuffle of the fact side.
+    Exact integer features (price cents, epoch-day, custkey mod)."""
+    o = datagen._read(spark, sf_dir, "orders")
+    f = o.select(
+        F.expr("cast(round(cast(o_totalprice as double)*100) as bigint)").alias("f0"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("f1"),
+        (F.col("o_custkey") % 97).alias("f2"),
+    )
+    # (node_id, feature, threshold, left, right); leaves are ids 8..15
+    nodes = spark.createDataFrame(
+        [
+            (1, 0, 15000000, 2, 3),
+            (2, 1, 1200, 4, 5),
+            (3, 2, 48, 6, 7),
+            (4, 0, 5000000, 8, 9),
+            (5, 2, 20, 10, 11),
+            (6, 1, 2000, 12, 13),
+            (7, 0, 30000000, 14, 15),
+        ],
+        "node_id long, feature int, threshold long, left long, right long",
+    )
+    cur = f.withColumn("cur", F.lit(1).cast("long"))
+    for _ in range(3):  # uniform depth-3 walk: every row lands on a leaf
+        n = F.broadcast(nodes)
+        cur = (
+            cur.join(n, cur.cur == n.node_id, "inner")
+            .withColumn(
+                "fv",
+                F.when(F.col("feature") == 0, F.col("f0"))
+                .when(F.col("feature") == 1, F.col("f1"))
+                .otherwise(F.col("f2")),
+            )
+            .withColumn(
+                "cur2",
+                F.when(F.col("fv") < F.col("threshold"), F.col("left")).otherwise(
+                    F.col("right")
+                ),
+            )
+            .select("f0", "f1", "f2", F.col("cur2").alias("cur"))
+        )
+    return (
+        cur.groupBy(F.col("cur").alias("leaf"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("f0").alias("sum_f0"))
+        .orderBy("leaf")
+    )
+
+
+@q(
+    "semdedup_clusters",
+    oracle=r"""
+WITH base AS (
+  SELECT vec_id, label, generate_subscripts(embedding,1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE)*100) AS BIGINT) AS q
+  FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id, label, i,
+         CASE WHEN i >= 61 THEN 0 ELSE q END AS q
+  FROM base WHERE vec_id % 5 = 0
+),
+ev AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+norms AS (SELECT vec_id, label, sum(q*q) AS n2 FROM ev GROUP BY vec_id, label),
+dots AS (
+  SELECT x.vec_id AS ia, y.vec_id AS ib, x.label, sum(x.q*y.q) AS d
+  FROM ev x JOIN ev y ON x.label=y.label AND x.i=y.i AND x.vec_id<y.vec_id
+  GROUP BY x.vec_id, y.vec_id, x.label
+),
+dup AS (
+  SELECT DISTINCT dots.ib AS vec_id
+  FROM dots JOIN norms a ON a.vec_id=dots.ia JOIN norms b ON b.vec_id=dots.ib
+  WHERE d >= 0 AND 100*d*d >= 81*a.n2*b.n2
+),
+kept AS (
+  SELECT n.vec_id, n.label FROM norms n
+  WHERE n.vec_id NOT IN (SELECT vec_id FROM dup)
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST((SELECT count(*) FROM norms n2 WHERE n2.label = kept.label)
+            - count(*) AS BIGINT) AS n_dropped,
+       CAST(sum(vec_id) AS BIGINT) AS kept_checksum
+FROM kept GROUP BY label ORDER BY label
+""",
+)
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, order-based
+    variant): within each embedding cluster, a vector is dropped iff
+    some LOWER-ID vector in the same cluster is cosine-similar above
+    0.9 — the deterministic form of the paper's keep-one-per-
+    semantic-group rule, with the kmeans cluster id played by the
+    `label` column (cluster training itself is gated separately by
+    kmeans_clusters). The corpus plants a near-duplicate for every
+    fifth vector (last 4 of 64 dims zeroed, ~6% energy loss, cos
+    ~0.97) so both branches fire: planted copies drop against their
+    originals, genuinely distant pairs survive, and tail-heavy
+    vectors whose zeroed dims carried >19% energy stay below the
+    threshold (the data contains such a survivor — both sides must
+    agree on it). Cosine >= 0.9 is evaluated in EXACT integers on
+    centi-quantized components via cross-multiplication
+    (100*d^2 >= 81*|a|^2*|b|^2, d >= 0). Scale shape: the pairwise
+    stage is confined within clusters (bounded by construction — the
+    SemDeDup contract), expressed as a zip_with dot over a
+    same-label self-join; no global quadratic pass."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qcol = F.expr(
+        "transform(embedding, c -> cast(round(cast(c as double)*100) as bigint))"
+    )
+    base = emb.select("vec_id", "label", qcol.alias("q"))
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(q, (c, i) -> case when i >= 60 then 0L else c end)"
+        ).alias("q"),
+    )
+    ev = base.unionByName(planted)
+    withn = ev.withColumn(
+        "n2", F.expr("aggregate(q, 0L, (acc, x) -> acc + x*x)")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+        F.col("q").alias("qa"), F.col("n2").alias("na"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
+        F.col("q").alias("qb"), F.col("n2").alias("nb"),
+    )
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("ia") < F.col("ib")))
+    dup = (
+        pairs.withColumn(
+            "d", F.expr("aggregate(zip_with(qa, qb, (x, y) -> x*y), 0L, (acc, x) -> acc + x)")
+        )
+        .filter(
+            (F.col("d") >= 0)
+            & (100 * F.col("d") * F.col("d") >= 81 * F.col("na") * F.col("nb"))
+        )
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+    )
+    kept = withn.join(dup, "vec_id", "left_anti")
+    totals = withn.groupBy("label").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("vec_id").alias("kept_checksum"))
+        .join(F.broadcast(totals), "label")
+        .select(
+            "label",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+            "kept_checksum",
+        )
+        .orderBy("label")
+    )

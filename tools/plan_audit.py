@@ -65,6 +65,9 @@ HARNESS = {
     "snapshot_manifest_log",
     "snapshot_rollback",
     "snapshot_expire",
+    "stream_late_drop",
+    "stream_restart_exactly_once",
+    "stream_left_outer_join",
 }
 
 
