@@ -680,3 +680,73 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 20) -> DataFrame:
         if n_new == 0:
             return sup
     raise RuntimeError(f"k_truss did not stabilize in {max_rounds} rounds")
+
+
+def nearest_facility(
+    edges: DataFrame, facilities: list[int], max_rounds: int = 20
+) -> DataFrame:
+    """Network Voronoi: label every node with its nearest facility by
+    shortest-path distance over the road graph — multi-source
+    Bellman-Ford carrying a (dist, facility) struct whose per-node MIN
+    settles both the distance and the deterministic tiebreak (equal
+    distances -> smallest facility id) in one aggregation.
+
+    edges: (src, dst, w) DIRECTED, w bigint >= 0. Returns
+    (id, dist, facility) for every node reachable from any facility.
+
+    The loop is sssp()'s round shape (one Observation-folded job per
+    round, lineage cut per round, convergence raises on exhaustion);
+    the only algebraic change is min over structs instead of min over
+    longs — which is why network Voronoi costs the same as one SSSP
+    regardless of facility count, the property that makes it the
+    100 TB shape (k independent SSSPs would be k full traversals).
+    """
+    from pyspark.sql import Observation
+
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col("w").cast("long")
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    best = spark.createDataFrame(
+        [(int(f), 0, int(f)) for f in facilities], "id long, dist long, fac long"
+    ).localCheckpoint(eager=True)
+    changed = None
+    for _ in range(max_rounds):
+        cand = best.join(e, best.id == e.src).select(
+            F.col("dst").alias("id"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            F.col("fac"),
+            F.lit(0).alias("is_old"),
+        )
+        obs = Observation()
+        new = (
+            best.select("id", "dist", "fac", F.lit(1).alias("is_old"))
+            .unionByName(cand)
+            .groupBy("id")
+            .agg(
+                F.min(F.struct("dist", "fac")).alias("b"),
+                F.min(
+                    F.when(F.col("is_old") == 1, F.struct("dist", "fac"))
+                ).alias("old_b"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("old_b").isNull() | (F.col("b") < F.col("old_b"))).cast(
+                        "long"
+                    )
+                ).alias("changed"),
+            )
+            .select("id", F.col("b.dist").alias("dist"), F.col("b.fac").alias("fac"))
+            .localCheckpoint(eager=True)
+        )
+        changed = obs.get["changed"] or 0
+        best = new
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"nearest_facility did not converge in {max_rounds} rounds "
+            f"({changed} labels still improving) — raise max_rounds"
+        )
+    return best.select("id", "dist", F.col("fac").alias("facility"))

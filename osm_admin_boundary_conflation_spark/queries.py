@@ -23785,3 +23785,161 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@q(
+    "network_voronoi",
+    oracle=r"""
+WITH RECURSIVE e AS (
+  SELECT u AS src, (2 * u) % 256 AS dst, u % 5 + 1 AS w
+  FROM (SELECT unnest(range(256)) AS u)
+  UNION ALL
+  SELECT u, (2 * u + 1) % 256, u % 3 + 2
+  FROM (SELECT unnest(range(256)) AS u)
+),
+r AS (
+  SELECT CAST(f AS BIGINT) AS id, CAST(f AS BIGINT) AS fac,
+         CAST(0 AS BIGINT) AS d, 0 AS hop
+  FROM (VALUES (0), (17), (85)) t(f)
+  UNION
+  SELECT e.dst, r.fac, r.d + e.w, r.hop + 1
+  FROM r JOIN e ON e.src = r.id
+  WHERE r.hop < 13
+),
+best AS (SELECT id, min(d) AS dist FROM r GROUP BY id)
+SELECT r.id, best.dist, CAST(min(r.fac) AS BIGINT) AS facility
+FROM r JOIN best ON best.id = r.id AND best.dist = r.d
+GROUP BY r.id, best.dist
+ORDER BY r.id
+""",
+)
+def q_network_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NETWORK VORONOI (nearest-facility assignment over the road
+    graph, operators/graph.nearest_facility): multi-source
+    Bellman-Ford carrying a (dist, facility) struct whose per-node min
+    settles distance and the smallest-facility tiebreak in one
+    aggregation — one SSSP's cost regardless of facility count, vs the
+    oracle's per-facility 13-hop recursive CTE + argmin. Offline
+    Dijkstra pins every winning facility's tightest optimal path at
+    <= 10 edges, so the CTE cap (13) and engine max_rounds (14) are
+    both strict supersets and the capped enumeration contains every
+    row the argmin needs. 256-node shuffle-exchange graph, exact
+    integer weights; all 256 nodes reachable."""
+    from .operators.graph import nearest_facility
+
+    u = F.col("id")
+    e1 = spark.range(256).select(
+        u.alias("src"), ((u * 2) % 256).alias("dst"), (u % 5 + 1).alias("w")
+    )
+    e2 = spark.range(256).select(
+        u.alias("src"), ((u * 2 + 1) % 256).alias("dst"), (u % 3 + 2).alias("w")
+    )
+    return nearest_facility(
+        e1.unionByName(e2), facilities=[0, 17, 85], max_rounds=14
+    ).orderBy("id")
+
+
+@q(
+    "lttb_downsample",
+    oracle=r"""
+WITH c0 AS (
+  SELECT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         count(*) AS y
+  FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+    AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 32
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT user_id, x // 4 AS bkt, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy
+  FROM c0 GROUP BY user_id, x // 4
+),
+cand AS (
+  SELECT c.user_id, c.x // 4 AS bkt, c.x, c.y,
+         (l.sx - l.n * c.x) * (r.sy - r.n * c.y)
+       - (r.sx - r.n * c.x) * (l.sy - l.n * c.y) AS s2
+  FROM c0 c
+  JOIN b l ON l.user_id = c.user_id AND l.bkt = c.x // 4 - 1
+  JOIN b r ON r.user_id = c.user_id AND r.bkt = c.x // 4 + 1
+),
+pick AS (
+  SELECT user_id, bkt, x, y,
+         row_number() OVER (
+           PARTITION BY user_id, bkt ORDER BY abs(s2) DESC, x
+         ) AS rn
+  FROM cand
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(x * y) AS BIGINT) AS sel_checksum,
+       CAST(sum(x) AS BIGINT) AS sel_days
+FROM pick WHERE rn = 1
+GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Steinarsson 2013), fixed-anchor variant:
+    per user-day series, each 4-day bucket keeps the single point
+    forming the LARGEST TRIANGLE with the neighbouring buckets'
+    centroids. Classic LTTB anchors on the previously SELECTED point
+    (inherently sequential); anchoring on the fixed adjacent-bucket
+    centroids removes the chain dependency so every bucket picks
+    independently — the distributed form. Centroid fractions are
+    eliminated by scaling the cross product by n_left*n_right:
+    S = (SXl - nl*x)*(SYr - nr*y) - (SXr - nr*x)*(SYl - nl*y), an
+    exact integer; argmax |S| with min-day tiebreak. Buckets missing
+    a neighbour are skipped (no partial anchors). Per-(user,bucket)
+    windows are bounded at 4 rows — no global window anywhere."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day0 = F.lit("2024-01-01").cast("date")
+    c0 = (
+        ev.select(
+            "user_id", F.datediff(F.col("ts").cast("date"), day0).alias("x")
+        )
+        .filter((F.col("x") >= 0) & (F.col("x") < 32))
+        .groupBy("user_id", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    b = c0.groupBy(
+        "user_id", F.expr("x div 4").alias("bkt")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    l = b.select(
+        F.col("user_id").alias("ul"), F.col("bkt").alias("bl"),
+        F.col("n").alias("nl"), F.col("sx").alias("sxl"), F.col("sy").alias("syl"),
+    )
+    r = b.select(
+        F.col("user_id").alias("ur"), F.col("bkt").alias("br"),
+        F.col("n").alias("nr"), F.col("sx").alias("sxr"), F.col("sy").alias("syr"),
+    )
+    cand = (
+        c0.withColumn("bkt", F.expr("x div 4"))
+        .join(l, (F.col("ul") == F.col("user_id")) & (F.col("bl") == F.col("bkt") - 1))
+        .join(r, (F.col("ur") == F.col("user_id")) & (F.col("br") == F.col("bkt") + 1))
+        .withColumn(
+            "s2",
+            (F.col("sxl") - F.col("nl") * F.col("x"))
+            * (F.col("syr") - F.col("nr") * F.col("y"))
+            - (F.col("sxr") - F.col("nr") * F.col("x"))
+            * (F.col("syl") - F.col("nl") * F.col("y")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "bkt").orderBy(
+        F.abs(F.col("s2")).desc(), F.col("x")
+    )
+    pick = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        pick.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.col("x") * F.col("y")).alias("sel_checksum"),
+            F.sum("x").alias("sel_days"),
+        )
+        .orderBy("user_id")
+    )
