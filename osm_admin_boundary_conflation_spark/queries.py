@@ -23943,3 +23943,130 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "soundex_phonetic_blocking",
+    oracle=r"""
+WITH words AS (
+  SELECT DISTINCT lower(w) AS w FROM (
+    SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+    UNION ALL
+    SELECT unnest(string_split(n_name, ' ')) AS w FROM nation
+    UNION ALL
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE regexp_matches(w, '^[a-zA-Z]+$')
+),
+sx AS (
+  SELECT w,
+    substr(upper(w),1,1) ||
+    substr(
+      replace(
+        CASE WHEN substr(upper(w),1,1) IN ('H','W')
+             THEN t3 ELSE substr(t3,2) END,
+        '0','') || '000',
+      1, 3) AS code
+  FROM (
+    SELECT w,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(
+        translate(regexp_replace(upper(w),'[HW]','','g'),
+                  'ABCDEFGIJKLMNOPQRSTUVXYZ',
+                  '012301202245501262301202'),
+        '0{2,}','0','g'),'1{2,}','1','g'),'2{2,}','2','g'),'3{2,}','3','g'),
+        '4{2,}','4','g'),'5{2,}','5','g'),'6{2,}','6','g') AS t3
+    FROM words
+  )
+)
+SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+       min(w) AS first_word, max(w) AS last_word
+FROM sx GROUP BY code ORDER BY code
+""",
+)
+def q_soundex_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONETIC BLOCKING via American Soundex — a true
+    cross-IMPLEMENTATION gate: the engine calls Spark's built-in
+    codec (commons-codec lineage) while the oracle re-derives the
+    full algorithm from the published rules in SQL — H/W silent
+    before run-collapsing (so same-code consonants separated by h/w
+    code once), vowels as run-breaking zeros (same-code consonants
+    separated by vowels code twice), the first letter's own code
+    absorbed into the letter unless the word starts with H/W, pad to
+    letter+3 digits. Any divergence in the two codebases' rule
+    interpretation fails the hash over every distinct corpus word.
+    The blocking census (words per code, lexical min/max) is the ER
+    blocking shape: soundex buckets bound candidate pairs exactly
+    like the cell/prefix blocks elsewhere (operators/dedup.py)."""
+    p = datagen._read(spark, sf_dir, "part")
+    n = datagen._read(spark, sf_dir, "nation")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        p.select(F.explode(F.split("p_name", " ")).alias("w"))
+        .unionByName(n.select(F.explode(F.split("n_name", " ")).alias("w")))
+        .unionByName(d.select(F.explode(F.split("text", " ")).alias("w")))
+        .select(F.lower("w").alias("w"))
+        .filter(F.col("w").rlike("^[a-zA-Z]+$"))
+        .distinct()
+    )
+    return (
+        words.select("w", F.soundex(F.upper("w")).alias("code"))
+        .groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.min("w").alias("first_word"),
+            F.max("w").alias("last_word"),
+        )
+        .orderBy("code")
+    )
+
+
+@q(
+    "setops_all_semantics",
+    oracle=r"""
+WITH a AS (SELECT o_custkey % 100 AS k FROM orders WHERE o_orderkey % 3 = 0),
+b AS (SELECT o_custkey % 100 AS k FROM orders WHERE o_orderkey % 2 = 0),
+ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+ix AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_except_all,
+       (SELECT CAST(sum(k) AS BIGINT) FROM ex) AS sum_except_all,
+       (SELECT CAST(count(*) AS BIGINT) FROM ix) AS n_intersect_all,
+       (SELECT CAST(sum(k) AS BIGINT) FROM ix) AS sum_intersect_all,
+       (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b
+""",
+)
+def q_setops_all_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+    multiplicity arithmetic — a row appearing x times in A and y
+    times in B appears max(x-y, 0) times in EXCEPT ALL and min(x, y)
+    times in INTERSECT ALL — which the set-based q_setops gate cannot
+    observe. The two inputs overlap heavily (custkey mod 100 over
+    orderkey thirds vs halves) so multiplicities range into the
+    hundreds and every min/max branch fires. Identity
+    |A| = |A EXCEPT ALL B| + |A INTERSECT ALL B| is implied by the
+    counts and pinned across engines. Spark plans these as
+    count-aggregated generate-replicate (no row-at-a-time path)."""
+    o = datagen._read(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_custkey") % 100).alias("k")
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        (F.col("o_custkey") % 100).alias("k")
+    )
+    ex = a.exceptAll(b)
+    ix = a.intersectAll(b)
+    one = (
+        ex.agg(
+            F.count(F.lit(1)).alias("n_except_all"),
+            F.sum("k").alias("sum_except_all"),
+        )
+        .crossJoin(
+            ix.agg(
+                F.count(F.lit(1)).alias("n_intersect_all"),
+                F.sum("k").alias("sum_intersect_all"),
+            )
+        )
+        .crossJoin(a.agg(F.count(F.lit(1)).alias("n_a")))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+    )
+    return one
