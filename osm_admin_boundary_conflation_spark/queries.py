@@ -24070,3 +24070,214 @@ def q_setops_all_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
     )
     return one
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled 8-stage greedy MMR oracle (see q_mmr_diversified_topk).
+    Shared CTEs are AS MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and 8 stages referencing pool/sims would otherwise
+    re-expand (and re-open the parquet) exponentially."""
+    base = r"""
+WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+rel0 AS MATERIALIZED (
+  SELECT doc_id, CAST(5*sum(CASE WHEN word='key' THEN 1 ELSE 0 END)
+       + 3*sum(CASE WHEN word='agg' THEN 1 ELSE 0 END)
+       + 2*sum(CASE WHEN word='row' THEN 1 ELSE 0 END) AS BIGINT) AS rel
+  FROM w GROUP BY doc_id
+),
+cand0 AS MATERIALIZED (SELECT doc_id AS id, rel FROM rel0 ORDER BY rel DESC, doc_id LIMIT 15),
+top5 AS MATERIALIZED (SELECT id, rel FROM cand0 ORDER BY rel DESC, id LIMIT 5),
+pool AS MATERIALIZED (SELECT id, rel FROM cand0 UNION ALL SELECT id + 100000, rel FROM top5),
+ws AS (SELECT d.doc_id, string_split(d.text,' ') AS a FROM documents d JOIN cand0 c ON c.id = d.doc_id),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, a[i]||'|'||a[i+1]||'|'||a[i+2]||'|'||a[i+3]||'|'||a[i+4] AS g
+  FROM ws, LATERAL (SELECT unnest(range(1, len(a)-3)) AS i) l
+),
+psim AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS sim
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+copysim AS (SELECT t.id AS i, t.id + 100000 AS j, CAST(count(*) AS BIGINT) AS sim
+            FROM top5 t JOIN sh ON sh.doc_id = t.id GROUP BY t.id),
+sims AS MATERIALIZED (SELECT * FROM psim UNION ALL SELECT * FROM copysim)
+"""
+    stages = []
+    for t in range(1, 9):
+        if t == 1:
+            stages.append(
+                "p1 AS MATERIALIZED (SELECT id, rel, CAST(1 AS BIGINT) AS rnk "
+                "FROM pool ORDER BY 10*rel DESC, id LIMIT 1)"
+            )
+        else:
+            prev = " UNION ALL ".join(f"SELECT id FROM p{s}" for s in range(1, t))
+            stages.append(f"sel{t} AS MATERIALIZED ({prev})")
+            stages.append(
+                f"p{t} AS MATERIALIZED (SELECT c.id, c.rel, CAST({t} AS BIGINT) AS rnk "
+                f"FROM pool c WHERE c.id NOT IN (SELECT id FROM sel{t}) "
+                f"ORDER BY 10*c.rel - 50*COALESCE((SELECT max(s.sim) FROM sims s "
+                f"WHERE (s.i = c.id AND s.j IN (SELECT id FROM sel{t})) "
+                f"   OR (s.j = c.id AND s.i IN (SELECT id FROM sel{t}))), 0) DESC, "
+                f"c.id LIMIT 1)"
+            )
+    final = (
+        "SELECT rnk AS rank, id AS doc_id, rel FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM p{t}" for t in range(1, 9))
+        + ") ORDER BY rnk"
+    )
+    return base + ",\n" + ",\n".join(stages) + "\n" + final
+
+
+@q("mmr_diversified_topk", oracle=_mmr_oracle_sql())
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein 1998) top-8
+    serving: greedy re-ranking that each round picks
+    argmax(10*rel - 50*max_sim_to_selected), so redundant candidates
+    sink as their neighbours get selected. The pool plants an exact
+    copy (id+100000) of each top-5 doc; under pure relevance the first
+    copy would take rank 2 (it out-rels every other original), but its
+    full-shingle similarity to the rank-1 pick pushes it below every
+    original — the selection demonstrably diverges from the
+    relevance-only order, which is the operator's whole point.
+    Distributed shape: relevance scan, TakeOrdered candidate pool,
+    shingle-set pair similarities (explode + equi-join on gram — the
+    serving-time candidate pool is bounded BY DESIGN, like every MMR
+    deployment), then the greedy runs driver-side over the collected
+    20-row pool (bounded collect, same contract as BPE's per-merge
+    argmax). Oracle: 8 unrolled argmax CTE stages over the same
+    integer scores."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    rel = words.groupBy("doc_id").agg(
+        (
+            5 * F.sum((F.col("word") == "key").cast("long"))
+            + 3 * F.sum((F.col("word") == "agg").cast("long"))
+            + 2 * F.sum((F.col("word") == "row").cast("long"))
+        ).alias("rel")
+    )
+    cand0 = rel.orderBy(F.col("rel").desc(), "doc_id").limit(15)
+    top5 = cand0.orderBy(F.col("rel").desc(), "doc_id").limit(5)
+    sh = (
+        d.join(cand0.select(F.col("doc_id")), "doc_id")
+        .select("doc_id", F.split("text", " ").alias("a"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 4), i -> "
+                    "concat_ws('|', a[i-1], a[i], a[i+1], a[i+2], a[i+3]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("i"), "g")
+    sb = sh.select(F.col("doc_id").alias("j"), "g")
+    psim = (
+        sa.join(sb, "g")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("sim"))
+    )
+    copysim = (
+        sh.join(top5.select(F.col("doc_id").alias("i")), sh.doc_id == F.col("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("sim"))
+        .select("i", (F.col("i") + 100000).alias("j"), "sim")
+    )
+    pool_rows = cand0.collect() + [
+        (r["doc_id"] + 100000, r["rel"]) for r in top5.collect()
+    ]
+    pool = [(int(r[0]), int(r[1])) for r in pool_rows]
+    simd: dict[tuple, int] = {}
+    for r in psim.unionByName(copysim).collect():
+        simd[(int(r["i"]), int(r["j"]))] = int(r["sim"])
+        simd[(int(r["j"]), int(r["i"]))] = int(r["sim"])
+    sel: list[tuple] = []
+    chosen: list[int] = []
+    for rank in range(1, 9):
+        best = None
+        for cid, crel in sorted(pool):
+            if cid in chosen:
+                continue
+            ms = max((simd.get((cid, s), 0) for s in chosen), default=0)
+            score = 10 * crel - 50 * ms
+            if best is None or score > best[0] or (score == best[0] and cid < best[1]):
+                best = (score, cid, crel)
+        chosen.append(best[1])
+        sel.append((rank, best[1], best[2]))
+    return spark.createDataFrame(
+        sel, "rank long, doc_id long, rel long"
+    ).orderBy("rank")
+
+
+@q(
+    "cbo_stats_join_estimate",
+    oracle=r"""
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(CAST(o.o_totalprice AS DOUBLE)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > 0
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def q_cbo_stats_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-BASED OPTIMIZER EVIDENCE: ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR ALL COLUMNS on catalog tables, then a filtered
+    3-table join with spark.sql.cbo.enabled — the gate EXECUTES the
+    join and asserts (a) the catalog carries the analyzed rowCount for
+    every input (DESCRIBE EXTENDED), and (b) the CBO propagates a
+    DEFINED row-count estimate through filter and both joins to the
+    plan root (optimizedPlan.stats.rowCount), which only happens when
+    column histograms/NDVs exist and cost estimation is on — the
+    machinery that picks join order and build side on a 1000-executor
+    cluster, where a mis-sized build side is the difference between a
+    broadcast and a 100 TB shuffle. Result values gate against the
+    plain SQL oracle (CBO must never change results, only plans)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    tabs = {"cbo_orders": "orders", "cbo_customer": "customer", "cbo_nation": "nation"}
+    for t, src in tabs.items():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        datagen._read(spark, sf_dir, src).write.mode("overwrite").saveAsTable(t)
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+        stats = {r["col_name"]: r["data_type"] for r in desc}
+        assert "Statistics" in stats and "rows" in stats["Statistics"], (
+            f"ANALYZE left no rowCount in the catalog for {t}: {stats.get('Statistics')}"
+        )
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        o = spark.table("cbo_orders")
+        c = spark.table("cbo_customer").filter(F.col("c_acctbal") > 0)
+        n = spark.table("cbo_nation")
+        j = (
+            o.join(c, c.c_custkey == o.o_custkey)
+            .join(n, n.n_nationkey == c.c_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.expr("cast(round(cast(o_totalprice as double)*100) as bigint)")
+                ).alias("revenue_cents"),
+            )
+            .orderBy("n_name")
+        )
+        rows = j.collect()
+        stats = j._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), (
+            "CBO did not propagate a row-count estimate to the plan root — "
+            "column stats missing or cost estimation disabled"
+        )
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+    return spark.createDataFrame(rows, j.schema).orderBy("n_name")
