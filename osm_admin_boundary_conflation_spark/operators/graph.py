@@ -750,3 +750,82 @@ def nearest_facility(
             f"({changed} labels still improving) — raise max_rounds"
         )
     return best.select("id", "dist", F.col("fac").alias("facility"))
+
+
+def all_pairs_bfs_sigma(edges: DataFrame, max_rounds: int) -> DataFrame:
+    """All-pairs BFS with shortest-path COUNTS (the forward half of
+    Brandes' betweenness, Brandes 2001 §3, as synchronous DataFrame
+    rounds keyed by source): returns (s, v, d, sigma) where sigma is
+    the number of distinct shortest s->v paths.
+
+    Each round expands the whole frontier ACROSS ALL SOURCES at once —
+    one edge join + one (s, v) groupBy summing predecessor sigmas +
+    one anti-join against settled vertices — so n sources cost one
+    BFS's rounds, not n traversals. For unweighted graphs the level-L
+    frontier's summed counts ARE the shortest-path counts (a walk of
+    minimal length is necessarily a shortest path). ``max_rounds``
+    must be >= the graph diameter — the caller pins it from known
+    topology (the gate's grid has diameter 12); rows stop expanding
+    once settled, so extra rounds are cheap no-ops.
+
+    Scale: state is O(n^2) rows for n sources — exact betweenness'
+    inherent cost. At 100 TB the same operator runs with a SAMPLED
+    source set (the harmonic_centrality_sampled pattern) for unbiased
+    estimates; the per-round joins are vertex-partitioned either way.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    nodes = e.select(F.col("src").alias("v")).union(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    settled = nodes.select(
+        F.col("v").alias("s"), "v", F.lit(0).alias("d"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for depth in range(1, max_rounds + 1):
+        grown = (
+            frontier.join(e, frontier.v == e.src)
+            .groupBy("s", F.col("dst").alias("nv"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("s", F.col("nv").alias("v"), F.lit(depth).alias("d"), "sigma")
+        )
+        frontier = grown.join(
+            settled.select("s", "v"), ["s", "v"], "left_anti"
+        ).localCheckpoint(eager=True)
+        settled = settled.unionByName(frontier).localCheckpoint(eager=True)
+    return settled
+
+
+def betweenness_path_counts(edges: DataFrame, max_rounds: int) -> DataFrame:
+    """Unnormalized betweenness as exact integer THROUGH-PATH counts:
+    for every vertex v, sum over ordered pairs (s, t), s != v != t, of
+    sigma(s,v) * sigma(v,t) where d(s,v) + d(v,t) = d(s,t) — the
+    number of shortest s->t paths passing through v, summed. Pure
+    sigma-table algebra: two self-joins of all_pairs_bfs_sigma's
+    output (on the middle vertex, then on the endpoint pair to check
+    the distance identity) and one groupBy — no per-path enumeration,
+    which is what makes Brandes' observation an engine-sized job."""
+    ap = all_pairs_bfs_sigma(edges, max_rounds).localCheckpoint(eager=True)
+    sv = ap.select(
+        F.col("s").alias("ps"), F.col("v").alias("pv"),
+        F.col("d").alias("d1"), F.col("sigma").alias("sig1"),
+    )
+    vt = ap.select(
+        F.col("s").alias("qv"), F.col("v").alias("qt"),
+        F.col("d").alias("d2"), F.col("sigma").alias("sig2"),
+    )
+    st = ap.select(
+        F.col("s").alias("rs"), F.col("v").alias("rt"), F.col("d").alias("dst_d")
+    )
+    return (
+        sv.join(vt, sv.pv == vt.qv)
+        .filter((F.col("pv") != F.col("ps")) & (F.col("pv") != F.col("qt")))
+        .join(
+            st,
+            (F.col("rs") == F.col("ps"))
+            & (F.col("rt") == F.col("qt"))
+            & (F.col("dst_d") == F.col("d1") + F.col("d2")),
+        )
+        .groupBy(F.col("pv").alias("v"))
+        .agg(F.sum(F.col("sig1") * F.col("sig2")).alias("through_paths"))
+    )

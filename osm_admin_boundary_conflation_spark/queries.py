@@ -24281,3 +24281,82 @@ def q_cbo_stats_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev)
     return spark.createDataFrame(rows, j.schema).orderBy("n_name")
+
+
+def _betweenness_oracle_sql() -> str:
+    """Walk-count matrix-power oracle for q_betweenness_path_counts:
+    for unweighted graphs the (i,j) entry of A^L counts length-L
+    walks, and at L = dist(i,j) every minimal walk is a shortest
+    PATH, so sigma falls out of 12 unrolled (MATERIALIZED) sparse
+    matrix-multiply stages + a min-L distance table — a completely
+    different derivation than the engine's frontier BFS."""
+    stages = [
+        (
+            f"w{L} AS MATERIALIZED (SELECT p.i, e.dst AS j, "
+            f"CAST(sum(p.c) AS BIGINT) AS c "
+            f"FROM w{L - 1} p JOIN e ON e.src = p.j GROUP BY p.i, e.dst)"
+        )
+        for L in range(2, 13)
+    ]
+    union = "".join(
+        f"  UNION ALL SELECT {L}, i, j, c FROM w{L}\n" for L in range(1, 13)
+    )
+    return (
+        r"""
+WITH g AS (SELECT unnest(range(48)) AS u),
+e AS MATERIALIZED (
+  SELECT u AS src, u + 1 AS dst FROM g WHERE u % 8 < 7
+  UNION ALL SELECT u + 1, u FROM g WHERE u % 8 < 7
+  UNION ALL SELECT u, u + 8 FROM g WHERE u < 40
+  UNION ALL SELECT u + 8, u FROM g WHERE u < 40
+),
+w1 AS MATERIALIZED (SELECT src AS i, dst AS j, CAST(1 AS BIGINT) AS c FROM e),
+"""
+        + ",\n".join(stages)
+        + r""",
+walks AS MATERIALIZED (
+  SELECT 0 AS L, u AS i, u AS j, CAST(1 AS BIGINT) AS c FROM g
+"""
+        + union
+        + r"""),
+dist AS MATERIALIZED (SELECT i, j, min(L) AS d FROM walks WHERE c > 0 GROUP BY i, j),
+sig AS MATERIALIZED (
+  SELECT w.i, w.j, dist.d, w.c AS sigma
+  FROM walks w JOIN dist ON dist.i = w.i AND dist.j = w.j AND dist.d = w.L
+)
+SELECT sv.j AS v, CAST(sum(sv.sigma * vt.sigma) AS BIGINT) AS through_paths
+FROM sig sv
+JOIN sig vt ON vt.i = sv.j
+JOIN dist st ON st.i = sv.i AND st.j = vt.j AND st.d = sv.d + vt.d
+WHERE sv.j != sv.i AND sv.j != vt.j
+GROUP BY sv.j
+ORDER BY v
+"""
+    )
+
+
+@q("betweenness_path_counts", oracle=_betweenness_oracle_sql())
+def q_betweenness_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT BETWEENNESS as integer through-path counts
+    (operators/graph.betweenness_path_counts): all-pairs BFS carrying
+    shortest-path counts — all 48 sources expand in the SAME frontier
+    rounds, one edge join + (source, vertex) sigma-sum + settled
+    anti-join per level — then two sigma-table self-joins apply
+    Brandes' counting identity sigma_sv * sigma_vt [d_sv + d_vt =
+    d_st]. The oracle derives the same numbers from 12 unrolled
+    walk-count matrix powers (A^L at L = dist counts shortest paths),
+    and the prototype was additionally cross-checked against an
+    independent Python BFS implementation. 6x8 grid: sigmas are
+    lattice binomials up to 792, through-counts up to ~15k — exact
+    BIGINTs everywhere. Corner/edge/interior asymmetry makes all 48
+    values distinct families (corners 70, centre ~15k)."""
+    u = F.col("id")
+    right = spark.range(48).filter(u % 8 < 7).select(
+        u.alias("src"), (u + 1).alias("dst")
+    )
+    down = spark.range(40).select(u.alias("src"), (u + 8).alias("dst"))
+    e = right.unionByName(down)
+    edges = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from .operators.graph import betweenness_path_counts
+
+    return betweenness_path_counts(edges, max_rounds=12).orderBy("v")
