@@ -829,3 +829,71 @@ def betweenness_path_counts(edges: DataFrame, max_rounds: int) -> DataFrame:
         .groupBy(F.col("pv").alias("v"))
         .agg(F.sum(F.col("sig1") * F.col("sig2")).alias("through_paths"))
     )
+
+
+def jones_plassmann_color(edges: DataFrame, max_rounds: int) -> DataFrame:
+    """Distributed greedy graph coloring by Jones-Plassmann symmetry
+    breaking (Jones & Plassmann 1993) with STATIC id priorities: each
+    round, every uncolored vertex whose higher-id neighbours are all
+    colored takes the smallest color none of them uses. With unique
+    static priorities this produces EXACTLY the sequential greedy
+    coloring in descending id order (a lower-id neighbour always waits
+    on its higher-id side, so at coloring time the colored neighbour
+    set IS the higher-id set), which is what makes it gateable against
+    a sequential-replay oracle. Round count = longest monotone-id
+    dependency path + 1; the caller pins max_rounds from topology and
+    the operator RAISES if any vertex is left uncolored.
+
+    edges: (src, dst) with BOTH directions present. Returns (v, color).
+    Each round is one edge join + one per-vertex aggregate (all-ready
+    test + used-color set) — vertex-partitioned shuffles, no driver
+    data movement, the Luby/JP shape MPI codes use, as DataFrames."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("v")).distinct()
+    state = nodes.select("v", F.lit(None).cast("long").alias("color")).localCheckpoint(
+        eager=True
+    )
+    mex = (
+        "CASE WHEN NOT array_contains(used, 0L) THEN 0L "
+        "WHEN NOT array_contains(used, 1L) THEN 1L "
+        "WHEN NOT array_contains(used, 2L) THEN 2L "
+        "WHEN NOT array_contains(used, 3L) THEN 3L "
+        "WHEN NOT array_contains(used, 4L) THEN 4L "
+        "WHEN NOT array_contains(used, 5L) THEN 5L ELSE 6L END"
+    )
+    for _ in range(max_rounds):
+        colored = state.filter(F.col("color").isNotNull())
+        uncol = state.filter(F.col("color").isNull()).select("v")
+        nb = (
+            uncol.join(e, uncol.v == e.src)
+            .select("v", F.col("dst").alias("w"))
+            .join(
+                state.select(F.col("v").alias("w"), F.col("color").alias("wc")),
+                "w",
+            )
+        )
+        ready = nb.groupBy("v").agg(
+            F.min(
+                F.when(F.col("w") > F.col("v"), F.col("wc").isNotNull().cast("int"))
+            ).alias("all_higher_done"),
+            F.collect_set(F.when(F.col("w") > F.col("v"), F.col("wc"))).alias("used"),
+        )
+        newly = ready.filter(
+            F.col("all_higher_done").isNull() | (F.col("all_higher_done") == 1)
+        ).select("v", F.expr(mex).alias("color"))
+        state = (
+            colored.unionByName(newly)
+            .unionByName(
+                state.filter(F.col("color").isNull())
+                .join(newly.select("v"), "v", "left_anti")
+                .select("v", F.col("color"))
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_uncolored = state.filter(F.col("color").isNull()).count()
+    if n_uncolored:
+        raise RuntimeError(
+            f"jones_plassmann_color left {n_uncolored} vertices uncolored after "
+            f"{max_rounds} rounds — dependency path exceeds max_rounds"
+        )
+    return state

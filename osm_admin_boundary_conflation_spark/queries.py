@@ -24360,3 +24360,62 @@ def q_betweenness_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import betweenness_path_counts
 
     return betweenness_path_counts(edges, max_rounds=12).orderBy("v")
+
+
+@q(
+    "graph_coloring_jp",
+    oracle=r"""
+WITH RECURSIVE r AS (
+  SELECT 0 AS step, CAST([] AS STRUCT(v BIGINT, c BIGINT)[]) AS st
+  UNION ALL
+  SELECT step + 1,
+    list_append(st, {'v': CAST(47 - step AS BIGINT), 'c': CAST(
+      CASE WHEN NOT list_contains(used, 0) THEN 0
+           WHEN NOT list_contains(used, 1) THEN 1
+           WHEN NOT list_contains(used, 2) THEN 2
+           WHEN NOT list_contains(used, 3) THEN 3
+           WHEN NOT list_contains(used, 4) THEN 4
+           ELSE 5 END AS BIGINT)})
+  FROM (
+    SELECT step, st,
+      list_transform(
+        list_filter(st, s -> list_contains(
+          [CASE WHEN (47 - step) % 8 < 7 THEN 47 - step + 1 END,
+           CASE WHEN (47 - step) < 40 THEN 47 - step + 8 END,
+           CASE WHEN (47 - step) % 8 < 7 AND (47 - step) < 40 THEN 47 - step + 9 END,
+           CASE WHEN (47 - step) % 8 > 0 THEN 47 - step - 1 END,
+           CASE WHEN (47 - step) >= 8 THEN 47 - step - 8 END,
+           CASE WHEN (47 - step) % 8 > 0 AND (47 - step) >= 8 THEN 47 - step - 9 END],
+          s.v)),
+        s -> s.c) AS used
+    FROM r
+  ) q
+  WHERE step < 48
+)
+SELECT s.v AS v, s.c AS color
+FROM (SELECT st FROM r WHERE step = 48), unnest(st) AS t(s)
+ORDER BY v
+""",
+)
+def q_graph_coloring_jp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED GRAPH COLORING by Jones-Plassmann symmetry breaking
+    (operators/graph.jones_plassmann_color): every round, all vertices
+    whose higher-id neighbours are colored pick their mex color
+    SIMULTANEOUSLY — 13 rounds color the whole graph (longest
+    monotone-id dependency path, pinned offline), vs the oracle's 48
+    strictly sequential greedy steps replayed in a single-row
+    list-state recursive CTE. With unique static priorities the two
+    are provably identical colorings — the gate checks the engine's
+    parallel schedule reproduces the sequential semantics exactly.
+    Graph: 6x8 grid PLUS down-right diagonals (odd cycles push the
+    chromatic number to 4, so every mex branch fires; a plain grid is
+    bipartite and would never use color 2)."""
+    u = F.col("id")
+    right = spark.range(48).filter(u % 8 < 7).select(u.alias("src"), (u + 1).alias("dst"))
+    down = spark.range(40).select(u.alias("src"), (u + 8).alias("dst"))
+    diag = spark.range(40).filter(u % 8 < 7).select(u.alias("src"), (u + 9).alias("dst"))
+    e = right.unionByName(down).unionByName(diag)
+    edges = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from .operators.graph import jones_plassmann_color
+
+    return jones_plassmann_color(edges, max_rounds=14).orderBy("v")
