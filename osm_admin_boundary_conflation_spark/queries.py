@@ -24419,3 +24419,135 @@ def q_graph_coloring_jp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import jones_plassmann_color
 
     return jones_plassmann_color(edges, max_rounds=14).orderBy("v")
+
+
+@q(
+    "d8_flow_accumulation",
+    oracle=r"""
+WITH RECURSIVE cells AS (SELECT unnest(range(256)) AS u),
+zc AS MATERIALIZED (
+  SELECT u, u // 16 AS r, u % 16 AS c,
+         ((u // 16) + (u % 16)) * 16 + (((u // 16) * 7 + (u % 16) * 13) % 11) AS z
+  FROM cells
+),
+nb AS (
+  SELECT a.u, a.z, b.u AS n, b.z AS zn,
+         row_number() OVER (PARTITION BY a.u ORDER BY b.z, b.u) AS rn
+  FROM zc a JOIN zc b
+    ON abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1 AND a.u != b.u
+),
+flow AS MATERIALIZED (
+  SELECT u AS child, n AS parent FROM nb WHERE rn = 1 AND zn < z
+),
+walk AS (
+  SELECT u AS src, u AS cur, 0 AS step FROM cells
+  UNION ALL
+  SELECT w.src, f.parent, w.step + 1
+  FROM walk w JOIN flow f ON f.child = w.cur
+  WHERE w.step < 16
+)
+SELECT cur AS cell, CAST(count(*) AS BIGINT) AS accumulation
+FROM walk GROUP BY cur ORDER BY cell
+""",
+)
+def q_d8_flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RASTER HYDROLOGY: D8 flow direction + flow accumulation
+    (operators/raster.d8_flow_accumulation) over a 16x16 tilted
+    integer DEM (z = (r+c)*16 + noise<16, so drainage runs diagonally
+    into a single pit that accumulates all 256 cells; longest flow
+    path = 15, pinned offline). The engine computes direction by
+    8-offset explode + min-struct argmin and accumulation by the
+    children-sum recurrence (16 rounds); the oracle instead ENUMERATES
+    every cell's unique flow path with a recursive CTE and counts path
+    visits — same integers, disjoint derivations. Exercises pits
+    (no-flow), strict-descent ties, and border cells with truncated
+    neighbourhoods."""
+    from .operators.raster import d8_flow_accumulation
+
+    u = F.col("id")
+    cells = spark.range(256).select(
+        u.alias("cell"),
+        (u / 16).cast("long").alias("r"),
+        (u % 16).alias("c"),
+    ).select(
+        "cell",
+        "r",
+        "c",
+        ((F.col("r") + F.col("c")) * 16 + (F.col("r") * 7 + F.col("c") * 13) % 11).alias(
+            "z"
+        ),
+    )
+    return d8_flow_accumulation(cells, rounds=16).orderBy("cell")
+
+
+@q(
+    "semivariogram_bins",
+    oracle=r"""
+WITH pts AS (
+  SELECT doc_id, doc_id % 64 AS x, (doc_id * 29) % 61 AS y,
+         (doc_id * 13) % 100 AS z
+  FROM documents
+),
+pairs AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         (a.z - b.z) * (a.z - b.z) AS dz2
+  FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) BETWEEN 1 AND 100
+)
+SELECT d2 // 20 AS lag_bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(dz2) AS BIGINT) AS gamma_num
+FROM pairs GROUP BY d2 // 20 ORDER BY lag_bin
+""",
+)
+def q_semivariogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL SEMIVARIOGRAM (Matheron's geostatistics estimator,
+    the kriging precursor): for point pairs within range 10, the
+    binned numerator sum((z_i - z_j)^2) and pair count per squared-
+    distance lag bin — reported as exact integer (numerator, count)
+    pairs, never the float ratio (2*gamma(h) = num/count is the
+    consumer's division). Scale shape: the pairwise stage is GRID
+    BLOCKED at cell size == range — each point keys to its cell, the
+    right side explodes to its 3x3 neighbourhood, pairs meet exactly
+    once under the id-order filter (a neighbour appears in a given
+    cell at most once), and the exact d2 predicate touches only
+    blocked candidates. The oracle is the quadratic definition."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 64).alias("x"),
+        ((F.col("doc_id") * 29) % 61).alias("y"),
+        ((F.col("doc_id") * 13) % 100).alias("z"),
+    )
+    a = pts.select(
+        F.col("doc_id").alias("ia"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), F.col("z").alias("za"),
+        F.expr("x div 10").alias("cx"), F.expr("y div 10").alias("cy"),
+    )
+    b = (
+        pts.select(
+            F.col("doc_id").alias("ib"), F.col("x").alias("xb"),
+            F.col("y").alias("yb"), F.col("z").alias("zb"),
+        )
+        .withColumn(
+            "cx", F.explode(F.sequence(F.expr("xb div 10") - 1, F.expr("xb div 10") + 1))
+        )
+        .withColumn(
+            "cy", F.explode(F.sequence(F.expr("yb div 10") - 1, F.expr("yb div 10") + 1))
+        )
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dz = F.col("za") - F.col("zb")
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn("d2", dx * dx + dy * dy)
+        .filter((F.col("d2") >= 1) & (F.col("d2") <= 100))
+    )
+    return (
+        pairs.select(F.expr("d2 div 20").alias("lag_bin"), (dz * dz).alias("dz2"))
+        .groupBy("lag_bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("dz2").alias("gamma_num"))
+        .orderBy("lag_bin")
+    )
