@@ -881,6 +881,9 @@ def jones_plassmann_color(edges: DataFrame, max_rounds: int) -> DataFrame:
         newly = ready.filter(
             F.col("all_higher_done").isNull() | (F.col("all_higher_done") == 1)
         ).select("v", F.expr(mex).alias("color"))
+        from pyspark.sql import Observation
+
+        obs = Observation()
         state = (
             colored.unionByName(newly)
             .unionByName(
@@ -888,8 +891,11 @@ def jones_plassmann_color(edges: DataFrame, max_rounds: int) -> DataFrame:
                 .join(newly.select("v"), "v", "left_anti")
                 .select("v", F.col("color"))
             )
+            .observe(obs, F.sum(F.col("color").isNull().cast("long")).alias("left"))
             .localCheckpoint(eager=True)
         )
+        if (obs.get["left"] or 0) == 0:
+            break
     n_uncolored = state.filter(F.col("color").isNull()).count()
     if n_uncolored:
         raise RuntimeError(

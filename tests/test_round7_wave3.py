@@ -1,0 +1,166 @@
+"""Unit/property tests for the round-7 wave-3 operators: suffix array
+prefix doubling, integer Haar lifting, Jones-Plassmann coloring,
+nearest-facility labeling, betweenness path counts, D8 flow
+accumulation. Each checks the operator against an independent pure-
+Python derivation on randomized-but-seeded inputs — the oracle gates
+cover the corpus; these cover shapes the corpus does not reach."""
+
+import random
+
+import pyspark.sql.functions as F
+
+
+def _py_suffix_ranks(text: str) -> dict:
+    sufs = sorted(range(1, len(text) + 1), key=lambda p: text[p - 1 :])
+    return {pos: rank + 1 for rank, pos in enumerate(sufs)}
+
+
+def test_suffix_array_matches_python_sort(spark):
+    from osm_admin_boundary_conflation_spark.operators.suffix_array import (
+        suffix_array,
+    )
+
+    rng = random.Random(7)
+    docs = [
+        (i, "".join(rng.choice("abcd") for _ in range(rng.randint(1, 64))))
+        for i in range(40)
+    ]
+    # repeated-run strings stress tie survival across doubling rounds
+    docs += [(100, "aaaaaaaaaaaaaaaa"), (101, "abababababab"), (102, "a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"]): r["sa_rank"]
+        for r in suffix_array(df, max_len=64).collect()
+    }
+    for doc_id, text in docs:
+        want = _py_suffix_ranks(text[:64])
+        for pos, rank in want.items():
+            assert got[(doc_id, pos)] == rank, (doc_id, pos, text)
+
+
+def test_haar_roundtrip_random_arrays(spark):
+    from osm_admin_boundary_conflation_spark.operators.wavelet import (
+        haar_forward,
+        haar_inverse,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.randint(0, 10_000) for _ in range(32)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, a array<long>")
+    s1, d1 = haar_forward("a", 16)
+    lvl = df.select("id", "a", s1.alias("s1"), d1.alias("d1"))
+    s2, d2 = haar_forward("s1", 8)
+    lvl = lvl.select("*", s2.alias("s2"), d2.alias("d2"))
+    rec = lvl.select("*", haar_inverse("s2", "d2", 8).alias("rs1"))
+    rec = rec.select("*", haar_inverse("rs1", "d1", 16).alias("ra"))
+    bad = rec.filter(F.col("ra") != F.col("a")).count()
+    assert bad == 0
+
+
+def test_jones_plassmann_is_proper_and_greedy(spark):
+    from osm_admin_boundary_conflation_spark.operators.graph import (
+        jones_plassmann_color,
+    )
+
+    rng = random.Random(3)
+    n = 60
+    und = set()
+    for _ in range(140):
+        a, b = rng.sample(range(n), 2)
+        und.add((min(a, b), max(a, b)))
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["v"]: r["color"] for r in jones_plassmann_color(df, max_rounds=60).collect()}
+    # proper coloring
+    for a, b in und:
+        assert got[a] != got[b]
+    # equals sequential greedy in descending-id order
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    nodes_in_graph = {v for e in und for v in e}
+    for v in sorted(nodes_in_graph, reverse=True):
+        used = {want[w] for w in adj[v] if w in want}
+        k = 0
+        while k in used:
+            k += 1
+        want[v] = k
+    assert {v: got[v] for v in nodes_in_graph} == want
+
+
+def test_nearest_facility_matches_dijkstra(spark):
+    import heapq
+
+    from osm_admin_boundary_conflation_spark.operators.graph import nearest_facility
+
+    rng = random.Random(5)
+    n = 80
+    edges = []
+    for u in range(n):
+        for v in rng.sample(range(n), 3):
+            if u != v:
+                edges.append((u, v, rng.randint(1, 9)))
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    facs = [0, 7, 33]
+    got = {
+        r["id"]: (r["dist"], r["facility"])
+        for r in nearest_facility(df, facs, max_rounds=n).collect()
+    }
+    adj = {}
+    for s, d, w in edges:
+        adj.setdefault(s, []).append((d, w))
+    best = {f: (0, f) for f in facs}
+    pq = [(0, f, f) for f in facs]
+    heapq.heapify(pq)
+    while pq:
+        d, fac, u = heapq.heappop(pq)
+        if (d, fac) > best[u]:
+            continue
+        for v, w in adj.get(u, []):
+            cand = (d + w, fac)
+            if v not in best or cand < best[v]:
+                best[v] = cand
+                heapq.heappush(pq, (d + w, fac, v))
+    assert got == best
+
+
+def test_betweenness_star_and_path(spark):
+    from osm_admin_boundary_conflation_spark.operators.graph import (
+        betweenness_path_counts,
+    )
+
+    # path 0-1-2-3: through-counts are the textbook 2*(k)*(n-1-k)
+    path = [(i, i + 1) for i in range(3)]
+    edges = path + [(b, a) for a, b in path]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["v"]: r["through_paths"]
+        for r in betweenness_path_counts(df, max_rounds=4).collect()
+    }
+    # endpoints have zero through-paths and are simply absent from the agg
+    assert {v: got.get(v, 0) for v in range(4)} == {
+        0: 0,
+        1: 2 * 1 * 2,
+        2: 2 * 2 * 1,
+        3: 0,
+    }
+
+
+def test_d8_flow_accumulation_line(spark):
+    from osm_admin_boundary_conflation_spark.operators.raster import (
+        d8_flow_accumulation,
+    )
+
+    # strictly monotone 1x8 strip: cell i drains to i-1; acc = 8..1
+    cells = spark.createDataFrame(
+        [(i, 0, i, i * 10) for i in range(8)], "cell long, r long, c long, z long"
+    )
+    got = {
+        r["cell"]: r["accumulation"]
+        for r in d8_flow_accumulation(cells, rounds=8).collect()
+    }
+    assert got == {i: 8 - i for i in range(8)}
