@@ -24551,3 +24551,100 @@ def q_semivariogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("dz2").alias("gamma_num"))
         .orderBy("lag_bin")
     )
+
+
+@q(
+    "recursive_cte_native",
+    oracle=r"""
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+  FROM customer
+  UNION ALL
+  SELECT node, cur // 8, depth + 1 FROM anc WHERE cur > 0
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS sum_nodes,
+       CAST(sum(cur) AS BIGINT) AS sum_ancestors
+FROM anc GROUP BY depth ORDER BY depth
+""",
+)
+def q_recursive_cte_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE RECURSIVE CTE (WITH RECURSIVE landed in Spark 4.0,
+    SPARK-24497): the engine runs the ancestor-walk SQL — every
+    customer climbs its octal containment hierarchy (parent = key div
+    8) to the root, emitting one row per (node, ancestor, depth) —
+    THROUGH spark.sql's recursion executor, not a hand-rolled driver
+    loop like the iterative operators (graph.py) use; DuckDB runs the
+    same recursion as the oracle. Depth histogram + node/ancestor
+    checksums pin every iteration level. This gates the engine
+    feature itself: termination on the empty fixpoint, UNION ALL
+    accumulation semantics, and column propagation through the
+    recursive reference."""
+    c = datagen._read(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("rcte_customer")
+    return spark.sql(
+        """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+  FROM rcte_customer
+  UNION ALL
+  SELECT node, cur div 8, depth + 1 FROM anc WHERE cur > 0
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS sum_nodes,
+       CAST(sum(cur) AS BIGINT) AS sum_ancestors
+FROM anc GROUP BY depth ORDER BY depth
+"""
+    )
+
+
+@q(
+    "lateral_topn_per_key",
+    oracle=r"""
+WITH pick AS (
+  SELECT c.c_custkey, t.o_orderkey, t.cents
+  FROM customer c,
+  LATERAL (
+    SELECT o_orderkey, CAST(round(CAST(o_totalprice AS DOUBLE)*100) AS BIGINT) AS cents
+    FROM orders o WHERE o.o_custkey = c.c_custkey
+    ORDER BY cents DESC, o_orderkey LIMIT 2
+  ) t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM pick
+""",
+)
+def q_lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED LATERAL SUBQUERY (SQL-standard lateral join, the
+    per-key top-N idiom): each customer's two largest orders selected
+    by an ORDER BY ... LIMIT inside a LATERAL body referencing the
+    outer row — the engine must decorrelate this into a ranked window
+    or per-key TakeOrdered, not re-execute the subquery per row;
+    DuckDB runs the identical SQL as the oracle. Customers with no
+    orders drop out (inner lateral semantics), customers with one
+    order contribute one row — both edge branches exist in the data.
+    Deterministic under the (cents DESC, o_orderkey) total order;
+    integer cents."""
+    datagen._read(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    datagen._read(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+WITH pick AS (
+  SELECT c.c_custkey, t.o_orderkey, t.cents
+  FROM lat_customer c,
+  LATERAL (
+    SELECT o_orderkey, CAST(round(CAST(o_totalprice AS DOUBLE)*100) AS BIGINT) AS cents
+    FROM lat_orders o WHERE o.o_custkey = c.c_custkey
+    ORDER BY cents DESC, o_orderkey LIMIT 2
+  ) t
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+FROM pick
+"""
+    )
