@@ -24648,3 +24648,109 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
 FROM pick
 """
     )
+
+
+@q(
+    "stream_output_modes",
+    oracle=r"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS b
+  FROM events
+),
+w1 AS (
+  SELECT us // 3600000000 AS h, count(*) AS n FROM e WHERE b = 1 GROUP BY 1
+),
+wt AS (
+  SELECT us // 3600000000 AS h, count(*) AS n FROM e GROUP BY 1
+),
+w2 AS (
+  SELECT wt.h, wt.n FROM wt
+  WHERE wt.h IN (SELECT us // 3600000000 FROM e WHERE b = 2)
+)
+SELECT CAST((SELECT count(*) FROM w1) + (SELECT count(*) FROM w2) AS BIGINT)
+         AS upd_rows,
+       CAST((SELECT sum(n) FROM w1) + (SELECT sum(n) FROM w2) AS BIGINT)
+         AS upd_sum,
+       CAST((SELECT count(*) FROM wt) AS BIGINT) AS upd_windows,
+       CAST((SELECT count(*) FROM wt) AS BIGINT) AS complete_rows,
+       CAST((SELECT sum(n) FROM wt) AS BIGINT) AS complete_sum
+""",
+)
+def q_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OUTPUT-MODE SEMANTICS beyond append: the same
+    two-batch time-ordered replay drains a windowed count through
+    UPDATE mode (each batch emits exactly the windows whose count
+    CHANGED in it — a window straddling the batch split is emitted
+    twice, first with its partial count then with its final one; the
+    no-data flush batch emits nothing) and through COMPLETE mode (the
+    final table is the full re-emitted aggregate). The oracle derives
+    both emission sets in closed form from the split timestamp:
+    update rows = batch-1 windows at partial counts + batch-2-touched
+    windows at final counts; complete rows = every window at final
+    count. Both sinks are memory tables (the only sinks those modes
+    support for aggregates without foreachBatch), uniquely named per
+    run."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.stream_windows import EVENTS_DDL
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="stream_modes_")
+    in_dir = os.path.join(tmp, "in")
+    ev.filter(F.col("ts") < split).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    b1 = {f for f in os.listdir(in_dir) if f.endswith(".parquet")}
+    ev.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(in_dir)
+    base = 1_600_000_000
+    for f in os.listdir(in_dir):
+        if f.endswith(".parquet"):
+            t = base if f in b1 else base + 100
+            os.utime(os.path.join(in_dir, f), (t, t))
+
+    def agg_stream():
+        return (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("window_start"), "n")
+        )
+
+    uname = "upd_" + uuid.uuid4().hex[:10]
+    cname = "cmp_" + uuid.uuid4().hex[:10]
+    (
+        agg_stream()
+        .writeStream.format("memory")
+        .queryName(uname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmp, "ck_u"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    (
+        agg_stream()
+        .writeStream.format("memory")
+        .queryName(cname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp, "ck_c"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    upd = spark.table(uname)
+    cmp_ = spark.table(cname)
+    return upd.agg(
+        F.count(F.lit(1)).cast("long").alias("upd_rows"),
+        F.sum("n").cast("long").alias("upd_sum"),
+        F.countDistinct("window_start").cast("long").alias("upd_windows"),
+    ).crossJoin(
+        cmp_.agg(
+            F.count(F.lit(1)).cast("long").alias("complete_rows"),
+            F.sum("n").cast("long").alias("complete_sum"),
+        )
+    )

@@ -68,6 +68,8 @@ HARNESS = {
     "stream_late_drop",
     "stream_restart_exactly_once",
     "stream_left_outer_join",
+    "stream_output_modes",
+    "cbo_stats_join_estimate",
 }
 
 
