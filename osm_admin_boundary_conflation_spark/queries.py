@@ -24754,3 +24754,95 @@ def q_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("complete_sum"),
         )
     )
+
+
+@q(
+    "isotonic_regression_pav",
+    oracle=r"""
+WITH c0 AS (
+  SELECT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events
+  WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+    AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 31
+  GROUP BY 1, 2
+),
+o AS (
+  SELECT user_id, y,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+         sum(y) OVER (PARTITION BY user_id ORDER BY day) AS ps
+  FROM c0
+),
+pairs AS (
+  SELECT a.user_id, a.rn AS j, b.rn AS k,
+         (b.ps - a.ps + a.y) * (72201776446800 // (b.rn - a.rn + 1)) AS m
+  FROM o a JOIN o b ON a.user_id = b.user_id AND b.rn >= a.rn
+),
+rm AS (
+  SELECT user_id, j, k,
+         min(m) OVER (PARTITION BY user_id, j ORDER BY k DESC) AS rmin
+  FROM pairs
+),
+fit AS (
+  SELECT user_id, k AS rn, max(rmin) AS fit_scaled
+  FROM rm GROUP BY user_id, k
+),
+chk AS (
+  SELECT user_id, rn, fit_scaled,
+         lag(fit_scaled) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+  FROM fit
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(fit_scaled) AS BIGINT) AS fit_sum,
+       CAST(sum(rn * (fit_scaled % 1000003)) AS BIGINT) AS fit_checksum,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND fit_scaled < prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+FROM chk GROUP BY user_id ORDER BY user_id
+""",
+)
+def q_isotonic_regression_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION per user (operators/isotonic.py): the
+    engine runs the sequential pool-adjacent-violators scan inside an
+    Arrow batch per user (cross-multiplied rational merges, fitted
+    values scaled by lcm(1..31)/pool_len so they stay exact BIGINTs),
+    while the oracle computes the SAME fit with zero sequential state
+    through the minimax characterization max_{j<=i} min_{k>=i}
+    mean(j..k) as prefix-sum + window algebra — two disjoint
+    derivations of a uniqueness-guaranteed solution (also
+    cross-verified on 200 random series offline). Monotonicity
+    violations must be zero; per-user sums and a position-weighted
+    checksum pin every fitted value. The daily-count series per user
+    fluctuates, so pools genuinely merge."""
+    from .operators.isotonic import isotonic_fit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day0 = F.lit("2024-01-01").cast("date")
+    c0 = (
+        ev.select(
+            "user_id", F.datediff(F.col("ts").cast("date"), day0).alias("day")
+        )
+        .filter((F.col("day") >= 0) & (F.col("day") < 31))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    fit = isotonic_fit(c0, key="user_id", order="day", value="y")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("rn")
+    chk = fit.withColumn("prev", F.lag("fit_scaled").over(w))
+    return (
+        chk.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("fit_scaled").alias("fit_sum"),
+            F.sum(F.col("rn") * (F.col("fit_scaled") % 1000003)).alias("fit_checksum"),
+            F.sum(
+                (
+                    F.col("prev").isNotNull()
+                    & (F.col("fit_scaled") < F.col("prev"))
+                ).cast("long")
+            ).alias("n_violations"),
+        )
+        .orderBy("user_id")
+    )
