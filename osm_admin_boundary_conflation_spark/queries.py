@@ -24846,3 +24846,64 @@ def q_isotonic_regression_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "bwt_from_suffix_array",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, substr(text,1,32) || chr(1) AS t FROM documents
+  WHERE length(substr(text,1,32)) > 0
+),
+rot AS (
+  SELECT doc_id, l.i,
+         substr(t, l.i) || substr(t, 1, l.i - 1) AS r,
+         length(t) AS n
+  FROM d, LATERAL (SELECT unnest(range(1, length(t)+1)) AS i) l
+),
+bwt AS (
+  SELECT doc_id, string_agg(substr(r, n, 1), '' ORDER BY r) AS b
+  FROM rot GROUP BY doc_id
+)
+SELECT doc_id, md5(b) AS bwt_md5 FROM bwt ORDER BY doc_id
+""",
+)
+def q_bwt_from_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS-WHEELER TRANSFORM composed from the suffix-array
+    operator (operators/suffix_array.py): with a unique smallest
+    sentinel appended, sorting rotations equals sorting suffixes, so
+    BWT[r] is simply the character BEFORE the rank-r suffix (wrapping
+    to the sentinel position) — the engine derives it from prefix-
+    doubling ranks and one substring join, while the oracle
+    materializes and sorts every rotation (the O(n^2)-bytes textbook
+    definition, cross-checked against a Python reference). Per-doc
+    md5 of the transform pins every character and position. The BWT
+    is the compression/FM-index backbone — the operator-composition
+    story (SA -> BWT) is exactly how production indexers build it."""
+    from .operators.suffix_array import suffix_array
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 32), F.expr("char(1)")).alias("text"),
+    ).filter(F.length("text") > 1)
+    sa = suffix_array(t, max_len=33)
+    joined = sa.join(t, "doc_id").select(
+        "doc_id",
+        "sa_rank",
+        F.expr(
+            "substr(text, CASE WHEN pos = 1 THEN length(text) ELSE pos - 1 END, 1)"
+        ).alias("ch"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(sa_rank, ch))),"
+                    " x -> x.ch), '')"
+                )
+            ).alias("bwt_md5")
+        )
+        .orderBy("doc_id")
+    )
