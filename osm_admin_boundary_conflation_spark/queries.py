@@ -24907,3 +24907,134 @@ def q_bwt_from_suffix_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "fm_index_search",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 32) AS t0 FROM documents
+  WHERE length(substr(text, 1, 32)) > 0
+)
+SELECT doc_id,
+       CAST((length(t0) - length(replace(t0, 'key', ''))) // 3 AS BIGINT)
+         AS n_matches
+FROM d ORDER BY doc_id
+""",
+)
+def q_fm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-INDEX BACKWARD SEARCH (Ferragina & Manzini 2000) — the full
+    composition chain SA -> BWT -> (C, Occ) -> backward search, run
+    per document: prefix-doubling suffix ranks give the BWT, window
+    cumsums give the occurrence table, per-character totals give the
+    C array, and the pattern is counted by |pattern| interval-
+    narrowing rounds (each one broadcastable lookup join of the
+    per-doc [lo, hi] state against Occ) — never scanning the text.
+    The oracle counts the same occurrences by direct substring
+    replacement ('key' cannot overlap itself, so replace-counting is
+    exact). Docs where the interval dies mid-pattern report 0 — both
+    present and absent patterns are exercised. This is how production
+    genome/text indexers answer count queries; here it is pure
+    DataFrame algebra over integer ranks."""
+    from .operators.suffix_array import suffix_array
+    from pyspark.sql import Window
+
+    pattern = "key"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 32), F.expr("char(1)")).alias("text"),
+    ).filter(F.length("text") > 1)
+    sa = suffix_array(t, max_len=33)
+    # BWT char at rank i = char before the rank-i suffix (wrap to end)
+    bwt = sa.join(t, "doc_id").select(
+        "doc_id",
+        F.col("sa_rank").alias("i"),
+        F.expr(
+            "substr(text, CASE WHEN pos = 1 THEN length(text) ELSE pos - 1 END, 1)"
+        ).alias("ch"),
+    )
+    # Occ(c, i): running count of c within bwt[1..i]
+    occ = bwt.withColumn(
+        "occ",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id", "ch").orderBy("i")
+        ),
+    )
+    # C[c]: number of characters in t strictly smaller than c
+    counts = bwt.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    cvals = counts.withColumn(
+        "c_less",
+        F.sum("cnt").over(
+            Window.partitionBy("doc_id")
+            .orderBy("ch")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select(
+        "doc_id", "ch", F.coalesce(F.col("c_less"), F.lit(0)).alias("c"), "cnt"
+    )
+    last = pattern[-1]
+    st = (
+        t.select("doc_id")
+        .join(
+            cvals.filter(F.col("ch") == last).select("doc_id", "c", "cnt"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("lo"),
+            (F.coalesce(F.col("c"), F.lit(0)) + F.coalesce(F.col("cnt"), F.lit(0))).alias("hi"),
+        )
+    )
+    for chp in reversed(pattern[:-1]):
+        cv = cvals.filter(F.col("ch") == chp).select(
+            "doc_id", F.col("c").alias("c_ch")
+        )
+        occ_lo = occ.filter(F.col("ch") == chp).select(
+            "doc_id", F.col("i").alias("i_lo"), F.col("occ").alias("occ_lo")
+        )
+        occ_hi = occ.filter(F.col("ch") == chp).select(
+            "doc_id", F.col("i").alias("i_hi"), F.col("occ").alias("occ_hi")
+        )
+        # Occ(c, x) at arbitrary x = occ of the LAST c-row with i <= x:
+        # join on i == x is insufficient (bwt[x] may not be c), so take
+        # max-occ among i <= x via a range lookup expressed as a join +
+        # groupBy max — per-doc state is one row, the join side bounded.
+        st = (
+            st.join(cv, "doc_id", "left")
+            .join(occ_lo, ["doc_id"], "left")
+            .withColumn(
+                "olo",
+                F.when(F.col("i_lo") <= F.col("lo") - 1, F.col("occ_lo")),
+            )
+            .groupBy("doc_id", "lo", "hi", "c_ch")
+            .agg(F.max("olo").alias("occ_lo_v"))
+            .join(occ_hi, ["doc_id"], "left")
+            .withColumn(
+                "ohi", F.when(F.col("i_hi") <= F.col("hi"), F.col("occ_hi"))
+            )
+            .groupBy("doc_id", "lo", "hi", "c_ch", "occ_lo_v")
+            .agg(F.max("ohi").alias("occ_hi_v"))
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("c_ch"), F.lit(0))
+                    + F.coalesce(F.col("occ_lo_v"), F.lit(0))
+                    + 1
+                ).alias("lo"),
+                (
+                    F.coalesce(F.col("c_ch"), F.lit(0))
+                    + F.coalesce(F.col("occ_hi_v"), F.lit(0))
+                ).alias("hi"),
+            )
+        )
+    return (
+        st.select(
+            "doc_id",
+            F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(0))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .orderBy("doc_id")
+    )
