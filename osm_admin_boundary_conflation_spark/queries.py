@@ -25038,3 +25038,56 @@ def q_fm_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "calendar_arithmetic_battery",
+    oracle=r"""
+WITH d AS (SELECT CAST(o_orderdate AS DATE) AS dt FROM orders),
+m AS (
+  SELECT date_trunc('month', dt) AS month_start,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CASE WHEN dayofweek(dt) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_weekend,
+         CAST(sum(CASE WHEN dt = last_day(dt) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_on_last_dom,
+         CAST(sum(CASE WHEN date_trunc('week', dt) = dt THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_week_starts
+  FROM d GROUP BY 1
+)
+SELECT CAST(month_start AS DATE) AS month_start,
+       CAST(last_day(CAST(month_start AS DATE)) AS DATE) AS last_dom,
+       CAST(CAST(month_start AS DATE) + INTERVAL 2 MONTH AS DATE) AS shifted2,
+       n_orders, n_weekend, n_on_last_dom, n_week_starts
+FROM m ORDER BY month_start
+""",
+)
+def q_calendar_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR ARITHMETIC BATTERY across the dialect seams that bite
+    real pipelines: week truncation (both engines anchor Monday),
+    day-of-week numbering (Spark 1=Sunday vs DuckDB 0=Sunday — the
+    gate maps them explicitly), month-end via last_day across leap
+    Februaries (the 7-year order range contains two), and add_months'
+    end-of-month clamping. Per order month: order census, weekend
+    orders, orders landing exactly on month-end, orders on Monday
+    week-starts, plus derived last-day and +2-month dates — all
+    pinned value-for-value."""
+    o = datagen._read(spark, sf_dir, "orders")
+    d = o.select(F.col("o_orderdate").cast("date").alias("dt"))
+    m = d.groupBy(F.date_trunc("month", "dt").cast("date").alias("month_start")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("dayofweek(dt)").isin(1, 7).cast("long")).alias("n_weekend"),
+        F.sum((F.col("dt") == F.last_day("dt")).cast("long")).alias("n_on_last_dom"),
+        F.sum(
+            (F.date_trunc("week", "dt").cast("date") == F.col("dt")).cast("long")
+        ).alias("n_week_starts"),
+    )
+    return m.select(
+        "month_start",
+        F.last_day("month_start").alias("last_dom"),
+        F.add_months("month_start", 2).alias("shifted2"),
+        "n_orders",
+        "n_weekend",
+        "n_on_last_dom",
+        "n_week_starts",
+    ).orderBy("month_start")
