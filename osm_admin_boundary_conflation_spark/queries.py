@@ -25091,3 +25091,69 @@ def q_calendar_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_on_last_dom",
         "n_week_starts",
     ).orderBy("month_start")
+
+
+@q(
+    "ntt_convolution",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 32) AS t FROM documents
+  WHERE length(substr(text, 1, 32)) > 0
+),
+a AS (
+  SELECT doc_id, l.i, ascii(substr(t, l.i, 1)) AS av
+  FROM d, LATERAL (SELECT unnest(range(1, length(t) + 1)) AS i) l
+),
+b AS (
+  SELECT doc_id, l.j, (doc_id * 7 + l.j * 13) % 97 AS bv
+  FROM d, LATERAL (SELECT unnest(range(1, 33)) AS j) l
+),
+conv AS (
+  SELECT a.doc_id, a.i + b.j - 1 AS k, CAST(sum(a.av * b.bv) AS BIGINT) AS c
+  FROM a JOIN b ON a.doc_id = b.doc_id
+  GROUP BY a.doc_id, a.i + b.j - 1
+)
+SELECT doc_id, CAST(sum(k * c) AS BIGINT) AS conv_checksum,
+       CAST(sum(c) AS BIGINT) AS conv_sum
+FROM conv GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_ntt_convolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT CONVOLUTION VIA NUMBER-THEORETIC TRANSFORM
+    (operators/ntt.py): each document's char-code sequence is
+    convolved with a doc-keyed integer kernel through forward NTT x
+    pointwise x inverse NTT — thirteen straight-line JVM array
+    projections per row with Python-precomputed butterfly wiring —
+    while the oracle computes the schoolbook O(n^2) double-sum
+    (values are small enough that the mod-P result equals the plain
+    integer convolution, so the two sides share only the answer).
+    Position-weighted checksum + sum pin all 63 output coefficients
+    per document; the operator itself is cross-verified against a
+    Python reference in tests."""
+    from .operators.ntt import ntt_convolve
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id", F.substring("text", 1, 32).alias("t")).filter(
+        F.length("t") > 0
+    )
+    padded = d.select(
+        "doc_id",
+        F.expr(
+            "concat(transform(sequence(1, 32), i -> CASE WHEN i <= length(t) "
+            "THEN cast(ascii(substr(t, i, 1)) as bigint) ELSE 0L END), "
+            "array_repeat(0L, 32))"
+        ).alias("a"),
+        F.expr(
+            "concat(transform(sequence(1, 32), j -> "
+            "pmod(doc_id * 7 + j * 13, 97)), array_repeat(0L, 32))"
+        ).alias("b"),
+    )
+    conv = ntt_convolve(padded, "a", "b", "c")
+    return conv.select(
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(c, sequence(1, 64), (v, k) -> v * k), 0L,"
+            " (acc, x) -> acc + x)"
+        ).alias("conv_checksum"),
+        F.expr("aggregate(c, 0L, (acc, x) -> acc + x)").alias("conv_sum"),
+    ).orderBy("doc_id")

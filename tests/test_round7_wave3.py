@@ -164,3 +164,54 @@ def test_d8_flow_accumulation_line(spark):
         for r in d8_flow_accumulation(cells, rounds=8).collect()
     }
     assert got == {i: 8 - i for i in range(8)}
+
+
+def test_ntt_convolution_random(spark):
+    from osm_admin_boundary_conflation_spark.operators.ntt import P, ntt_convolve
+
+    rng = random.Random(2)
+    rows, truth = [], {}
+    for k in range(15):
+        a = [rng.randint(0, 10**6) for _ in range(32)] + [0] * 32
+        b = [rng.randint(0, 10**6) for _ in range(32)] + [0] * 32
+        sb = [0] * 64
+        for i in range(32):
+            for j in range(32):
+                sb[i + j] = (sb[i + j] + a[i] * b[j]) % P
+        rows.append((k, a, b))
+        truth[k] = sb
+    df = spark.createDataFrame(rows, "id long, a array<long>, b array<long>")
+    got = {r["id"]: r["c"] for r in ntt_convolve(df, "a", "b", "c").select("id", "c").collect()}
+    assert got == truth
+
+
+def test_isotonic_random_vs_python(spark):
+    from osm_admin_boundary_conflation_spark.operators.isotonic import (
+        LCM_1_31,
+        isotonic_fit,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    truth = {}
+    for k in range(30):
+        ys = [rng.randint(0, 50) for _ in range(rng.randint(1, 31))]
+        rows += [(k, i, y) for i, y in enumerate(ys)]
+        pools = []
+        for y in ys:
+            pools.append((y, 1))
+            while len(pools) > 1 and pools[-2][0] * pools[-1][1] > pools[-1][0] * pools[-2][1]:
+                s2, l2 = pools.pop()
+                s1, l1 = pools.pop()
+                pools.append((s1 + s2, l1 + l2))
+        fits = []
+        for s, ln in pools:
+            fits.extend([s * (LCM_1_31 // ln)] * ln)
+        truth[k] = fits
+    df = spark.createDataFrame(rows, "k long, ord long, y long")
+    out = isotonic_fit(df, key="k", order="ord", value="y").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["k"], {})[r["rn"]] = r["fit_scaled"]
+    for k, fits in truth.items():
+        assert [got[k][i + 1] for i in range(len(fits))] == fits
