@@ -53,6 +53,10 @@ HEADLINE = [
     # strict cell pairs from populations + bucket-equi residuals, the
     # n^2-pairs-without-n^2-work shape (operators/rankcorr.py)
     "kendall_tau_inversions",
+    # new in r7 session 3: the text-index path — per-doc suffix arrays
+    # by prefix doubling (lead + dense_rank window rounds, O(L log L)
+    # integer rows instead of O(L^2) suffix bytes)
+    "suffix_array_doubling",
 ]
 
 # pages multiplier for the scaling job: 20 → 100k pages of ~60KB html,
