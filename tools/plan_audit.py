@@ -109,6 +109,14 @@ NESTED_LOOP_SCALAR_OK = {
     "golden_record_merge",  # customers x constant 3-row source-copy broadcast
     "quantile_normalize",  # 1-row min-group-size scalar broadcast
     "distribution_drift_tv",  # days x constant 5-type spine (bounded multiplier)
+    "getis_ord_hotspots",  # constant 6x6 grid spine + 1-row global-stats scalar
+    "benford_digit_test",  # 1-row corpus-N scalar broadcast
+    "t_closeness_check",  # groups x constant 20-value domain spine
+    "douglas_peucker_simplify",  # ways x constant 121-point synthetic spine
+    "decision_tree_table_inference",  # round-1 root join constant-folds to a 1-row broadcast
+    "setops_all_semantics",  # 1-row census scalars crossJoined for the identity check
+    "stream_output_modes",  # 1-row update-sink stats x 1-row complete-sink stats
+    "dedup_incremental_index",  # 1-row delta/dup/kept census scalars crossJoined
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
@@ -221,7 +229,18 @@ def main() -> None:
         # skew_diagnosis and rrf_fusion left this exemption list in r7:
         # their global ranks now run as two-phase bucket ranks
         # (plans/dense_index.global_rank) with no 1-partition window
-        or (r.get("single_part") and r["name"] not in ("quality_deciles", "skyline_frontier", "contribution_analysis"))
+        or (
+            r.get("single_part")
+            # t_closeness: global CDF ranks over the constant 20-value
+            # domain spine — bounded-set global window, hand-audited
+            and r["name"]
+            not in (
+                "quality_deciles",
+                "skyline_frontier",
+                "contribution_analysis",
+                "t_closeness_check",
+            )
+        )
     ]
     out = [
         "# PLAN AUDIT — every registry query's executed plan, summarized",
