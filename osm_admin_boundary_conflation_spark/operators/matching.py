@@ -64,3 +64,88 @@ def greedy_matching(nodes: DataFrame, edges: DataFrame, max_rounds: int = 40) ->
     for fr in picked[1:]:
         out = out.unionAll(fr)
     return out
+
+
+def stable_matching(
+    prefs_m: DataFrame, prefs_w: DataFrame, n: int, max_rounds: int = 256
+) -> DataFrame:
+    """Stable marriage by PARALLEL deferred acceptance (Gale-Shapley
+    1962): every free man proposes to his next-ranked woman in the
+    SAME round, each woman keeps the best of her suitors plus her
+    current fiance, displaced men rejoin the pool. The outcome of
+    deferred acceptance is independent of proposal order — batch
+    rounds, sequential steps, any interleaving all land on the unique
+    MAN-OPTIMAL stable matching — which is what makes the parallel
+    form gateable against a strictly sequential replay.
+
+    prefs_m: (m, w, rm) — man m ranks woman w at rm (0 best; each
+    man's rm a permutation). prefs_w: (w, m, rw) likewise. Returns
+    (w, m) for the n matched pairs. Each round is two equi joins
+    (proposal target by rank, then the woman's rank of the suitor),
+    one per-woman min-struct arbitration, and a set subtraction for
+    the displaced — vertex-partitioned shuffles over the FREE men
+    only, so rounds shrink as the matching fills. RAISES if the pool
+    is not drained within max_rounds (an unmatched man with exhausted
+    preferences is impossible for complete preference lists)."""
+    from pyspark.sql import Observation
+
+    spark = prefs_m.sparkSession
+    pm = prefs_m.select("m", "w", "rm").localCheckpoint(eager=True)
+    pw = prefs_w.select(
+        F.col("w").alias("pw_w"), F.col("m").alias("pw_m"), "rw"
+    ).localCheckpoint(eager=True)
+    # state parallelism follows the preference tables — a 16-row gate
+    # instance runs 1-partition rounds instead of 32 near-empty tasks
+    parts = max(1, pm.rdd.getNumPartitions())
+    state = (
+        spark.range(n)
+        .coalesce(parts)
+        .select(
+            F.col("id").alias("m"),
+            F.lit(0).cast("long").alias("nxt"),
+            F.lit(None).cast("long").alias("w_cur"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        free = state.filter(F.col("w_cur").isNull() & (F.col("nxt") < n))
+        props = (
+            free.join(pm, (free.m == pm.m) & (free.nxt == pm.rm))
+            .select(pm.m.alias("cand_m"), "w")
+        )
+        bids = props.unionByName(
+            state.filter(F.col("w_cur").isNotNull()).select(
+                F.col("m").alias("cand_m"), F.col("w_cur").alias("w")
+            )
+        )
+        scored = bids.join(
+            pw, (bids.w == pw.pw_w) & (bids.cand_m == pw.pw_m)
+        ).select("w", "cand_m", "rw")
+        winners = (
+            scored.groupBy("w")
+            .agg(F.min(F.struct("rw", "cand_m")).alias("b"))
+            .select(F.col("b.cand_m").alias("m"), F.col("w").alias("w_new"))
+        )
+        proposed = props.select(F.col("cand_m").alias("m")).distinct()
+        obs = Observation()
+        state = (
+            state.join(winners, "m", "left")
+            .join(proposed.withColumn("did", F.lit(1)), "m", "left")
+            .select(
+                "m",
+                (F.col("nxt") + F.coalesce(F.col("did"), F.lit(0))).alias("nxt"),
+                F.col("w_new").alias("w_cur"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("w_cur").isNull() & (F.col("nxt") < n)).cast("long")
+                ).alias("free"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if (obs.get["free"] or 0) == 0:
+            break
+    else:
+        raise RuntimeError(f"stable_matching: pool not drained in {max_rounds} rounds")
+    return state.select(F.col("w_cur").alias("w"), "m")
