@@ -903,3 +903,53 @@ def jones_plassmann_color(edges: DataFrame, max_rounds: int) -> DataFrame:
             f"{max_rounds} rounds — dependency path exceeds max_rounds"
         )
     return state
+
+
+def greedy_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Maximal independent set by deterministic Luby-style rounds with
+    STATIC id priorities (Luby 1986 with fixed instead of random
+    priorities): every round, all alive vertices that are local minima
+    among their alive neighbours join the MIS simultaneously, and
+    their neighbourhoods leave the pool. With unique static priorities
+    this is EXACTLY the sequential greedy MIS in ascending id order
+    (a vertex's fate depends only on smaller-id neighbours), which
+    makes the parallel schedule gateable against a sequential replay —
+    the same equivalence jones_plassmann_color leans on.
+
+    edges: (src, dst) with BOTH directions present. Returns (v) rows —
+    the MIS members. Each round is one edge join + a per-vertex min +
+    one semi/anti join; rounds = longest ascending-id dependency
+    chain. RAISES if the pool is not drained within max_rounds."""
+    from pyspark.sql import Observation
+
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    alive = e.select(F.col("src").alias("v")).distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    mis = spark.createDataFrame([], "v long")
+    for _ in range(max_rounds):
+        nb = alive.join(e, alive.v == e.src).select("v", F.col("dst").alias("w"))
+        nb_alive = nb.join(
+            alive.select(F.col("v").alias("w")), "w", "left_semi"
+        )
+        minnb = nb_alive.groupBy("v").agg(F.min("w").alias("mw"))
+        joiners = (
+            alive.join(minnb, "v", "left")
+            .filter(F.col("mw").isNull() | (F.col("mw") > F.col("v")))
+            .select("v")
+        )
+        mis = mis.unionByName(joiners).localCheckpoint(eager=True)
+        killed = (
+            nb.join(joiners.select(F.col("v").alias("w")), "w", "left_semi")
+            .select("v")
+            .distinct()
+        )
+        obs = Observation()
+        alive = (
+            alive.join(joiners, "v", "left_anti")
+            .join(killed, "v", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("left"))
+            .localCheckpoint(eager=True)
+        )
+        if (obs.get["left"] or 0) == 0:
+            return mis
+    raise RuntimeError(f"greedy_mis: pool not drained in {max_rounds} rounds")
