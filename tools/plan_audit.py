@@ -117,6 +117,7 @@ NESTED_LOOP_SCALAR_OK = {
     "setops_all_semantics",  # 1-row census scalars crossJoined for the identity check
     "stream_output_modes",  # 1-row update-sink stats x 1-row complete-sink stats
     "dedup_incremental_index",  # 1-row delta/dup/kept census scalars crossJoined
+    "pagination_limit_offset",  # 1-row page-census scalars crossJoined
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
