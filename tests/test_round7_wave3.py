@@ -215,3 +215,64 @@ def test_isotonic_random_vs_python(spark):
         got.setdefault(r["k"], {})[r["rn"]] = r["fit_scaled"]
     for k, fits in truth.items():
         assert [got[k][i + 1] for i in range(len(fits))] == fits
+
+
+def test_stable_matching_random_vs_python(spark):
+    from osm_admin_boundary_conflation_spark.operators.matching import stable_matching
+
+    rng = random.Random(13)
+    n = 10
+    pm = {m: rng.sample(range(n), n) for m in range(n)}  # pm[m][rank] = woman
+    pw = {w: rng.sample(range(n), n) for w in range(n)}
+    rank_w = {w: {m: r for r, m in enumerate(pw[w])} for w in range(n)}
+    # python sequential GS (man-optimal)
+    nxt = [0] * n
+    fian = {}
+    while True:
+        free = [m for m in range(n) if m not in fian.values() and nxt[m] < n]
+        if not free:
+            break
+        f = free[0]
+        w = pm[f][nxt[f]]
+        nxt[f] += 1
+        cur = fian.get(w)
+        if cur is None or rank_w[w][f] < rank_w[w][cur]:
+            fian[w] = f
+    prefs_m = spark.createDataFrame(
+        [(m, w, r) for m in range(n) for r, w in enumerate(pm[m])],
+        "m long, w long, rm long",
+    ).coalesce(1)
+    prefs_w = spark.createDataFrame(
+        [(w, m, r) for w in range(n) for r, m in enumerate(pw[w])],
+        "w long, m long, rw long",
+    ).coalesce(1)
+    got = {
+        r["w"]: r["m"] for r in stable_matching(prefs_m, prefs_w, n=n).collect()
+    }
+    assert got == fian
+
+
+def test_greedy_mis_random_vs_python(spark):
+    import collections
+
+    from osm_admin_boundary_conflation_spark.operators.graph import greedy_mis
+
+    rng = random.Random(17)
+    n = 50
+    und = set()
+    for _ in range(120):
+        a, b = rng.sample(range(n), 2)
+        und.add((min(a, b), max(a, b)))
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes_in_graph = sorted({v for e in und for v in e})
+    want = set()
+    for v in nodes_in_graph:
+        if not (adj[v] & want):
+            want.add(v)
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    got = {r["v"] for r in greedy_mis(df, max_rounds=n).collect()}
+    assert got == want
