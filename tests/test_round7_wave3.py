@@ -276,3 +276,107 @@ def test_greedy_mis_random_vs_python(spark):
     df = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
     got = {r["v"] for r in greedy_mis(df, max_rounds=n).collect()}
     assert got == want
+
+
+def test_betweenness_random_graph_vs_python(spark):
+    import collections
+
+    from osm_admin_boundary_conflation_spark.operators.graph import (
+        betweenness_path_counts,
+    )
+
+    rng = random.Random(23)
+    n = 24
+    und = set()
+    for _ in range(40):
+        a, b = rng.sample(range(n), 2)
+        und.add((min(a, b), max(a, b)))
+    adj = collections.defaultdict(list)
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = sorted({v for e in und for v in e})
+
+    def bfs(s):
+        d = {s: 0}
+        sig = {s: 1}
+        q = [s]
+        for u in q:
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    sig[v] = 0
+                    q.append(v)
+                if d[v] == d[u] + 1:
+                    sig[v] += sig[u]
+        return d, sig
+
+    D, S = {}, {}
+    for s in nodes:
+        d, sig = bfs(s)
+        for v in nodes:
+            if v in d:
+                D[(s, v)] = d[v]
+                S[(s, v)] = sig[v]
+    want = collections.defaultdict(int)
+    for s in nodes:
+        for t in nodes:
+            if (s, t) not in D:
+                continue
+            for v in nodes:
+                if v == s or v == t:
+                    continue
+                if (s, v) in D and (v, t) in D and D[(s, v)] + D[(v, t)] == D[(s, t)]:
+                    want[v] += S[(s, v)] * S[(v, t)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    got = {
+        r["v"]: r["through_paths"]
+        for r in betweenness_path_counts(df, max_rounds=n).collect()
+    }
+    assert {v: got.get(v, 0) for v in nodes} == {v: want.get(v, 0) for v in nodes}
+
+
+def test_d8_flow_accumulation_random_dem_vs_python(spark):
+    from osm_admin_boundary_conflation_spark.operators.raster import (
+        d8_flow_accumulation,
+    )
+
+    rng = random.Random(29)
+    R = C = 8
+    z = {(r, c): rng.randint(0, 999) for r in range(R) for c in range(C)}
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    flow = {}
+    for r in range(R):
+        for c in range(C):
+            best = None
+            for dr, dc in offs:
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < R and 0 <= cc < C:
+                    key = (z[(rr, cc)], rr * C + cc)
+                    if best is None or key < best:
+                        best = key
+            u = r * C + c
+            if best and best[0] < z[(r, c)]:
+                flow[u] = best[1]
+    acc = {v: 0 for v in range(R * C)}
+    maxlen = 0
+    for u in range(R * C):
+        cur = u
+        steps = 0
+        while True:
+            acc[cur] += 1
+            if cur not in flow:
+                break
+            cur = flow[cur]
+            steps += 1
+        maxlen = max(maxlen, steps)
+    cells = spark.createDataFrame(
+        [(r * C + c, r, c, z[(r, c)]) for r in range(R) for c in range(C)],
+        "cell long, r long, c long, z long",
+    ).coalesce(1)
+    got = {
+        row["cell"]: row["accumulation"]
+        for row in d8_flow_accumulation(cells, rounds=maxlen + 1).collect()
+    }
+    assert got == acc
