@@ -36,17 +36,44 @@ _GOLD = 0x9E3779B9
 def shingle_expr(t):
     """Word-5-shingles as a JVM array expression — identical semantics to
     functions.text.shingles / the DuckDB oracle (string_split_regex on
-    trim(lower(t)), whole-join when fewer than k words)."""
-    words = F.split(F.trim(F.lower(t)), r"\s+")
-    n = F.size(words)
-    return F.when(
-        n < K_SHINGLE, F.array(F.array_join(words, " "))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - K_SHINGLE + 1),
-            lambda j: F.array_join(F.slice(words, j, K_SHINGLE), " "),
+    trim(lower(t)), whole-join when fewer than k words).
+
+    The regex split is bound to a lambda variable via the
+    transform-over-singleton idiom: higher-order-function lambdas are NOT
+    common-subexpression-eliminated, so referencing ``split(...)``
+    directly inside the per-shingle lambda re-ran the regex once PER
+    SHINGLE (~50x per doc — measured 2.9 s of the 3.7 s
+    dedup_minhash_lsh wall at sf0.1 before the fix, guide §4.1/§1)."""
+
+    def shingles_of(w):
+        n = F.size(w)
+        return F.when(
+            n < K_SHINGLE, F.array(F.array_join(w, " "))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - K_SHINGLE + 1),
+                lambda j: F.array_join(F.slice(w, j, K_SHINGLE), " "),
+            )
         )
-    )
+
+    words = F.split(F.trim(F.lower(t)), r"\s+")
+    return F.get(F.transform(F.array(words), shingles_of), 0)
+
+
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Guard against single-split inputs (guide §2.5 'input skew'): a
+    corpus read from one unsplittable file would run the whole
+    shingle→md5→min pipeline in ONE task (measured 3.6 s of the 3.7 s
+    dedup_minhash_lsh wall at sf0.1). Repartition on the doc id — a
+    deterministic, well-spread key — only when the scan parallelism is
+    below the session's core count; a 100 TB corpus arrives pre-split
+    and skips the shuffle entirely."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = docs.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive (plan not RDD-convertible)
+        return docs
+    return docs.repartition(n, F.col(id_col)) if cur < n else docs
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "id", text_col: str = "t") -> DataFrame:
@@ -64,7 +91,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "id", text_col: str = "t")
     (mod M): with h = hi·2^32 + lo, h·a ≡ ((hi·a)>>29) +
     ((hi·a & (2^29-1))<<32) + lo·a, every term < 2^62 — bit-exact vs
     the arbitrary-precision formula (see tests)."""
-    sh = docs.select(id_col, F.explode(shingle_expr(F.col(text_col))).alias("s"))
+    sh = _spread(docs, id_col).select(id_col, F.explode(shingle_expr(F.col(text_col))).alias("s"))
     h = F.conv(F.substring(F.md5(F.concat(F.lit("0:"), F.col("s"))), 1, 15), 16, 10).cast("long")
     sh = sh.select(id_col, h.alias("h"))
     hi = F.shiftright(F.col("h"), 32)
@@ -102,8 +129,15 @@ def minhash_bands(docs: DataFrame, id_col: str = "id", text_col: str = "t") -> D
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """band-bucket self-join → distinct (ia, ib) with ia < ib."""
-    b = minhash_bands(docs)
+    """band-bucket self-join → distinct (ia, ib) with ia < ib.
+
+    The band table is persisted before the self-join: one side becomes a
+    BroadcastExchange, so without the persist Catalyst cannot reuse the
+    exchange and the whole shingle→md5→minhash subtree executes TWICE
+    per action (verified in plans/r08/dedup_minhash_lsh_before.txt,
+    operators 8-14 vs 22-28). The persisted table is one skinny row per
+    (doc, band) — safe to hold even for very large corpora."""
+    b = minhash_bands(docs).persist()
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(
@@ -200,14 +234,26 @@ def jaccard3_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Full MinHash-LSH dedup: candidates → exact-Jaccard verify."""
+    """Full MinHash-LSH dedup: candidates → exact-Jaccard verify.
+
+    The verify runs ENTIRELY JVM-side: distinct shingle arrays +
+    array_intersect reproduce set-Jaccard bit-for-bit (|∪| = |A|+|B|−|∩|,
+    same IEEE double division). The previous jaccard_udf re-shingled both
+    texts in per-row Python AND was evaluated twice — once under the
+    pushed-down threshold filter and once in the projection (guide §4.4,
+    two ArrowEvalPython nodes in plans/r08/dedup_minhash_lsh_before.txt)."""
     pairs = lsh_candidate_pairs(docs)
-    da = docs.select(F.col("id").alias("ia"), F.col("t").alias("ta"))
-    db = docs.select(F.col("id").alias("ib"), F.col("t").alias("tb"))
+    shingled = docs.select(
+        "id", F.array_distinct(shingle_expr(F.coalesce(F.col("t"), F.lit("")))).alias("sh")
+    )
+    da = shingled.select(F.col("id").alias("ia"), F.col("sh").alias("sa"))
+    db = shingled.select(F.col("id").alias("ib"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
     verified = (
         pairs.join(da, "ia")
         .join(db, "ib")
-        .withColumn("jacc", F.round(jaccard_udf("ta", "tb"), 6))
+        .withColumn("jacc", F.round(inter / union, 6))
         .filter(F.col("jacc") >= threshold)
     )
     return verified.select("ia", "ib", "jacc")
