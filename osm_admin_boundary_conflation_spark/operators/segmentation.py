@@ -84,14 +84,83 @@ def fingerprint_udf(node_ids: pd.Series) -> pd.Series:
     return node_ids.map(lambda ids: canonical_node_fingerprint(list(ids)))
 
 
-def detect_corners(ways: DataFrame, min_ways: int = 3) -> DataFrame:
-    """J8: nodes present in >= min_ways distinct ways → corner nodes."""
-    wn = ways.select("way_id", F.explode("node_ids").alias("node_id")).dropDuplicates(
-        ["way_id", "node_id"]
+def split_way_expr(node_ids, corner_pos):
+    """G13 splitting as a pure JVM expression — behaviourally identical
+    to split_way_udf (differential-tested in tests/test_segmentation.py)
+    but whole-stage-codegen'd: no Arrow boundary, no per-way Python.
+    The 300k-node strip-world perimeter alone cost ~2 s in a single
+    Python task through the UDF (guide §4.1: prefer built-ins).
+
+    Every derived array (core, corner indexes, cut points) is bound to a
+    lambda variable via the transform-over-singleton idiom; referencing
+    the defining expression inside a nested lambda instead would
+    re-evaluate it once per emitted segment (higher-order-function
+    arguments are not common-subexpression-eliminated)."""
+    empty = F.array().cast("array<array<long>>")
+    n_all = F.size(node_ids)
+    closed = (n_all > 1) & (F.get(node_ids, 0) == F.get(node_ids, n_all - 1))
+    core = F.when(closed, F.slice(node_ids, 1, n_all - 1)).otherwise(node_ids)
+
+    def with_core(c):
+        nc = F.size(c)
+        idxs = F.array_sort(F.filter(corner_pos, lambda i: i < nc))
+
+        def with_idxs(ix):
+            k = F.size(ix)
+            # open way: segments between consecutive cut points
+            # [0] + idxs + [nc-1] (deduped) — matches the UDF's
+            # prev/emit loop including corners at 0 or nc-1
+            cuts = F.array_distinct(
+                F.concat(F.array(F.lit(0)), ix, F.array((nc - 1).cast("int")))
+            )
+
+            def with_cuts(cu):
+                m = F.size(cu)
+                return F.when(m < 2, empty).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), m - 2),
+                        lambda i: F.slice(
+                            c, F.get(cu, i) + 1, F.get(cu, i + 1) - F.get(cu, i) + 1
+                        ),
+                    )
+                )
+
+            open_segs = F.get(F.transform(F.array(cuts), with_cuts), 0)
+            # closed way: one segment per corner, wraparound merge of the
+            # piece after the last corner with the piece before the first
+            closed_segs = F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda j: F.when(
+                    j < k - 1,
+                    F.slice(c, F.get(ix, j) + 1, F.get(ix, j + 1) - F.get(ix, j) + 1),
+                ).otherwise(
+                    F.concat(
+                        F.slice(c, F.get(ix, k - 1) + 1, nc - F.get(ix, k - 1)),
+                        F.slice(c, 1, F.get(ix, 0) + 1),
+                    )
+                ),
+            )
+            return F.when(k == 0, F.array(node_ids)).otherwise(
+                F.when(closed, closed_segs).otherwise(open_segs)
+            )
+
+        return F.get(F.transform(F.array(idxs), with_idxs), 0)
+
+    return F.when(n_all == 0, empty).otherwise(
+        F.get(F.transform(F.array(core), with_core), 0)
     )
+
+
+def detect_corners(ways: DataFrame, min_ways: int = 3) -> DataFrame:
+    """J8: nodes present in >= min_ways distinct ways → corner nodes.
+
+    countDistinct fuses the old dropDuplicates + count pair into one
+    logical aggregate (one exchange instead of two, with map-side
+    partial dedup on (node_id, way_id) — guide §2.4)."""
+    wn = ways.select("way_id", F.explode("node_ids").alias("node_id"))
     return (
         wn.groupBy("node_id")
-        .agg(F.count("*").alias("n_ways"))
+        .agg(F.countDistinct("way_id").alias("n_ways"))
         .filter(F.col("n_ways") >= min_ways)
         .select("node_id")
     )
@@ -215,12 +284,23 @@ def segment_ways(ways: DataFrame, lint_observation=None) -> DataFrame:
     w = small.join(corner_pos, "way_id", "left").withColumn(
         "corner_pos", F.coalesce("corner_pos", F.array().cast("array<int>"))
     )
+    # JVM expression split (split_way_expr ≡ split_way_udf, differential-
+    # tested): removes the Arrow boundary from the hottest segmentation
+    # stage — the pandas UDF cost ~4 s of the 5.7 s segment_tiles wall
+    # at sf0.1, ~2 s of it the 300k-node perimeter in one Python task.
     segs_small = w.select(
         "way_id",
         "admin_level",
-        F.explode(split_way_udf(F.col("node_ids"), F.col("corner_pos"))).alias("seg_nodes"),
+        F.explode(split_way_expr(F.col("node_ids"), F.col("corner_pos"))).alias("seg_nodes"),
     )
-    segs = segs_small.unionByName(split_ways_distributed(big, corners))
+    # persist the split segments: the open/ring fingerprint branches
+    # below are FILTERS of this table re-joined by union, so without the
+    # persist the entire corner-detection + split pipeline executes once
+    # per branch (2x per action — verified in the r08 plan profile).
+    # The persisted rows are skinny (way_id, admin_level, node-id list);
+    # a long-lived deployment would materialize this segment table
+    # anyway.
+    segs = segs_small.unionByName(split_ways_distributed(big, corners)).persist()
     # canonical fingerprint: OPEN segments (the overwhelming majority —
     # rings survive splitting only when a closed way has no corners)
     # stay JVM-side (integer-array lexicographic least of the two

@@ -147,3 +147,82 @@ def test_distributed_splitter_randomized(spark):
     )
     got_b = sorted((r["way_id"], tuple(r["seg_nodes"])) for r in udf_out.collect())
     assert got_a == got_b
+
+
+def test_split_expr_matches_udf_edge_cases(spark):
+    """split_way_expr (JVM) ≡ split_way_udf (Arrow) on the full edge
+    matrix: open/closed, corners at 0 / n-1 / adjacent / none / all,
+    single-node ways, empty corner lists, corners past the core."""
+    cases = [
+        ([], []),
+        ([1], []),
+        ([1], [0]),
+        ([1, 2], []),
+        ([1, 2], [0]),
+        ([1, 2], [1]),
+        ([1, 2, 3, 4, 5], []),
+        ([1, 2, 3, 4, 5], [0]),
+        ([1, 2, 3, 4, 5], [4]),
+        ([1, 2, 3, 4, 5], [2]),
+        ([1, 2, 3, 4, 5], [1, 2]),
+        ([1, 2, 3, 4, 5], [0, 2, 4]),
+        ([1, 2, 3, 4, 5], [0, 1, 2, 3, 4]),
+        ([1, 2, 3, 4, 5], [7]),  # past the core -> no valid corner
+        ([1, 2, 3, 4, 1], []),  # closed, no corners
+        ([1, 2, 3, 4, 1], [0]),
+        ([1, 2, 3, 4, 1], [2]),
+        ([1, 2, 3, 4, 1], [1, 3]),
+        ([1, 2, 3, 4, 1], [0, 1, 2, 3]),
+        ([1, 2, 3, 4, 1], [3, 1]),  # unsorted corner list
+        ([5, 5], []),  # closed 2-node degenerate
+        ([5, 5], [0]),
+    ]
+    rows = [(i, n, c) for i, (n, c) in enumerate(cases)]
+    df = spark.createDataFrame(
+        rows, "id long, node_ids array<long>, corner_pos array<int>"
+    )
+    got_expr = {
+        r["id"]: [list(s) for s in r["segs"]]
+        for r in df.select(
+            "id", SG.split_way_expr(F.col("node_ids"), F.col("corner_pos")).alias("segs")
+        ).collect()
+    }
+    got_udf = {
+        r["id"]: [list(s) for s in r["segs"]]
+        for r in df.select(
+            "id", SG.split_way_udf(F.col("node_ids"), F.col("corner_pos")).alias("segs")
+        ).collect()
+    }
+    assert got_expr == got_udf
+
+
+def test_split_expr_randomized_vs_udf(spark):
+    """Randomized differential: 200 random open/closed ways with random
+    corner subsets — JVM expression equals the Arrow UDF."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for wid in range(200):
+        m = rng.randint(1, 15)
+        nodes = [wid * 1000 + i for i in range(m)]
+        if rng.random() < 0.4 and m >= 3:
+            nodes.append(nodes[0])
+        corners = sorted({rng.randrange(0, m + 2) for _ in range(rng.randint(0, 6))})
+        rows.append((wid, nodes, corners))
+    df = spark.createDataFrame(
+        rows, "id long, node_ids array<long>, corner_pos array<int>"
+    )
+    a = {
+        r["id"]: [list(s) for s in r["segs"]]
+        for r in df.select(
+            "id", SG.split_way_expr(F.col("node_ids"), F.col("corner_pos")).alias("segs")
+        ).collect()
+    }
+    b = {
+        r["id"]: [list(s) for s in r["segs"]]
+        for r in df.select(
+            "id", SG.split_way_udf(F.col("node_ids"), F.col("corner_pos")).alias("segs")
+        ).collect()
+    }
+    assert a == b
