@@ -343,21 +343,6 @@ def conflate(
     # skinny flags ride the node-level rows (the index is O(total
     # nodes)). Endpoint positions + way/node taggedness feed the
     # unglue eligibility rules (conflate.py:150-175).
-    wt = F.col("tags")
-    w_nat = F.coalesce(wt["admin_level"].cast("int") <= 2, F.lit(False))
-    w_other = wt["boundary"].isNull() | (wt["boundary"] != "administrative")
-    node_way = (
-        osm_ways.select(
-            F.col("osm_way_id").alias("nw_way"),
-            w_nat.alias("nw_nat"),
-            w_other.alias("nw_other"),
-            (F.size("tags") > 0).alias("nw_tagged"),
-            F.size("node_ids").alias("nw_n"),
-            F.posexplode("node_ids").alias("nw_pos", "node_id"),
-        )
-        .withColumn("nw_end", (F.col("nw_pos") == 0) | (F.col("nw_pos") == F.col("nw_n") - 1))
-        .drop("nw_pos", "nw_n")
-    )
     cand_nodes = (
         matched.select(
             "way_id",
@@ -372,16 +357,46 @@ def conflate(
     # unglue skips ANY tagged node (conflate.py:173-175 — even a lone
     # created_by, unlike the P7 node-tag verdict below)
     any_node_tags = osm_node_tags.select("node_id", F.lit(True).alias("node_has_tags"))
-    # Prune the reverse index BEFORE its shuffle: only nodes that occur
-    # in some candidate can produce a sharing pair, and the candidate
-    # node-id set is tiny relative to the full index (matched ways ×
-    # ~nodes/way vs every node of every OSM way — here 0.7M vs 16M).
-    # A broadcast semi-join applies the prune map-side, so the giant
-    # explode never shuffles; at a scale where the candidate set itself
-    # outgrows broadcast, swap this for a bloom-filter prune (same
-    # shape, approximate membership + exact join after).
+    # Prune the reverse index in TWO phases so the expensive wide explode
+    # only ever runs over ways that can matter (guide §2.3/§3.2):
+    #   1. a NARROW (way_id, node_id) explode semi-joined against the
+    #      broadcast candidate-node set yields the ids of OSM ways that
+    #      share at least one candidate node (the full index here is 16M
+    #      node rows — mostly 2000-node ways — vs ~0.7M candidate
+    #      nodes; the 7-column flagged explode of all of it cost ~3 s
+    #      per action at sf0.1);
+    #   2. only those surviving ways are re-exploded WITH the tag flags
+    #      and endpoint positions the sharing rules need.
+    # The pruned index is persisted: it is the node→way reverse index a
+    # long-lived deployment keeps, and five downstream consumers of the
+    # conflation DAG re-trigger this subtree otherwise. At a scale where
+    # the candidate set outgrows broadcast, swap the semi-join for a
+    # bloom-filter prune (same shape, approximate membership + the exact
+    # inner join below unchanged).
     cand_node_ids = cand_nodes.select("node_id").distinct()
-    node_way = node_way.join(F.broadcast(cand_node_ids), "node_id", "leftsemi")
+    touching_ways = (
+        osm_ways.select(F.col("osm_way_id"), F.explode("node_ids").alias("node_id"))
+        .join(F.broadcast(cand_node_ids), "node_id", "leftsemi")
+        .select("osm_way_id")
+        .distinct()
+    )
+    wt = F.col("tags")
+    w_nat = F.coalesce(wt["admin_level"].cast("int") <= 2, F.lit(False))
+    w_other = wt["boundary"].isNull() | (wt["boundary"] != "administrative")
+    node_way = (
+        osm_ways.join(F.broadcast(touching_ways), "osm_way_id", "leftsemi")
+        .select(
+            F.col("osm_way_id").alias("nw_way"),
+            w_nat.alias("nw_nat"),
+            w_other.alias("nw_other"),
+            (F.size("tags") > 0).alias("nw_tagged"),
+            F.size("node_ids").alias("nw_n"),
+            F.posexplode("node_ids").alias("nw_pos", "node_id"),
+        )
+        .withColumn("nw_end", (F.col("nw_pos") == 0) | (F.col("nw_pos") == F.col("nw_n") - 1))
+        .drop("nw_pos", "nw_n")
+        .persist()
+    )
     shared = (
         cand_nodes.join(node_way, "node_id")
         .filter(F.col("nw_way") != F.col("osm_way_id"))

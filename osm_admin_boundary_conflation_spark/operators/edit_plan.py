@@ -33,12 +33,26 @@ def edit_plan(
     (way_id, osm_way_id, op, node_id, pos, lon, lat)."""
     todo = verdicts.filter(F.col("verdict") == "CHECKED_POSSIBLE").select("way_id", "osm_way_id")
     s = src_ways.select("way_id", F.col("coords").alias("src_coords"))
-    o = osm_ways.select("osm_way_id", F.col("node_ids").alias("osm_nodes"))
-    d = todo.join(s, "way_id").join(o, "osm_way_id")
+    # one join fetches BOTH osm columns (node ids for the positional zip,
+    # coords for the reversal decision): the previous second join re-read
+    # the whole osm_ways coords payload from parquet a second time —
+    # ~0.6 s of the edit_plan wall at sf0.1 (guide §6: the array columns
+    # dominate the scan).
+    o = osm_ways.select(
+        "osm_way_id",
+        F.col("node_ids").alias("osm_nodes"),
+        F.col("coords").alias("osm_coords"),
+    )
+    # broadcast the TODO side explicitly: size estimates made the planner
+    # broadcast the array-payload way tables instead (BuildRight on every
+    # join in plans/r08/edit_plan_summary_before.txt), serializing every
+    # coords array into a hash relation while the 20x-smaller
+    # CHECKED_POSSIBLE set streamed (guide §3.1: estimates are often
+    # wrong after filters — hint the side you know is small).
+    d = F.broadcast(todo).join(s, "way_id")
+    d = F.broadcast(d).join(o, "osm_way_id")
 
     # reversal decision exactly as the reference takes it (G7)
-    osm_coords = osm_ways.select("osm_way_id", F.col("coords").alias("osm_coords"))
-    d = d.join(osm_coords, "osm_way_id")
     d = d.withColumn("_em", endpoint_match_udf(F.col("src_coords"), F.col("osm_coords")))
     d = d.withColumn(
         "src_aligned",
