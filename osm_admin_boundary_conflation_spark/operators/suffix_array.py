@@ -36,31 +36,39 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
-def suffix_array(docs: DataFrame, max_len: int = 64) -> DataFrame:
+def suffix_array(docs: DataFrame, max_len: int = 64, base_k: int = 8) -> DataFrame:
     """(doc_id, text) -> (doc_id, pos, sa_rank): per-document suffix
     array over the first `max_len` characters; sa_rank is the 1-based
-    sort order of the suffix starting at 1-based pos."""
+    sort order of the suffix starting at 1-based pos.
+
+    ``base_k`` is the standard Manber-Myers wide-base refinement: the
+    first round ranks the length-``base_k`` substring directly (string
+    order over a short fixed-width key — the same order rule, since a
+    shorter prefix sorts before its extensions), then doubling proceeds
+    from k=base_k. At max_len=64 this is 7 window sorts instead of 13
+    (each Sort+Window pair over the per-doc rows cost ~0.17 s at sf0.1
+    regardless of data size — per-operator overhead, guide §1.2); the
+    permutation produced is identical (pytest-differential vs a Python
+    suffix sort, plus the sum(pos*rank) oracle checksum)."""
     t = docs.select(
         "doc_id", F.substring("text", 1, max_len).alias("t")
     ).filter(F.length("t") > 0)
-    rows = (
-        t.select(
-            "doc_id",
-            F.posexplode(F.split(F.col("t"), "(?!^)")).alias("pos0", "ch"),
-        )
-        # Spark's split keeps the trailing zero-width match as an empty
-        # string element (unlike Java String.split) — drop it
-        .filter(F.col("ch") != "")
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "ch")
-    )
+    bk = max(1, min(base_k, max_len))
+    rows = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("pos"),
+        "t",
+    ).select("doc_id", "pos", F.expr(f"substring(t, pos, {bk})").alias("pfx"))
     w = Window.partitionBy("doc_id")
-    # round 0: rank of the length-1 prefix = per-doc dense rank of the char
+    # base round: rank of the length-bk prefix = per-doc dense rank of
+    # the substring (string order: a short prefix sorts before its
+    # extensions, exactly the NULLS FIRST rule of the doubling rounds)
     cur = rows.select(
         "doc_id",
         "pos",
-        F.dense_rank().over(w.orderBy("ch")).alias("rank"),
+        F.dense_rank().over(w.orderBy("pfx")).alias("rank"),
     )
-    k = 1
+    k = bk
     while k < max_len:
         wp = w.orderBy("pos")
         paired = cur.select(
