@@ -405,6 +405,10 @@ def conflate(
     )
     d1 = F.col("cand_tagged") & F.col("nw_tagged") & ~F.col("cand_end") & ~F.col("node_has_tags")
     d2 = F.col("cand_tagged") & F.col("nw_tagged") & ~F.col("nw_end") & ~F.col("node_has_tags")
+    # persisted: TWO branches consume the sharing pairs (share_flags
+    # below and the relation scan's `sharing` leg), and each would
+    # otherwise re-run the cand_nodes⋈node_way join + aggregation
+    # (~0.9 s per action at sf0.1). One skinny row per sharing way pair.
     pair_flags = shared.groupBy("way_id", "nw_way").agg(
         F.first("nw_nat").alias("nw_nat"),
         F.first("nw_other").alias("nw_other"),
@@ -412,7 +416,7 @@ def conflate(
         F.max(d2.cast("int")).alias("ok2"),
         F.sum(d1.cast("long")).alias("n1"),
         F.sum(d2.cast("long")).alias("n2"),
-    )
+    ).persist()
     # unglue direction order (conflate.py:221-230): try the candidate
     # boundary first; only if that fails, unglue the other way
     unglued = (
@@ -429,7 +433,6 @@ def conflate(
         ),
         F.sum(F.when(unglued, n_pair).otherwise(F.lit(0))).alias("n_unglued"),
     )
-    matched = matched.join(share_flags, "way_id", "left")
     sharing = pair_flags.select("way_id", "nw_way", "nw_nat", "nw_other")
 
     # relation scan: relations containing the candidate or a sharing way
@@ -453,7 +456,6 @@ def conflate(
         F.min(F.when(rel_other & ~rel_national, F.col("rel_id"))).alias("rel_other_id"),
         F.min(F.when(rel_national, F.col("rel_id"))).alias("rel_national_id"),
     )
-    matched = matched.join(rel_flags, "way_id", "left")
 
     # P7: candidate nodes carrying tags (except lone created_by)
     tagged_nodes = cand_nodes.join(osm_node_tags, "node_id").filter(
@@ -462,7 +464,19 @@ def conflate(
     node_tag_flags = tagged_nodes.groupBy("way_id").agg(
         F.array_join(F.array_sort(F.collect_set("node_id")), ",").alias("tagged_node_ids")
     )
-    matched = matched.join(node_tag_flags, "way_id", "left")
+
+    # ONE flag join instead of three: each flag table holds at most one
+    # row per way (groupBy way_id), so chaining them with full-outer
+    # joins first is equivalent to three independent left joins — but
+    # the array-payload matched table is exchanged+sorted ONCE, not
+    # three times (the before-plan had three SortMergeJoin LeftOuter
+    # over matched; guide §2.4 "two operations keyed the same way can
+    # share one exchange").
+    flags = (
+        share_flags.join(rel_flags, "way_id", "full")
+        .join(node_tag_flags, "way_id", "full")
+    )
+    matched = matched.join(flags, "way_id", "left")
 
     # ---- stage D: geometry battery ----------------------------------------
     matched = matched.withColumn(
