@@ -97,8 +97,26 @@ def build_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the upstream extraction the north rule's per-row invariant compares
     against ("byte-identical extracted text per url"), gated engine-side
     by `pages_text_invariant`.
+
+    The doc scan is spread across the session's cores when it arrives as
+    ONE split big enough to matter: every consumer runs Arrow extract
+    UDFs over the html bytes, and a large single-file corpus would run
+    that whole stage in ONE task (guide §2.5 input skew). Below the
+    byte threshold the extra exchange costs more than the single task
+    (measured +0.6 s on the 5k-doc sf0.1 corpus), so the guard is
+    size-adaptive rather than unconditional; a pre-split corpus skips
+    it either way.
     """
+    import os as _os
+
     docs = _read(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    try:
+        nbytes = _os.path.getsize(f"{sf_dir}/documents.parquet")
+        if nbytes > 4 * 1024 * 1024 and docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par, F.col("doc_id"))
+    except OSError:  # pragma: no cover — defensive
+        pass
     d = docs.select(
         "doc_id",
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
