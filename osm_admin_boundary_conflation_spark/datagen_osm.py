@@ -114,7 +114,13 @@ def materialize_osm_world(spark: SparkSession, sf_dir: str, out_dir: str) -> Non
         "coords", F.when(F.size("coords") < 2000, F.col("coords"))
     )
     for name in _WORLD_TABLES:
-        world[name].write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        # small row groups: the way tables carry 2000-element coord/node
+        # arrays, so a default 128MB row group decompresses to several
+        # hundred MB per scan task — 32 concurrent local tasks OOM'd an
+        # 8g heap at sf1.0 (guide §5/§6: bound per-task read state)
+        world[name].write.mode("overwrite").option(
+            "parquet.block.size", 16 * 1024 * 1024
+        ).parquet(os.path.join(out_dir, name))
 
 
 def build_osm_world(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -42,7 +42,16 @@ def build_session(
         # broadcast joins for boundary dims (the Overpass-index analogue)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # wide-array parquet (2000-element coord/node arrays): a 4096-row
+        # columnar batch is ~200MB per scan task; 512 bounds per-task
+        # decode state so 32 concurrent local tasks fit the heap
+        # (guide §5 — the sf1.0 OOM fix; narrow tables lose nothing
+        # measurable at this batch size)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # 12g default: local[32] runs driver+executor in ONE JVM, so the
+        # heap must hold 32 tasks' scan/shuffle state plus broadcasts
+        # (env-overridable; the 128GiB sandbox has ample headroom)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
