@@ -107,11 +107,17 @@ def stable_matching(
         )
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    # uniquely-named copies so lazily CHAINED rounds (below) never hit
+    # ambiguous self-join attribute resolution
+    pm2 = pm.select(
+        F.col("m").alias("pm_m"), F.col("w").alias("pm_w"), F.col("rm").alias("pm_rm")
+    )
+
+    def one_round(state: DataFrame) -> DataFrame:
         free = state.filter(F.col("w_cur").isNull() & (F.col("nxt") < n))
         props = (
-            free.join(pm, (free.m == pm.m) & (free.nxt == pm.rm))
-            .select(pm.m.alias("cand_m"), "w")
+            free.join(pm2, (F.col("m") == F.col("pm_m")) & (F.col("nxt") == F.col("pm_rm")))
+            .select(F.col("pm_m").alias("cand_m"), F.col("pm_w").alias("w"))
         )
         bids = props.unionByName(
             state.filter(F.col("w_cur").isNotNull()).select(
@@ -119,16 +125,18 @@ def stable_matching(
             )
         )
         scored = bids.join(
-            pw, (bids.w == pw.pw_w) & (bids.cand_m == pw.pw_m)
+            pw, (F.col("w") == F.col("pw_w")) & (F.col("cand_m") == F.col("pw_m"))
         ).select("w", "cand_m", "rw")
         winners = (
             scored.groupBy("w")
             .agg(F.min(F.struct("rw", "cand_m")).alias("b"))
             .select(F.col("b.cand_m").alias("m"), F.col("w").alias("w_new"))
         )
-        proposed = props.select(F.col("cand_m").alias("m")).distinct()
-        obs = Observation()
-        state = (
+        # each man's rm is a permutation, so a free man matches exactly
+        # one pm row — props is already unique per cand_m (no distinct,
+        # no extra exchange before the left join below)
+        proposed = props.select(F.col("cand_m").alias("m"))
+        return (
             state.join(winners, "m", "left")
             .join(proposed.withColumn("did", F.lit(1)), "m", "left")
             .select(
@@ -136,14 +144,37 @@ def stable_matching(
                 (F.col("nxt") + F.coalesce(F.col("did"), F.lit(0))).alias("nxt"),
                 F.col("w_new").alias("w_cur"),
             )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("w_cur").isNull() & (F.col("nxt") < n)).cast("long")
-                ).alias("free"),
-            )
-            .localCheckpoint(eager=True)
         )
+
+    # CHUNKED rounds: each action costs ~1.5 s of fixed job/checkpoint
+    # overhead on a small instance regardless of data size (the 16-man
+    # gate instance ran 21 one-round actions = 33 s of pure overhead),
+    # so several rounds share one checkpoint+observe action. Each
+    # intermediate round is LAZILY persisted: a round references its
+    # predecessor state three times (free pool, engaged bids, update
+    # join), and without the shared in-memory relation the chunk's plan
+    # re-executes each earlier round 3x per reference (3^k blowup — the
+    # first chunked attempt did exactly that). A round with no free men
+    # is the identity (no proposals, every woman re-selects her fiance),
+    # so running past convergence inside a chunk cannot change the
+    # state — order-independence covers batched rounds of any size.
+    chunk = 4
+    done = 0
+    while done < max_rounds:
+        obs = Observation()
+        cached = []
+        for _ in range(min(chunk, max_rounds - done)):
+            state = one_round(state).persist()
+            cached.append(state)
+            done += 1
+        state = state.observe(
+            obs,
+            F.sum(
+                (F.col("w_cur").isNull() & (F.col("nxt") < n)).cast("long")
+            ).alias("free"),
+        ).localCheckpoint(eager=True)
+        for c in cached:
+            c.unpersist()
         if (obs.get["free"] or 0) == 0:
             break
     else:
