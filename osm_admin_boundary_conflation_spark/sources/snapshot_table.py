@@ -531,6 +531,16 @@ def expire_snapshots(location: str, keep_last: int = 1) -> list[int]:
             deps.append(m["parent"])
         if m.get("type") == "rollback":
             deps.append(m["restores"])
+        # generic pointer rule (covers rename and any future pointer
+        # commit that RESOLVES THROUGH its parent): a manifest with no
+        # data of its own needs its parent alive — without this,
+        # expire_snapshots(keep_last=1) after a rename expired the
+        # parent the CURRENT version reads through, and vacuum then
+        # deleted its data dir (permanent loss of live table state).
+        # Rollback is excluded: it resolves through `restores` (above),
+        # not through its parent (the undone head, which SHOULD expire).
+        elif m.get("data_dir") is None and m.get("parent") is not None:
+            deps.append(m["parent"])
         for d in deps:
             if d not in keep:
                 keep.add(d)

@@ -478,3 +478,26 @@ def test_expire_snapshots_retention_closure(spark, tmp_path):
     # the manifest log matches the surviving listing (repair is a no-op)
     assert ST.repair_manifest_log(loc) == 0
     assert [r["version"] for r in ST.read_manifest_log(loc)] == [1, 4]
+
+
+def test_expire_snapshots_keeps_rename_parent(spark, tmp_path):
+    """ADVICE r07 (high): the retention closure must follow RENAME
+    pointer manifests to their parent — expire after a rename used to
+    drop the parent the current version reads through, and vacuum then
+    deleted its data dir (permanent loss of live table state)."""
+    from osm_admin_boundary_conflation_spark.sources import snapshot_table as ST
+
+    loc = str(tmp_path / "tbl")
+    ST.write_snapshot(spark.range(10).withColumnRenamed("id", "a"), loc, commit_ms=1)
+    v = ST.rename_columns(loc, {"a": "b"}, commit_ms=2)
+    assert v == 2
+    expired = ST.expire_snapshots(loc, keep_last=1)
+    assert expired == []  # v1 is the rename's parent: must survive
+    assert ST.vacuum(loc) == []  # and its data dir must not be reclaimed
+    head = ST.read_snapshot(spark, loc)
+    assert head.columns == ["b"] and head.count() == 10
+    # a rename above an expirable chain still lets unrelated versions go
+    ST.write_snapshot(spark.range(7).withColumnRenamed("id", "b"), loc, commit_ms=3)
+    expired = ST.expire_snapshots(loc, keep_last=1)
+    assert expired == [1, 2]
+    assert ST.read_snapshot(spark, loc).count() == 7
