@@ -853,13 +853,13 @@ def jones_plassmann_color(edges: DataFrame, max_rounds: int) -> DataFrame:
     state = nodes.select("v", F.lit(None).cast("long").alias("color")).localCheckpoint(
         eager=True
     )
+    # true mex (ADVICE r07): smallest color in 0..|used| absent from the
+    # used set — by pigeonhole one always exists, for ANY degree. The
+    # previous fixed CASE chain fell through to 6, silently issuing a
+    # duplicate color on degree>=8 inputs.
     mex = (
-        "CASE WHEN NOT array_contains(used, 0L) THEN 0L "
-        "WHEN NOT array_contains(used, 1L) THEN 1L "
-        "WHEN NOT array_contains(used, 2L) THEN 2L "
-        "WHEN NOT array_contains(used, 3L) THEN 3L "
-        "WHEN NOT array_contains(used, 4L) THEN 4L "
-        "WHEN NOT array_contains(used, 5L) THEN 5L ELSE 6L END"
+        "array_min(filter(sequence(0L, cast(size(used) as long)),"
+        " i -> NOT array_contains(used, i)))"
     )
     for _ in range(max_rounds):
         colored = state.filter(F.col("color").isNotNull())

@@ -19,6 +19,9 @@ engine's from-scratch binary parsers (WARC, JPEG, BMP, WAV):
                      Content-Length mismatch, bad marker, non-PCM...)
     'truncated'      bytes end mid-structure (struct/index/zlib/EOF
                      errors from running off the end)
+    'parse_error'    catch-all: the parser failed in a way none of the
+                     above classify — still one quarantine row, never
+                     an escaping exception
 
 The scan is one Arrow-batched mapInPandas pass — per-blob python is
 the honest cost of byte-level parsing (same grain as the decode
@@ -61,7 +64,7 @@ def classify_blob(blob: bytes) -> tuple[str, str]:
         return fmt, ""
     except ValueError:
         return fmt, "bad_structure"
-    except (struct.error, IndexError, KeyError, EOFError, zlib.error, zlib.error):
+    except (struct.error, IndexError, KeyError, EOFError, zlib.error):
         return fmt, "truncated"
     except Exception:  # noqa: BLE001 — quarantine NEVER lets one escape
         return fmt, "parse_error"

@@ -37,7 +37,11 @@ def cached_result(
     compute,
     max_retries: int = 3,
 ) -> tuple[DataFrame, str]:
-    """Return (result_df, status); status in 'hit' / 'miss' / 'stale'.
+    """Return (result_df, status); status in 'hit' / 'miss' / 'stale' /
+    'uncached' (the exhausted-retries fallback: the result is computed
+    and returned but NOT published — a concurrent writer kept moving
+    the head; the fallback's data dir stays inside the entry until
+    sweep_cache reclaims it).
 
     ``compute()`` must return the result DataFrame derived from the
     CURRENT head of the table at ``table_location``. On hit, the result

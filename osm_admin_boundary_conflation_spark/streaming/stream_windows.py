@@ -90,8 +90,21 @@ def stream_window_counts_with_drops(
         .start()
     )
     query.awaitTermination()
+    # recentProgress retains only the last ~numRecentProgressUpdates
+    # (default 100) batches: a replay longer than that would silently
+    # undercount drops (ADVICE r07) — assert instead of undercounting.
+    progress = list(query.recentProgress)
+    retention = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    if len(progress) >= retention:
+        raise RuntimeError(
+            f"stream_window_counts_with_drops: {len(progress)} progress updates "
+            f"reached the recentProgress retention limit ({retention}); drop "
+            "counts would be incomplete — raise the limit or use a listener"
+        )
     dropped = 0
-    for prog in query.recentProgress:
+    for prog in progress:
         for op in prog.get("stateOperators") or []:
             dropped += int(op.get("numRowsDroppedByWatermark") or 0)
     return dropped
