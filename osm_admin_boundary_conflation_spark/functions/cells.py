@@ -65,6 +65,30 @@ def cover_polygon(mp: list[list[np.ndarray]], res: int) -> list[str]:
        (step = cell_size/2), dilated by one ring — any cell an edge
        passes through is within one cell of a sample cell.
     """
+    r0, c0, marked, _full = _cover_masks(mp, res)
+    rr_idx, cc_idx = np.nonzero(marked)
+    return [f"r{res}:{r0 + r}:{c0 + c}" for r, c in zip(rr_idx, cc_idx)]
+
+
+def cover_polygon_full(mp: list[list[np.ndarray]], res: int) -> list[tuple[str, bool]]:
+    """Covering WITH an interior flag per cell: ``full=True`` cells lie
+    ENTIRELY inside the polygon (the S2 'interior covering' idea), so a
+    point landing in one needs NO point-in-polygon confirm. Soundness:
+    a cell whose center is inside and which is NOT in the dilated
+    boundary set cannot be crossed by any boundary edge (edge samples
+    are spaced at half a cell edge, so every boundary-crossed cell is a
+    sample cell or its 8-neighbour — all in the dilated set); a cell
+    with an inside center and no boundary crossing is fully interior.
+    Same cell SET as cover_polygon — only the flag is added."""
+    r0, c0, marked, full = _cover_masks(mp, res)
+    rr_idx, cc_idx = np.nonzero(marked)
+    return [
+        (f"r{res}:{r0 + r}:{c0 + c}", bool(full[r, c])) for r, c in zip(rr_idx, cc_idx)
+    ]
+
+
+def _cover_masks(mp: list[list[np.ndarray]], res: int):
+    """(r0, c0, marked, full) boolean grids for cover_polygon[_full]."""
     from . import geometry as G
 
     size = cell_size_deg(res)
@@ -115,10 +139,9 @@ def cover_polygon(mp: list[list[np.ndarray]], res: int) -> list[str]:
     dil[1:, :-1] |= edge[:-1, 1:]
     dil[:-1, 1:] |= edge[1:, :-1]
     dil[:-1, :-1] |= edge[1:, 1:]
+    full = marked & ~dil  # center inside AND no boundary near: fully interior
     marked |= dil
-
-    rr_idx, cc_idx = np.nonzero(marked)
-    return [f"r{res}:{r0 + r}:{c0 + c}" for r, c in zip(rr_idx, cc_idx)]
+    return r0, c0, marked, full
 
 
 MAX_COVER_CELLS = 512
@@ -145,6 +168,26 @@ def cover_polygon_adaptive(
                 return cover
         res -= 1
     return cover_polygon(mp, 0)
+
+
+def cover_polygon_adaptive_full(
+    mp: list[list[np.ndarray]], base_res: int, max_cells: int = MAX_COVER_CELLS
+) -> list[tuple[str, bool]]:
+    """cover_polygon_adaptive with the interior flag — identical cell
+    set and resolution choice, flags per cover_polygon_full."""
+    from . import geometry as G
+
+    res = base_res
+    while res > 0:
+        size = cell_size_deg(res)
+        min_lon, min_lat, max_lon, max_lat = G.bbox(mp)
+        est = ((max_lat - min_lat) / size + 2) * ((max_lon - min_lon) / size + 2)
+        if est <= max_cells:
+            cover = cover_polygon_full(mp, res)
+            if len(cover) <= max_cells:
+                return cover
+        res -= 1
+    return cover_polygon_full(mp, 0)
 
 
 def _rect_intersects_mp(lo_lon, lo_lat, hi_lon, hi_lat, mp) -> bool:

@@ -201,6 +201,29 @@ def cover_wkt_udf(wkt: pd.Series) -> pd.Series:
     )
 
 
+_COVER_FULL_SCHEMA = ArrayType(
+    StructType(
+        [StructField("cell", StringType()), StructField("full", BooleanType())]
+    )
+)
+
+
+@pandas_udf(_COVER_FULL_SCHEMA)
+def cover_wkt_full_udf(wkt: pd.Series) -> pd.Series:
+    """cover_wkt_udf + a fully-interior flag per cell (S2 interior
+    covering): points landing in a full=True cell are inside the polygon
+    by construction and skip the point-in-polygon confirm entirely.
+    Same cell set and adaptive resolution as cover_wkt_udf."""
+    from ..datagen import CELL_RES
+
+    memo = _parse_memo(wkt)
+    return wkt.map(
+        lambda w: C.cover_polygon_adaptive_full(memo[w], CELL_RES)
+        if w is not None
+        else []
+    )
+
+
 _ENDPOINT_SCHEMA = StructType(
     [
         StructField("endpoint_dist_m", DoubleType()),

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 
 from ..functions.udfs import (
     cell_expr,
+    cover_wkt_full_udf,
     cover_wkt_udf,
     extract_geo_udf,
     extract_text_udf,
@@ -116,9 +117,21 @@ def geotag_points(
     # persist the covering BEFORE the explode: the covering UDF (the only
     # non-trivial boundary-side work) runs once, and the resolution-level
     # distinct below scans one row per BOUNDARY, not per covering cell
-    # (<=512x smaller than the round-1 post-explode distinct)
-    bcov = boundaries.select("level9_id", "wkt", cover_wkt_udf("wkt").alias("_cells")).persist()
-    bc = bcov.select("level9_id", "wkt", F.explode("_cells").alias("_jcell"))
+    # (<=512x smaller than the round-1 post-explode distinct).
+    # The covering carries a fully-interior flag per cell (S2 interior
+    # covering): a point landing in a full cell is inside the polygon by
+    # construction, so the point-in-polygon confirm — and, crucially,
+    # the per-row WKT string crossing the Arrow boundary (guide §4.1
+    # "pass only the columns the function needs") — is skipped for the
+    # bulk of interior hits.
+    bcov = boundaries.select(
+        "level9_id", "wkt", cover_wkt_full_udf("wkt").alias("_cells")
+    ).persist()
+    bc = bcov.select(
+        "level9_id", "wkt", F.explode("_cells").alias("_cc")
+    ).select(
+        "level9_id", "wkt", F.col("_cc.cell").alias("_jcell"), F.col("_cc.full").alias("_full")
+    )
 
     # adaptive covering may emit several resolutions (one per boundary —
     # all of a boundary's cells share one level); the pages side joins at
@@ -128,7 +141,9 @@ def geotag_points(
     # per-boundary distinct.
     res_levels = sorted(
         int(r[0][1:])
-        for r in bcov.select(F.split(F.element_at("_cells", 1), ":")[0]).distinct().collect()
+        for r in bcov.select(
+            F.split(F.element_at("_cells", 1)["cell"], ":")[0]
+        ).distinct().collect()
     )
     jcells = F.array(*[cell_expr(F.col("lon"), F.col("lat"), rl) for rl in res_levels])
     pg = pg.withColumn("_jcell", F.explode(jcells))
@@ -144,11 +159,17 @@ def geotag_points(
     else:
         joined = pg.join(bc, "_jcell", "left")
 
+    # full cells: inside by construction — no PiP call, and the WKT is
+    # masked to NULL in the UDF argument so the string never crosses the
+    # Arrow boundary for those rows (the CASE discards the UDF's output
+    # for them; a Python UDF under a CASE still evaluates for every row,
+    # so shrinking its INPUT is what actually saves the transfer).
+    masked_wkt = F.when(F.col("_full"), F.lit(None).cast("string")).otherwise(F.col("wkt"))
     confirmed = joined.withColumn(
         "inside",
-        F.when(F.col("wkt").isNull(), F.lit(False)).otherwise(
-            point_in_wkt_udf(F.col("lon"), F.col("lat"), F.col("wkt"))
-        ),
+        F.when(F.col("wkt").isNull(), F.lit(False))
+        .when(F.col("_full"), F.lit(True))
+        .otherwise(point_in_wkt_udf(F.col("lon"), F.col("lat"), masked_wkt)),
     )
     # keep the page row even when no candidate confirmed (left semantics).
     # Group on the page key ALONE: url uniquely identifies a page (the

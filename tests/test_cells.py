@@ -117,3 +117,38 @@ def test_geohash_matches_successive_halving():
         # first 20 halvings of each axis reproduce the 20-bit quantization
         want = ref_geohash(lat_md / 1000.0 - 90.0, lon_md / 1000.0 - 180.0)
         assert gh == want, (i, gh, want)
+
+
+def test_cover_polygon_full_flag_sound():
+    """Every point sampled inside a full=True cell must be inside the
+    polygon, and the flagged covering's cell SET must equal
+    cover_polygon's exactly."""
+    import numpy as np
+
+    from osm_admin_boundary_conflation_spark.functions import cells as C
+    from osm_admin_boundary_conflation_spark.functions import geometry as G
+
+    rng = np.random.default_rng(13)
+    for trial in range(12):
+        # random star-convex polygon around a random center
+        cx, cy = rng.uniform(10, 30), rng.uniform(36, 44)
+        angs = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(5, 12)))
+        rad = rng.uniform(0.3, 2.5, len(angs))
+        ring = np.column_stack([cx + rad * np.cos(angs), cy + rad * np.sin(angs)])
+        ring = np.vstack([ring, ring[:1]])
+        mp = [[ring]]
+        res = 5
+        flagged = C.cover_polygon_full(mp, res)
+        assert [c for c, _ in flagged] == C.cover_polygon(mp, res)
+        for cell, full in flagged:
+            if not full:
+                continue
+            lo_lon, lo_lat, hi_lon, hi_lat = C.cell_bounds(cell)
+            xs = rng.uniform(lo_lon, hi_lon, 16)
+            ys = rng.uniform(lo_lat, hi_lat, 16)
+            pts = np.column_stack([xs, ys])
+            corners = np.array(
+                [[lo_lon, lo_lat], [hi_lon, lo_lat], [hi_lon, hi_lat], [lo_lon, hi_lat]]
+            )
+            probe = np.vstack([pts, corners])
+            assert G.points_in_multipolygon(probe, mp).all(), (trial, cell)
