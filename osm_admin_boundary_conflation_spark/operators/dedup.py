@@ -243,15 +243,24 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     pushed-down threshold filter and once in the projection (guide §4.4,
     two ArrowEvalPython nodes in plans/r08/dedup_minhash_lsh_before.txt)."""
     pairs = lsh_candidate_pairs(docs)
-    shingled = docs.select(
+    # spread + broadcast direction: the shingle-array side is the HEAVY
+    # one (~1.4 KB of distinct shingles per doc), so it must stream
+    # while the candidate-pair side broadcasts — LSH banding makes the
+    # pair set orders of magnitude smaller than the corpus by design
+    # (10.7 k pairs vs 57 k docs at sf1.0; the planner's estimates
+    # broadcast-built the 80 MB shingle side twice, ~3.7 s of the 4.3 s
+    # query wall there). At a scale where even the pairs outgrow
+    # broadcast, swap these hints for a shuffle join on the ids.
+    shingled = _spread(docs, "id").select(
         "id", F.array_distinct(shingle_expr(F.coalesce(F.col("t"), F.lit("")))).alias("sh")
     )
     da = shingled.select(F.col("id").alias("ia"), F.col("sh").alias("sa"))
     db = shingled.select(F.col("id").alias("ib"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size("sa") + F.size("sb") - inter
+    half = F.broadcast(pairs).join(da, "ia")
     verified = (
-        pairs.join(da, "ia")
+        F.broadcast(half)
         .join(db, "ib")
         .withColumn("jacc", F.round(inter / union, 6))
         .filter(F.col("jacc") >= threshold)

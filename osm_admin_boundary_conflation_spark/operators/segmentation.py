@@ -30,14 +30,18 @@ from pyspark.sql.types import ArrayType, LongType, StringType
 from ..functions.geometry import canonical_node_fingerprint
 
 # ways at or above this node count take the fully distributed window
-# splitter instead of the per-way Arrow UDF: OSM caps ways at 2000
-# nodes, so in-model data always takes the Arrow path (parallel across
-# ways — the right scale shape for many-small-ways input). The window
-# path exists for out-of-model giants (a whole national perimeter as
-# one way) that would straggle or OOM a single task; measured on a
-# 300k-node way both paths cost the same, so the threshold sits where
-# a single task genuinely becomes the bottleneck.
-SPLIT_DISTRIBUTED_MIN = 500_000
+# splitter instead of the per-way JVM split expression: OSM caps ways at
+# 2000 nodes, so in-model data always takes the expression path
+# (parallel across ways — the right scale shape for many-small-ways
+# input). The window path exists for out-of-model giants (a whole
+# national perimeter as one way) that would straggle or OOM a single
+# task. With the r8 JVM expression the single-task crossover moved up:
+# the sf1.0 strip perimeter (3M nodes) splits 2.3 s faster through the
+# expression than through the single-partition-key window path, so the
+# threshold sits at 4M — one task holding ~64 MB of node ids, still
+# comfortably inside an executor; beyond that the window path's
+# distributed reassembly wins by not materializing the nested result.
+SPLIT_DISTRIBUTED_MIN = 4_000_000
 
 
 @pandas_udf(ArrayType(ArrayType(LongType())))
