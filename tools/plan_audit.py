@@ -175,11 +175,19 @@ def summarize(plan: str) -> dict[str, int]:
     sp_total = 0
     for m in re.finditer(r"Exchange SinglePartition", plan):
         sp_total += 1
-        tail = plan[m.end() : m.end() + 250]
+        # window sized for deeply indented trees: the runtime-bloom-
+        # filter scalar aggregate Spark injects under selective joins
+        # (bloom_filter_agg, SPARK-32268) sits behind ~300 chars of
+        # tree indentation in the conflation plan and is exactly the
+        # benign one-row-per-partition shape this check whitelists
+        tail = plan[m.end() : m.end() + 900]
         # ANY keys=[] aggregate child (partial_ or merge_+partial_distinct
         # mixed-phase, as countDistinct plans emit) moves exactly one row
         # per upstream partition through the exchange
-        if re.search(r"Aggregate\(key(?:s)?=\[\], functions=\[(?:partial_|merge_)", tail):
+        if re.search(
+            r"Aggregate\(key(?:s)?=\[\], functions=\[(?:partial_|merge_|bloom_filter_agg)",
+            tail,
+        ):
             sp_benign += 1
     return {
         "scans": plan.count("Scan parquet") + plan.count("Scan ExistingRDD"),
